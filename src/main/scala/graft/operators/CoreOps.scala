@@ -1,0 +1,118 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Reusable relational building blocks for the SURVEY.md §2 operator
+  * inventory. Each is a thin, lazily-composed `DataFrame => DataFrame`
+  * transform; no caching, no actions — callers own the plan.
+  *
+  * Scale notes (100 TB design point):
+  *  - Per-group windows shuffle once on the partition keys; every helper
+  *    takes explicit partition columns so the shuffle is on the caller's
+  *    natural key (e.g. `date`), never a global single-partition window
+  *    unless the group count is known-small.
+  *  - `topKPerGroup` relies on Spark's rank-limit pushdown
+  *    (`InferWindowGroupLimit`) so each partition keeps only K rows before
+  *    the final filter — no full materialization of the sorted groups.
+  */
+object CoreOps {
+
+  /** W2: per-group top-K by `order` (callers must make `order` a total
+    * order — tiebreak on a unique key; the reference leans on Python's
+    * stable sort at `equal_weight_index.py:43`, which a distributed engine
+    * must replace with explicit determinism).
+    * Adds column `rn` (1-based rank) and keeps rows with `rn <= k`.
+    */
+  def topKPerGroup(df: DataFrame, part: Seq[Column], order: Seq[Column], k: Int): DataFrame = {
+    val w = Window.partitionBy(part: _*).orderBy(order: _*)
+    df.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+  }
+
+  /** W1: latest row per group — top-1 by `order` descending-most-recent.
+    * `order` must again be total. */
+  def latestPerGroup(df: DataFrame, part: Seq[Column], order: Seq[Column]): DataFrame =
+    topKPerGroup(df, part, order, 1).drop("rn")
+
+  /** S6/S7: last-write-wins upsert semantics of `INSERT OR REPLACE`
+    * (`database_manager.py:39`): union old+new, keep the newest row per key
+    * by `version` (descending total order). */
+  def upsertLastWins(existing: DataFrame, incoming: DataFrame,
+                     keys: Seq[String], version: Seq[Column]): DataFrame =
+    latestPerGroup(existing.unionByName(incoming), keys.map(col), version.map(_.desc))
+
+  /** W3: lag-1 percent return over `order` within `part` partitions
+    * (`dashboard.py:196`). First row per partition is null. */
+  def lagReturn(df: DataFrame, part: Seq[Column], order: Seq[Column],
+                value: Column, as: String): DataFrame = {
+    val w = if (part.isEmpty) Window.orderBy(order: _*)
+            else Window.partitionBy(part: _*).orderBy(order: _*)
+    val prev = lag(value, 1).over(w)
+    df.withColumn(as, (value - prev) / prev * 100)
+  }
+
+  /** W4: percent return vs the first value of the ordered partition
+    * (`dashboard.py:198-200`). */
+  def returnFromFirst(df: DataFrame, part: Seq[Column], order: Seq[Column],
+                      value: Column, as: String): DataFrame = {
+    val w0 = if (part.isEmpty) Window.orderBy(order: _*)
+             else Window.partitionBy(part: _*).orderBy(order: _*)
+    val w = w0.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val init = first(value).over(w)
+    df.withColumn(as, (value - init) / init * 100)
+  }
+
+  /** W8: ratio of `value` to the sum of `value` over `part` (whole-frame
+    * window; the pie-share at `dashboard.py:122-127`). */
+  def ratioToTotal(df: DataFrame, part: Seq[Column], value: Column, as: String): DataFrame = {
+    val w = Window.partitionBy(part: _*)
+    df.withColumn(as, value / sum(value).over(w))
+  }
+
+  /** A3: order-preserving array agg — collect `payload` ordered by `rank`
+    * (strict total order). Built-ins only (`sort_array` of structs keeps
+    * codegen); returns an `array` column named `as`. */
+  def orderedCollect(rank: Column, payload: Column): Column =
+    transform(array_sort(collect_list(struct(rank.as("r"), payload.as("p")))),
+      x => x.getField("p"))
+
+  /** W6/W7 helper: day-over-day ordered-set diff columns. Input must have
+    * one row per `order` unit with an array column `arr`; adds `prev`,
+    * `added`, `removed`. Uses a `filter`+`array_contains` lambda rather
+    * than `array_except` because the latter deduplicates — the reference's
+    * list-comprehension diff (`dashboard.py:180-181`) is order-preserving
+    * AND keeps duplicate members, and so does this. */
+  def lagArrayDiff(df: DataFrame, order: Seq[Column], arr: Column): DataFrame = {
+    val w = Window.orderBy(order: _*)
+    df.withColumn("prev", lag(arr, 1).over(w))
+      .withColumn("added", filter(arr, x => !array_contains(col("prev"), x)))
+      .withColumn("removed", filter(col("prev"), x => !array_contains(arr, x)))
+  }
+
+  /** W7 formatting: `+(A, B) , -(C)` or `-` when unchanged / first row
+    * (`dashboard.py:182-188`). */
+  def changeString(added: Column, removed: Column): Column =
+    when(added.isNull || removed.isNull, lit("-"))
+      .when(size(added) === 0 && size(removed) === 0, lit("-"))
+      .otherwise(concat(lit("+("), array_join(added, ", "), lit(") , -("),
+        array_join(removed, ", "), lit(")")))
+
+  /** J4: bounded backward as-of lookup — latest row per `part` with
+    * `ts <= probe` and `ts > probe - maxBack` (the 5-day holiday fallback
+    * at `dashboard.py:328-343`). `order` must be a total order aligned
+    * with recency. Pushed down as a plain range filter + top-1 window so
+    * parquet min/max pruning applies before any shuffle.
+    */
+  def asOfBackward(df: DataFrame, part: Seq[Column], ts: Column,
+                   probe: Column, maxBack: Column, order: Seq[Column]): DataFrame =
+    latestPerGroup(df.filter(ts <= probe && ts > probe - maxBack), part, order)
+
+  /** Exact monetary sum: route a double expression with <= `scale` decimal
+    * digits through DECIMAL so the aggregation is order-insensitive
+    * (bit-identical across engines/partitionings), then surface a double.
+    * This is how every money-sum in SparkEntry stays hash-comparable with
+    * the DuckDB oracle regardless of partition/merge order. */
+  def exactSum(e: Column, scale: Int = 4): Column =
+    sum(e.cast(org.apache.spark.sql.types.DecimalType(30, scale))).cast("double")
+}

@@ -1,0 +1,398 @@
+package graft.queries
+
+import graft.Tables
+import graft.functions.ProductAgg.product_agg
+import graft.operators.CoreOps
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** SURVEY.md §2's operator inventory, one named query per operator family,
+  * recast onto the harness testdata (FIXTURES.md §A). The MarketViz "stocks"
+  * roles map as: trading day = `l_shipdate` day, instrument = lineitem id
+  * `l_orderkey-l_linenumber` (unique), market cap = `l_extendedprice`.
+  *
+  * Operator IDs in each query's comment refer to SURVEY.md §2.
+  */
+object ParityQueries {
+
+  /** Constituent count for the index queries (reference K=100,
+    * `constants.py:1`; scaled to the testdata's ~2-25 rows/day). */
+  private val K = 10
+
+  private def day(c: Column): Column = to_date(c)
+
+  /** Shared projection: lineitem with day + unique line id. */
+  private def li(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir).select(
+      day(col("l_shipdate")).as("d"),
+      concat_ws("-", col("l_orderkey"), col("l_linenumber")).as("lid"),
+      col("l_orderkey"), col("l_linenumber"), col("l_suppkey"), col("l_partkey"),
+      col("l_extendedprice"), col("l_discount"), col("l_quantity"))
+
+  private val liRankedSql =
+    """WITH r AS (
+      |  SELECT CAST(l_shipdate AS DATE) AS d,
+      |         CAST(l_orderkey AS VARCHAR) || '-' || CAST(l_linenumber AS VARCHAR) AS lid,
+      |         l_orderkey, l_linenumber, l_extendedprice,
+      |         row_number() OVER (PARTITION BY CAST(l_shipdate AS DATE)
+      |                            ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber) AS rn
+      |  FROM lineitem)""".stripMargin
+
+  /** W2 + A1 + A3: the flagship — per-day top-K "index": rank by price
+    * desc (unique-key tiebreak), Σ/K index value (constant divisor,
+    * `equal_weight_index.py:47`), rank-ordered composition. One shuffle on
+    * `d`; `InferWindowGroupLimit` keeps K rows per group pre-filter. */
+  private def indexDaily(s: SparkSession, dir: String): DataFrame =
+    CoreOps.topKPerGroup(li(s, dir).select("d", "lid", "l_orderkey", "l_linenumber", "l_extendedprice"),
+        Seq(col("d")),
+        Seq(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber")), K)
+      .groupBy(col("d"))
+      .agg(
+        (CoreOps.exactSum(col("l_extendedprice"), 2) / K).as("index_value"),
+        array_join(CoreOps.orderedCollect(col("rn"), col("lid")), ",").as("composition"))
+
+  private val indexDailySql =
+    s"""$liRankedSql
+      |SELECT d,
+      |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,2))) AS DOUBLE) / $K AS index_value,
+      |       string_agg(lid, ',' ORDER BY rn) AS composition
+      |FROM r WHERE rn <= $K GROUP BY d""".stripMargin
+
+  /** Per-day rank-ordered composition as a real array (internal reuse). */
+  private def dayComposition(s: SparkSession, dir: String): DataFrame =
+    CoreOps.topKPerGroup(li(s, dir).select("d", "lid", "l_orderkey", "l_linenumber", "l_extendedprice"),
+        Seq(col("d")),
+        Seq(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber")), K)
+      .groupBy(col("d"))
+      .agg(CoreOps.orderedCollect(col("rn"), col("lid")).as("arr"))
+
+  private val dayCompositionSql =
+    s"""$liRankedSql, comp AS (
+      |  SELECT d, list(lid ORDER BY rn) AS arr FROM r WHERE rn <= $K GROUP BY d)""".stripMargin
+
+  val all: Seq[Q] = Seq(
+
+    Q("q01_index_daily", indexDaily, Some(indexDailySql)),
+
+    // W1: latest row per group (top-1 by recency, total order).
+    Q("q02_latest_per_group",
+      (s, dir) =>
+        CoreOps.latestPerGroup(
+          li(s, dir).select("l_suppkey", "d", "l_orderkey", "l_linenumber", "l_extendedprice"),
+          Seq(col("l_suppkey")),
+          // (l_orderkey, l_linenumber) is NOT unique in the testdata, so
+          // price joins the tiebreak chain to keep the top-1 deterministic.
+          Seq(col("d").desc, col("l_orderkey").desc, col("l_linenumber").desc,
+            col("l_extendedprice").desc))
+        .select(col("l_suppkey"), col("d").as("latest_day"),
+          col("l_extendedprice").as("latest_price")),
+      Some("""WITH r AS (
+        |  SELECT l_suppkey, CAST(l_shipdate AS DATE) AS d, l_extendedprice,
+        |         row_number() OVER (PARTITION BY l_suppkey
+        |           ORDER BY CAST(l_shipdate AS DATE) DESC, l_orderkey DESC, l_linenumber DESC,
+        |                    l_extendedprice DESC) AS rn
+        |  FROM lineitem)
+        |SELECT l_suppkey, d AS latest_day, l_extendedprice AS latest_price
+        |FROM r WHERE rn = 1""".stripMargin)),
+
+    // W3 + W4: daily and cumulative percent returns over exact daily totals.
+    Q("q03_daily_returns",
+      (s, dir) => {
+        val daily = Tables.orders(s, dir)
+          .groupBy(day(col("o_orderdate")).as("d"))
+          .agg(CoreOps.exactSum(col("o_totalprice"), 2).as("total"))
+        val w = Window.orderBy(col("d"))
+        val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        daily
+          .withColumn("daily_return",
+            round((col("total") - lag(col("total"), 1).over(w))
+              / lag(col("total"), 1).over(w) * 100, 8))
+          .withColumn("cum_return",
+            round((col("total") - first(col("total")).over(wRun))
+              / first(col("total")).over(wRun) * 100, 8))
+      },
+      Some("""WITH dly AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS d,
+        |         CAST(SUM(CAST(o_totalprice AS DECIMAL(30,2))) AS DOUBLE) AS total
+        |  FROM orders GROUP BY 1)
+        |SELECT d, total,
+        |  round((total - lag(total) OVER (ORDER BY d)) / lag(total) OVER (ORDER BY d) * 100, 8) AS daily_return,
+        |  round((total - first_value(total) OVER (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |        / first_value(total) OVER (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) * 100, 8) AS cum_return
+        |FROM dly""".stripMargin)),
+
+    // A2/W5: windowed product via the native ProductAgg (rolling 11-row
+    // frame keeps magnitudes bounded; exact running cumprod is exercised in
+    // the MarketViz ingest + its unit tests).
+    Q("q04_window_product",
+      (s, dir) => {
+        // Duplicate (l_orderkey, l_linenumber) pairs exist; l_discount in
+        // the order keeps each row's sliding frame deterministic.
+        val w = Window.partitionBy(col("l_suppkey"))
+          .orderBy(col("d"), col("l_orderkey"), col("l_linenumber"), col("l_discount"))
+          .rowsBetween(-10, Window.currentRow)
+        li(s, dir)
+          .select("l_suppkey", "d", "l_orderkey", "l_linenumber", "l_discount")
+          .withColumn("rolling_factor",
+            round(product_agg(lit(1.0) + col("l_discount")).over(w), 6))
+          .drop("l_discount")
+      },
+      Some("""SELECT l_suppkey, CAST(l_shipdate AS DATE) AS d, l_orderkey, l_linenumber,
+        |  round(product(1.0 + l_discount) OVER (
+        |    PARTITION BY l_suppkey
+        |    ORDER BY CAST(l_shipdate AS DATE), l_orderkey, l_linenumber, l_discount
+        |    ROWS BETWEEN 10 PRECEDING AND CURRENT ROW), 6) AS rolling_factor
+        |FROM lineitem""".stripMargin)),
+
+    // W6: day-over-day set inequality on per-day distinct supplier sets.
+    Q("q05_set_change_dates",
+      (s, dir) => {
+        val daySets = li(s, dir).select(col("d"), col("l_suppkey")).distinct()
+          .groupBy(col("d")).agg(sort_array(collect_set(col("l_suppkey"))).as("s"))
+        CoreOps.lagArrayDiff(daySets.withColumnRenamed("s", "arr"), Seq(col("d")), col("arr"))
+          .filter(col("prev").isNotNull && col("arr") =!= col("prev"))
+          .select(col("d"),
+            size(col("added")).cast("long").as("n_added"),
+            size(col("removed")).cast("long").as("n_removed"))
+      },
+      Some("""WITH s AS (
+        |  SELECT CAST(l_shipdate AS DATE) AS d, list_sort(list(DISTINCT l_suppkey)) AS st
+        |  FROM lineitem GROUP BY 1),
+        |w AS (SELECT d, st, lag(st) OVER (ORDER BY d) AS prev FROM s)
+        |SELECT d,
+        |  len(list_filter(st, x -> NOT list_contains(prev, x))) AS n_added,
+        |  len(list_filter(prev, x -> NOT list_contains(st, x))) AS n_removed
+        |FROM w WHERE prev IS NOT NULL AND st <> prev""".stripMargin)),
+
+    // W7: order-preserving +(added) , -(removed) change strings over the
+    // rank-ordered composition arrays; "-" for unchanged and the first day.
+    Q("q06_composition_diff",
+      (s, dir) =>
+        CoreOps.lagArrayDiff(dayComposition(s, dir), Seq(col("d")), col("arr"))
+          .select(col("d"),
+            CoreOps.changeString(col("added"), col("removed")).as("composition_changes")),
+      Some(s"""$dayCompositionSql,
+        |w AS (SELECT d, arr, lag(arr) OVER (ORDER BY d) AS prev FROM comp),
+        |diff AS (
+        |  SELECT d,
+        |    list_filter(arr, x -> NOT list_contains(prev, x)) AS added,
+        |    list_filter(prev, x -> NOT list_contains(arr, x)) AS removed
+        |  FROM w)
+        |SELECT d,
+        |  CASE WHEN added IS NULL OR removed IS NULL THEN '-'
+        |       WHEN len(added) = 0 AND len(removed) = 0 THEN '-'
+        |       ELSE '+(' || array_to_string(added, ', ') || ') , -(' || array_to_string(removed, ', ') || ')'
+        |  END AS composition_changes
+        |FROM diff""".stripMargin)),
+
+    // J4: bounded backward as-of lookup (5-day holiday fallback,
+    // `dashboard.py:328-343`) — latest event per user at-or-before a probe.
+    Q("q07_asof_lookup",
+      (s, dir) =>
+        CoreOps.asOfBackward(Tables.events(s, dir),
+          part = Seq(col("user_id")),
+          ts = col("ts"),
+          probe = lit("2024-01-04 00:00:00").cast("timestamp"),
+          maxBack = expr("INTERVAL 2 DAYS"),
+          order = Seq(col("ts").desc, col("event_id").desc))
+        .select(col("user_id"), col("event_id").as("last_event_id"),
+          col("value").as("last_value")),
+      Some("""WITH f AS (
+        |  SELECT user_id, event_id, value,
+        |         row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events
+        |  WHERE ts <= TIMESTAMP '2024-01-04 00:00:00'
+        |    AND ts > TIMESTAMP '2024-01-04 00:00:00' - INTERVAL 2 DAY)
+        |SELECT user_id, event_id AS last_event_id, value AS last_value
+        |FROM f WHERE rn = 1""".stripMargin)),
+
+    // J1/J2: broadcast dim joins — revenue per nation (dims are tiny: hash
+    // join with no shuffle on the fact side beyond the final agg).
+    Q("q08_revenue_by_nation",
+      (s, dir) =>
+        li(s, dir)
+          .join(broadcast(Tables.supplier(s, dir)), col("l_suppkey") === col("s_suppkey"))
+          .join(broadcast(Tables.nation(s, dir)), col("s_nationkey") === col("n_nationkey"))
+          .groupBy(col("n_name"))
+          .agg(
+            CoreOps.exactSum(col("l_extendedprice") * (lit(1) - col("l_discount")), 4).as("revenue"),
+            count(lit(1)).as("n_items")),
+      Some("""SELECT n_name,
+        |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,4))) AS DOUBLE) AS revenue,
+        |  count(*) AS n_items
+        |FROM lineitem
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |GROUP BY n_name""".stripMargin)),
+
+    // A4: top-k + OTHERS bucket (collapses the reference's N+1 loop,
+    // `dashboard.py:108-119`).
+    Q("q09_others_bucket",
+      (s, dir) => {
+        val rev = li(s, dir)
+          .join(broadcast(Tables.supplier(s, dir)), col("l_suppkey") === col("s_suppkey"))
+          .groupBy(col("s_suppkey"), col("s_name"))
+          .agg(CoreOps.exactSum(col("l_extendedprice"), 2).as("rev"))
+        rev
+          .withColumn("rk", row_number().over(Window.orderBy(col("rev").desc, col("s_suppkey"))))
+          .withColumn("bucket", when(col("rk") <= 3, col("s_name")).otherwise(lit("OTHERS")))
+          .groupBy(col("bucket"))
+          .agg(CoreOps.exactSum(col("rev"), 2).as("total_rev"),
+            count(lit(1)).as("n_suppliers"))
+      },
+      Some("""WITH rev AS (
+        |  SELECT s_suppkey, s_name,
+        |         CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,2))) AS DOUBLE) AS rev
+        |  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |  GROUP BY s_suppkey, s_name),
+        |rk AS (SELECT *, row_number() OVER (ORDER BY rev DESC, s_suppkey) AS rk FROM rev)
+        |SELECT CASE WHEN rk <= 3 THEN s_name ELSE 'OTHERS' END AS bucket,
+        |       CAST(SUM(CAST(rev AS DECIMAL(30,2))) AS DOUBLE) AS total_rev,
+        |       count(*) AS n_suppliers
+        |FROM rk GROUP BY 1""".stripMargin)),
+
+    // W8: ratio-to-total (pie share) with an exact decimal total.
+    Q("q10_ratio_to_total",
+      (s, dir) => {
+        val rev = li(s, dir).groupBy(col("l_suppkey"))
+          .agg(CoreOps.exactSum(col("l_extendedprice"), 2).as("rev"))
+        rev.withColumn("share",
+          round(col("rev") /
+            sum(col("rev").cast(org.apache.spark.sql.types.DecimalType(30, 2)))
+              .over(Window.partitionBy()).cast("double"), 8))
+      },
+      Some("""WITH rev AS (
+        |  SELECT l_suppkey,
+        |         CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,2))) AS DOUBLE) AS rev
+        |  FROM lineitem GROUP BY 1)
+        |SELECT l_suppkey, rev,
+        |  round(rev / CAST(SUM(CAST(rev AS DECIMAL(30,2))) OVER () AS DOUBLE), 8) AS share
+        |FROM rev""".stripMargin)),
+
+    // P7/P9: point lookup on the computed index — the date filter prunes
+    // before the window (pushed through partition-key d to the scan).
+    Q("q11_point_lookup",
+      (s, dir) => indexDaily(s, dir).filter(col("d") === lit("1998-03-15").cast("date")),
+      Some(s"""$liRankedSql
+        |SELECT d,
+        |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,2))) AS DOUBLE) / $K AS index_value,
+        |       string_agg(lid, ',' ORDER BY rn) AS composition
+        |FROM r WHERE rn <= $K AND d = DATE '1998-03-15' GROUP BY d""".stripMargin)),
+
+    // P8/O1: equality filter + sort (pushed filter, passthrough values).
+    Q("q12_filter_sort",
+      (s, dir) =>
+        li(s, dir).filter(col("l_suppkey") === 3)
+          .select(col("d"), col("lid"), col("l_extendedprice"))
+          .orderBy(col("d"), col("lid")),
+      Some("""SELECT CAST(l_shipdate AS DATE) AS d,
+        |  CAST(l_orderkey AS VARCHAR) || '-' || CAST(l_linenumber AS VARCHAR) AS lid,
+        |  l_extendedprice
+        |FROM lineitem WHERE l_suppkey = 3""".stripMargin)),
+
+    // O3: tail-N — last 30 days of exact daily totals (TakeOrderedAndProject).
+    Q("q13_tail_days",
+      (s, dir) =>
+        Tables.orders(s, dir)
+          .groupBy(day(col("o_orderdate")).as("d"))
+          .agg(CoreOps.exactSum(col("o_totalprice"), 2).as("total"))
+          .orderBy(col("d").desc).limit(30),
+      Some("""SELECT CAST(o_orderdate AS DATE) AS d,
+        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(30,2))) AS DOUBLE) AS total
+        |FROM orders GROUP BY 1 ORDER BY d DESC LIMIT 30""".stripMargin)),
+
+    // O4/O6: global top-K with total order (TakeOrderedAndProject — no
+    // global sort materialization).
+    Q("q14_topk_global",
+      (s, dir) =>
+        li(s, dir).select(col("lid"), col("l_extendedprice"))
+          .orderBy(col("l_extendedprice").desc, col("lid")).limit(50),
+      Some("""SELECT CAST(l_orderkey AS VARCHAR) || '-' || CAST(l_linenumber AS VARCHAR) AS lid,
+        |       l_extendedprice
+        |FROM lineitem ORDER BY l_extendedprice DESC, lid LIMIT 50""".stripMargin)),
+
+    // O5: array slice — head-k / rest split of the composition array
+    // (`dashboard.py:91-92`).
+    Q("q15_array_slice",
+      (s, dir) =>
+        dayComposition(s, dir).select(col("d"),
+          array_join(slice(col("arr"), 1, 3), ",").as("top3"),
+          greatest(size(col("arr")) - 3, lit(0)).cast("long").as("n_rest")),
+      Some(s"""$dayCompositionSql
+        |SELECT d, array_to_string(arr[1:3], ',') AS top3,
+        |       greatest(len(arr) - 3, 0) AS n_rest
+        |FROM comp""".stripMargin)),
+
+    // 2.8 scalar surface: string normalize/format + date format/aggregate.
+    Q("q16_month_rollup",
+      (s, dir) =>
+        Tables.orders(s, dir)
+          .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("month"))
+          .agg(count(lit(1)).as("n_orders"),
+            min(day(col("o_orderdate"))).as("first_day"),
+            max(day(col("o_orderdate"))).as("last_day"),
+            CoreOps.exactSum(col("o_totalprice"), 2).as("total"))
+          .withColumn("label",
+            format_string("%s: %d orders", col("month"), col("n_orders"))),
+      Some("""SELECT strftime(CAST(o_orderdate AS DATE), '%Y-%m') AS month,
+        |  count(*) AS n_orders,
+        |  min(CAST(o_orderdate AS DATE)) AS first_day,
+        |  max(CAST(o_orderdate AS DATE)) AS last_day,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(30,2))) AS DOUBLE) AS total,
+        |  format('{}: {} orders', strftime(CAST(o_orderdate AS DATE), '%Y-%m'), count(*)) AS label
+        |FROM orders GROUP BY 1""".stripMargin)),
+
+    // Date sequence + explode (`app.py:22`): calendar spine with activity
+    // counts per month — gap detection over a generated date dimension.
+    Q("q17_calendar_gaps",
+      (s, dir) => {
+        val daily = Tables.orders(s, dir)
+          .groupBy(day(col("o_orderdate")).as("d")).agg(count(lit(1)).as("n"))
+        val cal = Tables.orders(s, dir)
+          .agg(min(day(col("o_orderdate"))).as("lo"), max(day(col("o_orderdate"))).as("hi"))
+          .select(explode(sequence(col("lo"), col("hi"))).as("d"))
+        cal.join(daily, Seq("d"), "left")
+          .groupBy(date_format(col("d"), "yyyy-MM").as("month"))
+          .agg(count(lit(1)).as("n_days"), count(col("n")).as("n_active_days"))
+      },
+      Some("""WITH bounds AS (
+        |  SELECT CAST(min(o_orderdate) AS DATE) AS lo, CAST(max(o_orderdate) AS DATE) AS hi FROM orders),
+        |cal AS (SELECT CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE) AS d FROM bounds),
+        |daily AS (SELECT CAST(o_orderdate AS DATE) AS d, count(*) AS n FROM orders GROUP BY 1)
+        |SELECT strftime(cal.d, '%Y-%m') AS month, count(*) AS n_days,
+        |       count(daily.n) AS n_active_days
+        |FROM cal LEFT JOIN daily USING (d) GROUP BY 1""".stripMargin)),
+
+    // S6/S7: INSERT OR REPLACE last-write-wins — newest state per key.
+    Q("q18_upsert_lastwins",
+      (s, dir) =>
+        CoreOps.latestPerGroup(Tables.events(s, dir),
+          Seq(col("user_id"), col("event_type")),
+          Seq(col("ts").desc, col("event_id").desc))
+        .select(col("user_id"), col("event_type"),
+          col("event_id").as("last_event_id"), col("value").as("last_value")),
+      Some("""WITH r AS (
+        |  SELECT user_id, event_type, event_id, value,
+        |         row_number() OVER (PARTITION BY user_id, event_type
+        |                            ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events)
+        |SELECT user_id, event_type, event_id AS last_event_id, value AS last_value
+        |FROM r WHERE rn = 1""".stripMargin)),
+
+    // S1-style JSON navigation: extract from the props JSON column + agg.
+    Q("q19_json_extract",
+      (s, dir) =>
+        Tables.events(s, dir)
+          .select(col("event_type"), get_json_object(col("props"), "$.k").cast("long").as("k"))
+          .groupBy(col("event_type"))
+          .agg(sum(col("k")).as("sum_k"), count(col("k")).as("n_k"),
+            round(sum(col("k")) / count(col("k")), 8).as("avg_k")),
+      Some("""SELECT event_type,
+        |  CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+        |  count(json_extract_string(props, '$.k')) AS n_k,
+        |  round(CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+        |        / count(json_extract_string(props, '$.k')), 8) AS avg_k
+        |FROM events GROUP BY event_type""".stripMargin))
+  )
+}
