@@ -1,13 +1,13 @@
 package graft
 
-import graft.queries.{ParityQueries, Q}
+import graft.queries.{ParityQueries, PipelineQueries, Q}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   * Queries live in `graft.queries.*`; this object is only the registry.
   */
 object SparkEntry {
-  private def allQueries: Seq[Q] = ParityQueries.all
+  private def allQueries: Seq[Q] = ParityQueries.all ++ PipelineQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

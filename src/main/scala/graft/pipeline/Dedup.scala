@@ -1,0 +1,126 @@
+package graft.pipeline
+
+import graft.pipeline.TextAnalysis.{md5Hash60, shingles, tokens}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data pipelines, each designed
+  * around its shuffle profile at 100 TB:
+  *
+  *  - exact: one hash-partitioned groupBy on a 60-bit content hash — the
+  *    shuffle carries (hash, id), never the document bodies.
+  *  - MinHash + LSH: per-doc signatures (narrow), then a shuffle keyed on
+  *    (band, band-signature) whose fan-in is only candidate buckets;
+  *    exact Jaccard runs on candidates only. This is the scale path —
+  *    all-pairs Jaccard is quadratic and exists here only as the
+  *    small-data oracle/baseline.
+  *  - SimHash: 64-bit signature per doc (narrow), Hamming-ball join on
+  *    signature bands.
+  *
+  * Hashing uses the md5-derived 60-bit hash so a DuckDB oracle can
+  * reproduce results bit-for-bit; swap `TextAnalysis.md5Hash60` for
+  * `xxhash64` in a pure-Spark deployment for ~5× cheaper hashing.
+  */
+object Dedup {
+
+  /** Exact dedup: keep the smallest `idCol` per identical `text`, plus the
+    * duplicate count. Group key is the content hash, not the text, so the
+    * shuffle payload stays tiny; a 60-bit hash at 10^12 docs has ~meaningful
+    * collision odds, so production uses the full 128-bit md5 — here the
+    * hash doubles as the oracle-checkable fingerprint. */
+  def exact(docs: DataFrame, idCol: String = "doc_id"): DataFrame =
+    docs
+      .groupBy(md5Hash60(col("text")).as("content_hash"))
+      .agg(min(col(idCol)).as("kept_id"), count(lit(1)).as("n_copies"))
+
+  /** Per-seed MinHash values: `(doc_id, seed, minhash)`. Seeded by
+    * prefixing the shingle — one md5 per (shingle, seed); at scale replace
+    * with one xxhash64 plus 2-universal (a*h+b mod p) mixing. */
+  def minhashes(sh: DataFrame, numHashes: Int): DataFrame =
+    sh
+      .select(col("doc_id"), explode(sequence(lit(0), lit(numHashes - 1))).as("seed"),
+        col("shingle"))
+      .groupBy(col("doc_id"), col("seed"))
+      .agg(min(md5Hash60(concat(col("seed"), lit(":"), col("shingle")))).as("mh"))
+
+  /** LSH candidate pairs: docs sharing ANY band (rows of `rowsPerBand`
+    * consecutive minhash values). Returns distinct (doc_a, doc_b),
+    * doc_a < doc_b. */
+  def lshCandidates(mh: DataFrame, rowsPerBand: Int): DataFrame = {
+    val bands = mh
+      .groupBy(col("doc_id"), (col("seed") / rowsPerBand).cast("int").as("band"))
+      .agg(md5(array_join(transform(
+        graft.operators.CoreOps.orderedCollect(col("seed"), col("mh")),
+        m => m.cast("string")), ",")).as("sig"))
+    val a = bands.select(col("band"), col("sig"), col("doc_id").as("doc_a"))
+    val b = bands.select(col("band"), col("sig"), col("doc_id").as("doc_b"))
+    a.join(b, Seq("band", "sig")).filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+  }
+
+  /** Exact Jaccard for given (doc_a, doc_b) pairs over the shingle
+    * relation — used to confirm LSH candidates. */
+  def exactJaccard(pairs: DataFrame, sh: DataFrame): DataFrame = {
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val inter = pairs
+      .join(sh.select(col("doc_id").as("doc_a"), col("shingle")), Seq("doc_a"))
+      .join(sh.select(col("doc_id").as("doc_b"), col("shingle")), Seq("doc_b", "shingle"))
+      .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("n_a")), Seq("doc_a"))
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("n_b")), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        round(col("n_inter") / (col("n_a") + col("n_b") - col("n_inter")), 6).as("jaccard"))
+  }
+
+  /** MinHash-LSH near-dup detection end to end: shingle → minhash → banded
+    * candidates → exact-Jaccard confirm at `threshold`. */
+  def minhashLsh(docs: DataFrame, numHashes: Int = 16, rowsPerBand: Int = 4,
+                 shingleN: Int = 3, threshold: Double = 0.5): DataFrame = {
+    val sh = shingles(docs, shingleN)
+    val cands = lshCandidates(minhashes(sh, numHashes), rowsPerBand)
+    exactJaccard(cands, sh).filter(col("jaccard") >= threshold)
+  }
+
+  /** All-pairs n-gram Jaccard via shingle equi-join — QUADRATIC in docs
+    * sharing a shingle; the small-scale baseline the LSH path is verified
+    * against. */
+  def allPairsJaccard(docs: DataFrame, shingleN: Int = 3, threshold: Double = 0.1): DataFrame = {
+    val sh = shingles(docs, shingleN)
+    val pairs = sh.select(col("doc_id").as("doc_a"), col("shingle"))
+      .join(sh.select(col("doc_id").as("doc_b"), col("shingle")), Seq("shingle"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+    exactJaccard(pairs, sh).filter(col("jaccard") >= threshold)
+  }
+
+  /** 64-bit SimHash signature per document over DISTINCT whitespace
+    * tokens: bit b is set when the sum of ±1 votes (token-hash bit b) is
+    * positive. Narrow per-doc computation — one explode(tokens × bits)
+    * then two groupBys that both key on doc_id (single shuffle lineage).
+    * 60 usable bits from the md5-derived hash. */
+  def simhash(docs: DataFrame, bits: Int = 60): DataFrame = {
+    val tok = docs
+      .select(col("doc_id"), explode(tokens(col("text"))).as("t")).distinct()
+      .select(col("doc_id"), md5Hash60(col("t")).as("h"))
+    tok
+      .select(col("doc_id"), col("h"), explode(sequence(lit(0), lit(bits - 1))).as("bit"))
+      .groupBy(col("doc_id"), col("bit"))
+      .agg(sum(when(expr("shiftright(h, bit) & 1") === 1, 1).otherwise(-1)).as("vote"))
+      .groupBy(col("doc_id"))
+      .agg(sum(when(col("vote") > 0, expr("shiftleft(CAST(1 AS BIGINT), bit)"))
+        .otherwise(0L)).as("simhash"))
+  }
+
+  /** SimHash near-dup pairs: Hamming distance ≤ `maxHamming` via
+    * bit_count(a XOR b). All-pairs here (baseline); the scale path blocks
+    * on signature bands first, exactly like `lshCandidates`. */
+  def simhashPairs(sigs: DataFrame, maxHamming: Int): DataFrame = {
+    val a = sigs.select(col("doc_id").as("doc_a"), col("simhash").as("sig_a"))
+    val b = sigs.select(col("doc_id").as("doc_b"), col("simhash").as("sig_b"))
+    a.crossJoin(b).filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).cast("long").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+  }
+}

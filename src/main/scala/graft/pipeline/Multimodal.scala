@@ -1,0 +1,71 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing: media as opaque `binary` payloads with
+  * typed metadata, processed batch-at-a-time inside partitions.
+  *
+  * The container has no image/audio codecs, so `decode` is a clearly
+  * marked deterministic stub — but everything Spark-side is real and
+  * load-bearing: the schema (binary payload + struct metadata), the
+  * `mapPartitions` batch shape (the Scala analogue of `mapInPandas` —
+  * one iterator per partition, no per-row task overhead, constant memory),
+  * and the partitioning contract (payloads never shuffle; derived features
+  * do).
+  */
+object Multimodal {
+
+  /** One media row: payload stays opaque; metadata travels alongside. */
+  final case class MediaRow(media_id: Long, kind: String, payload: Array[Byte],
+                            meta_lang: String, meta_chars: Long)
+
+  /** Extracted features — what a real decoder (image resize, audio
+    * frame-sample) would emit per row. */
+  final case class MediaFeatures(media_id: Long, kind: String, n_bytes: Long,
+                                 first_byte: Int, n_frames: Long, checksum: Long)
+
+  /** Build a media table from the `documents` testdata table, treating the
+    * utf-8 text bytes as the opaque payload (stands in for jpeg/wav bytes;
+    * the plumbing — binary column, metadata struct — is the real part). */
+  def fromDocuments(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id").as("media_id"),
+      lit("text/plain").as("kind"),
+      encode(col("text"), "UTF-8").as("payload"),
+      col("lang").as("meta_lang"),
+      col("n_chars").as("meta_chars"))
+
+  /** STUB decoder — deterministic fake standing in for the real codec
+    * call (`???` boundary). A production build links an actual decoder
+    * here; signature and batch shape stay identical. */
+  private def decodeStub(payload: Array[Byte]): (Int, Long, Long) = {
+    val first = if (payload.isEmpty) -1 else payload(0) & 0xff
+    val frames = payload.length / 100L + 1L          // "frame-sample" stub
+    var sum = 0L
+    var i = 0
+    while (i < payload.length) { sum += (payload(i) & 0xffL); i += 1 }
+    (first, frames, sum)
+  }
+
+  /** Batch feature extraction via mapPartitions: the iterator-in /
+    * iterator-out shape means one JVM-side pass per partition, mirroring
+    * `mapInPandas`' arrow-batch contract. No shuffle — features are
+    * computed where the payload bytes already live. */
+  def extractFeatures(media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val (first, frames, sum) = decodeStub(r.payload)
+        MediaFeatures(r.media_id, r.kind, r.payload.length.toLong, first, frames, sum)
+      }
+    }
+  }
+
+  /** End-to-end: documents → media rows → per-partition decode →
+    * features. */
+  def documentFeatures(spark: SparkSession, docs: DataFrame): Dataset[MediaFeatures] = {
+    import spark.implicits._
+    extractFeatures(fromDocuments(docs).as[MediaRow])
+  }
+}

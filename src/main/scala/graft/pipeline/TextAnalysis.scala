@@ -1,0 +1,89 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for a large-scale training-data pipeline:
+  * tokenization, quality scoring, language-ID heuristics, token counting.
+  * Everything is built from codegen'd built-ins (no UDFs) so the hot path
+  * stays inside whole-stage codegen and scales linearly with input — these
+  * run per-document with no shuffle at all until a caller aggregates.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokens (the baseline tokenizer). */
+  def tokens(text: Column): Column = split(text, "\\s+")
+
+  /** BPE-ish regex token count: letter runs, digit runs, and single
+    * punctuation marks each count as one token. */
+  def regexTokenCount(text: Column): Column =
+    regexp_count(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]")).cast("long")
+
+  /** Deterministic 60-bit content hash usable identically from DuckDB
+    * (`CAST('0x' || substr(md5(x),1,15) AS BIGINT)`): the cross-engine
+    * hash used by dedup/minhash oracles. In a pure-Spark deployment,
+    * `xxhash64` is the faster drop-in. */
+  def md5Hash60(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
+  /** Quality-score feature columns over a `text` column. All ratios are
+    * exact-integer-derived doubles (deterministic across engines). */
+  def qualityFeatures(text: Column): Seq[(String, Column)] = {
+    val toks = tokens(text)
+    val nTok = size(toks).cast("long")
+    Seq(
+      "n_chars_computed" -> length(text).cast("long"),
+      "n_tokens" -> nTok,
+      "n_regex_tokens" -> regexTokenCount(text),
+      "avg_token_len" -> round((length(text) - nTok + 1) / nTok.cast("double"), 8),
+      "stopword_ratio" -> round(
+        size(filter(toks, t => t.isin(Stopwords: _*))).cast("double") / nTok, 8),
+      "short_token_ratio" -> round(
+        size(filter(toks, t => length(t) <= 2)).cast("double") / nTok, 8))
+  }
+
+  val Stopwords: Seq[String] = Seq("the", "a", "of", "and", "to", "in")
+
+  /** Language-ID heuristic: marker-token counts per candidate language,
+    * argmax with a deterministic tiebreak (alphabetical), 'und' when no
+    * marker hits. N-gram-frequency models slot in the same shape. */
+  def langIdScores(text: Column): Seq[(String, Column)] = Seq(
+    "c_en" -> (regexp_count(text, lit("\\bthe\\b")) + regexp_count(text, lit("\\ba\\b"))),
+    "c_de" -> (regexp_count(text, lit("\\bder\\b")) + regexp_count(text, lit("\\bdie\\b"))),
+    "c_fr" -> (regexp_count(text, lit("\\ble\\b")) + regexp_count(text, lit("\\bla\\b"))),
+    "c_es" -> (regexp_count(text, lit("\\bel\\b")) + regexp_count(text, lit("\\blos\\b"))))
+
+  def predictedLang(cEn: Column, cDe: Column, cFr: Column, cEs: Column): Column = {
+    val top = greatest(cEn, cDe, cFr, cEs)
+    when(top === 0, lit("und"))
+      .when(cDe === top, lit("de"))
+      .when(cEn === top, lit("en"))
+      .when(cEs === top, lit("es"))
+      .otherwise(lit("fr"))
+  }
+
+  /** Word n-gram shingles (default 3) as a DISTINCT exploded relation
+    * `(doc_id, shingle)` — the substrate for Jaccard/MinHash dedup.
+    * Requires `docs(doc_id, text)`. */
+  def shingles(docs: DataFrame, n: Int = 3): DataFrame = {
+    val w = tokens(col("text"))
+    docs
+      .select(col("doc_id"), w.as("w"))
+      .filter(size(col("w")) >= n)
+      .select(col("doc_id"), explode(
+        transform(sequence(lit(1), size(col("w")) - (n - 1)),
+          i => concat_ws(" ", (0 until n).map(o => element_at(col("w"), i + o)): _*)))
+        .as("shingle"))
+      .distinct()
+  }
+
+  /** Rolling-hash document fingerprint: min / max / count over the shingle
+    * hashes — a compact signature for shard-level pre-clustering. */
+  def fingerprint(docs: DataFrame, n: Int = 4): DataFrame =
+    shingles(docs, n)
+      .groupBy(col("doc_id"))
+      .agg(
+        min(md5Hash60(col("shingle"))).as("fp_min"),
+        max(md5Hash60(col("shingle"))).as("fp_max"),
+        count(lit(1)).as("n_shingles"))
+}

@@ -1,0 +1,254 @@
+package graft.queries
+
+import graft.Tables
+import graft.pipeline.{Dedup, Multimodal, Similarity, TextAnalysis}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Beyond-parity operators (BASELINE.json north star): dedup, similarity
+  * search, text analysis, multimodal plumbing — the training-data-pipeline
+  * surface, each over the `documents` / `embeddings` testdata with a
+  * DuckDB oracle built on the same md5-derived 60-bit hash so results are
+  * bit-identical across engines.
+  */
+object PipelineQueries {
+
+  /** SQL fragment: the cross-engine 60-bit hash of an expression. */
+  private def h60(e: String): String =
+    s"CAST(('0x' || substr(md5($e), 1, 15)) AS BIGINT)"
+
+  /** SQL fragment: distinct word-3-gram shingles per doc (mirrors
+    * `TextAnalysis.shingles`); `where` bounds the source table. */
+  private def shinglesSql(where: String = ""): String =
+    s"""WITH toks AS (
+      |  SELECT doc_id, regexp_split_to_array(text, '\\s+') AS w FROM documents$where),
+      |sh AS (
+      |  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+      |  FROM toks, UNNEST(range(1, len(w) - 1)) AS t(i)
+      |  WHERE len(w) >= 3)""".stripMargin
+
+  private val jaccardTailSql =
+    """sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+      |inter AS (
+      |  SELECT p.doc_a, p.doc_b, count(*) AS ni
+      |  FROM cand p
+      |  JOIN sh a ON a.doc_id = p.doc_a
+      |  JOIN sh b ON b.doc_id = p.doc_b AND b.shingle = a.shingle
+      |  GROUP BY 1, 2)
+      |SELECT i.doc_a, i.doc_b,
+      |       round(i.ni * 1.0 / (sa.n + sb.n - i.ni), 6) AS jaccard
+      |FROM inter i
+      |JOIN sizes sa ON i.doc_a = sa.doc_id
+      |JOIN sizes sb ON i.doc_b = sb.doc_id""".stripMargin
+
+  val all: Seq[Q] = Seq(
+
+    // Exact dedup by content hash over a corpus with planted duplicates
+    // (documents ∪ shifted-id copy).
+    Q("q20_dedup_exact",
+      (s, dir) => {
+        val d = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+        Dedup.exact(d.unionByName(d.select((col("doc_id") + 100000).as("doc_id"), col("text"))))
+      },
+      Some(s"""WITH all_docs AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL SELECT doc_id + 100000 AS doc_id, text FROM documents)
+        |SELECT ${h60("text")} AS content_hash,
+        |       min(doc_id) AS kept_id, count(*) AS n_copies
+        |FROM all_docs GROUP BY 1""".stripMargin)),
+
+    // Quality-scoring features (length / token / stopword / short-token).
+    Q("q21_text_quality",
+      (s, dir) => {
+        val base = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+        TextAnalysis.qualityFeatures(col("text"))
+          .foldLeft(base) { case (df, (n, c)) => df.withColumn(n, c) }
+          .drop("text")
+      },
+      Some("""WITH t AS (
+        |  SELECT doc_id, text, regexp_split_to_array(text, '\s+') AS toks,
+        |         len(regexp_split_to_array(text, '\s+')) AS n_tokens
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(length(text) AS BIGINT) AS n_chars_computed,
+        |  CAST(n_tokens AS BIGINT) AS n_tokens,
+        |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS n_regex_tokens,
+        |  round((length(text) - n_tokens + 1) / CAST(n_tokens AS DOUBLE), 8) AS avg_token_len,
+        |  round(len(list_filter(toks, x -> x IN ('the','a','of','and','to','in')))
+        |        / CAST(n_tokens AS DOUBLE), 8) AS stopword_ratio,
+        |  round(len(list_filter(toks, x -> length(x) <= 2))
+        |        / CAST(n_tokens AS DOUBLE), 8) AS short_token_ratio
+        |FROM t""".stripMargin)),
+
+    // Language-ID heuristic: marker counts, deterministic argmax.
+    Q("q22_lang_id",
+      (s, dir) => {
+        val base = Tables.documents(s, dir).select(col("doc_id"), col("lang"), col("text"))
+        val scored = TextAnalysis.langIdScores(col("text"))
+          .foldLeft(base) { case (df, (n, c)) => df.withColumn(n, c.cast("long")) }
+        scored
+          .withColumn("pred_lang", TextAnalysis.predictedLang(
+            col("c_en"), col("c_de"), col("c_fr"), col("c_es")))
+          .withColumn("label_match", (col("pred_lang") === col("lang")).cast("boolean"))
+          .drop("text")
+      },
+      Some("""WITH c AS (
+        |  SELECT doc_id, lang,
+        |    CAST(len(regexp_extract_all(text, '\bthe\b')) + len(regexp_extract_all(text, '\ba\b')) AS BIGINT) AS c_en,
+        |    CAST(len(regexp_extract_all(text, '\bder\b')) + len(regexp_extract_all(text, '\bdie\b')) AS BIGINT) AS c_de,
+        |    CAST(len(regexp_extract_all(text, '\ble\b')) + len(regexp_extract_all(text, '\bla\b')) AS BIGINT) AS c_fr,
+        |    CAST(len(regexp_extract_all(text, '\bel\b')) + len(regexp_extract_all(text, '\blos\b')) AS BIGINT) AS c_es
+        |  FROM documents)
+        |SELECT doc_id, lang, c_en, c_de, c_fr, c_es,
+        |  CASE WHEN greatest(c_en, c_de, c_fr, c_es) = 0 THEN 'und'
+        |       WHEN c_de = greatest(c_en, c_de, c_fr, c_es) THEN 'de'
+        |       WHEN c_en = greatest(c_en, c_de, c_fr, c_es) THEN 'en'
+        |       WHEN c_es = greatest(c_en, c_de, c_fr, c_es) THEN 'es'
+        |       ELSE 'fr' END AS pred_lang,
+        |  (CASE WHEN greatest(c_en, c_de, c_fr, c_es) = 0 THEN 'und'
+        |        WHEN c_de = greatest(c_en, c_de, c_fr, c_es) THEN 'de'
+        |        WHEN c_en = greatest(c_en, c_de, c_fr, c_es) THEN 'en'
+        |        WHEN c_es = greatest(c_en, c_de, c_fr, c_es) THEN 'es'
+        |        ELSE 'fr' END = lang) AS label_match
+        |FROM c""".stripMargin)),
+
+    // Corpus token accounting per source (whitespace + BPE-ish regex).
+    Q("q23_token_counts",
+      (s, dir) =>
+        Tables.documents(s, dir)
+          .groupBy(col("source"))
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum(size(TextAnalysis.tokens(col("text")))).cast("long").as("total_ws_tokens"),
+            sum(TextAnalysis.regexTokenCount(col("text"))).cast("long").as("total_regex_tokens"),
+            sum(col("n_chars")).cast("long").as("total_chars")),
+      Some("""SELECT source, count(*) AS n_docs,
+        |  CAST(SUM(len(regexp_split_to_array(text, '\s+'))) AS BIGINT) AS total_ws_tokens,
+        |  CAST(SUM(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))) AS BIGINT) AS total_regex_tokens,
+        |  CAST(SUM(n_chars) AS BIGINT) AS total_chars
+        |FROM documents GROUP BY source""".stripMargin)),
+
+    // All-pairs n-gram Jaccard near-dup — the QUADRATIC baseline, bounded
+    // to a fixed id range precisely because it does not scale; the LSH
+    // query below is the scale path.
+    Q("q24_ngram_jaccard",
+      (s, dir) =>
+        Dedup.allPairsJaccard(
+          Tables.documents(s, dir).filter(col("doc_id") < 1000)
+            .select(col("doc_id"), col("text")), 3, 0.5),
+      Some(s"""${shinglesSql(" WHERE doc_id < 1000")},
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id),
+        |$jaccardTailSql
+        |WHERE round(i.ni * 1.0 / (sa.n + sb.n - i.ni), 6) >= 0.5""".stripMargin)),
+
+    // MinHash + banded LSH near-dup: shingle → 16 minhashes → 4-row bands
+    // → bucket join → exact-Jaccard confirm. The candidate join touches
+    // only colliding buckets — the 100 TB path.
+    Q("q25_minhash_lsh",
+      (s, dir) =>
+        Dedup.minhashLsh(
+          Tables.documents(s, dir).select(col("doc_id"), col("text")),
+          numHashes = 16, rowsPerBand = 4, shingleN = 3, threshold = 0.5),
+      Some(s"""${shinglesSql()},
+        |mh AS (
+        |  SELECT doc_id, CAST(seed AS INT) AS seed,
+        |         min(${h60("seed || ':' || shingle")}) AS mh
+        |  FROM sh, UNNEST(range(0, 16)) AS u(seed) GROUP BY 1, 2),
+        |bands AS (
+        |  SELECT doc_id, seed // 4 AS band,
+        |         md5(string_agg(CAST(mh AS VARCHAR), ',' ORDER BY seed)) AS sig
+        |  FROM mh GROUP BY 1, 2),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig
+        |  WHERE a.doc_id < b.doc_id),
+        |$jaccardTailSql
+        |WHERE round(i.ni * 1.0 / (sa.n + sb.n - i.ni), 6) >= 0.5""".stripMargin)),
+
+    // Brute-force cosine top-k ANN baseline: 5 probes against the corpus.
+    Q("q26_knn_cosine",
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 5), 5)
+          .select(col("probe_id"), col("neighbor_id"), col("cos_sim"),
+            col("rank").cast("long").as("rank"))
+      },
+      Some("""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        |s AS (
+        |  SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id,
+        |         round(list_dot_product(p.e, c.e)
+        |               / (sqrt(list_dot_product(p.e, p.e)) * sqrt(list_dot_product(c.e, c.e))), 6) AS cos_sim
+        |  FROM v p JOIN v c ON p.vec_id < 5 AND c.vec_id <> p.vec_id),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY probe_id
+        |        ORDER BY cos_sim DESC, neighbor_id) AS rank FROM s)
+        |SELECT probe_id, neighbor_id, cos_sim, rank FROM r WHERE rank <= 5""".stripMargin)),
+
+    // Embedding-cosine near-dup pairs over a corpus with planted exact
+    // copies (embeddings ∪ shifted-id copy), bounded to vec_id < 200.
+    Q("q27_embed_dedup",
+      (s, dir) => {
+        val v = Tables.embeddings(s, dir).filter(col("vec_id") < 200)
+          .select(col("vec_id"), col("embedding"))
+        Similarity.cosinePairs(
+          v.unionByName(v.select((col("vec_id") + 100000).as("vec_id"), col("embedding"))),
+          threshold = 0.99)
+      },
+      Some("""WITH base AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings WHERE vec_id < 200),
+        |v AS (SELECT vec_id, e FROM base
+        |      UNION ALL SELECT vec_id + 100000 AS vec_id, e FROM base),
+        |p AS (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |         round(list_dot_product(a.e, b.e)
+        |               / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))), 6) AS cos_sim
+        |  FROM v a JOIN v b ON a.vec_id < b.vec_id)
+        |SELECT id_a, id_b, cos_sim FROM p WHERE cos_sim >= 0.99""".stripMargin)),
+
+    // SimHash document fingerprints (60-bit signatures, token-bit votes).
+    Q("q28_simhash",
+      (s, dir) =>
+        Dedup.simhash(Tables.documents(s, dir).select(col("doc_id"), col("text"))),
+      Some(s"""WITH tok AS (
+        |  SELECT DISTINCT doc_id, t FROM (
+        |    SELECT doc_id, unnest(regexp_split_to_array(text, '\\s+')) AS t FROM documents)),
+        |h AS (SELECT doc_id, ${h60("t")} AS h FROM tok),
+        |votes AS (
+        |  SELECT doc_id, bit, sum(CASE WHEN (h >> CAST(bit AS INT)) & 1 = 1 THEN 1 ELSE -1 END) AS vote
+        |  FROM h, UNNEST(range(0, 60)) AS u(bit) GROUP BY 1, 2)
+        |SELECT doc_id,
+        |  CAST(SUM(CASE WHEN vote > 0 THEN (CAST(1 AS BIGINT) << CAST(bit AS INT)) ELSE 0 END) AS BIGINT) AS simhash
+        |FROM votes GROUP BY 1""".stripMargin)),
+
+    // Rolling-hash document fingerprint (min/max/count over 4-gram hashes).
+    Q("q29_fingerprint",
+      (s, dir) =>
+        TextAnalysis.fingerprint(
+          Tables.documents(s, dir).select(col("doc_id"), col("text")), 4),
+      Some(s"""WITH toks AS (
+        |  SELECT doc_id, regexp_split_to_array(text, '\\s+') AS w FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] AS shingle
+        |  FROM toks, UNNEST(range(1, len(w) - 2)) AS t(i)
+        |  WHERE len(w) >= 4)
+        |SELECT doc_id, min(${h60("shingle")}) AS fp_min,
+        |       max(${h60("shingle")}) AS fp_max, count(*) AS n_shingles
+        |FROM sh GROUP BY 1""".stripMargin)),
+
+    // Multimodal metadata path: binary payload + deterministic stub decode
+    // (byte count / first byte / frame-sample count / checksum); the
+    // mapPartitions batch plumbing is exercised by this same module in
+    // ScalaTest.
+    Q("q30_multimodal_meta",
+      (s, dir) =>
+        Multimodal.documentFeatures(s, Tables.documents(s, dir)).toDF(),
+      Some("""SELECT doc_id AS media_id, 'text/plain' AS kind,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |  CASE WHEN length(text) = 0 THEN -1 ELSE ascii(substr(text, 1, 1)) END AS first_byte,
+        |  octet_length(encode(text)) // 100 + 1 AS n_frames,
+        |  CAST(list_sum(list_transform(range(1, length(text) + 1),
+        |       i -> ascii(substr(text, CAST(i AS INT), 1)))) AS BIGINT) AS checksum
+        |FROM documents""".stripMargin))
+  )
+}
