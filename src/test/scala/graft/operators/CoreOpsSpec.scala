@@ -1,0 +1,72 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class CoreOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("topKPerGroup keeps exactly K with deterministic tiebreak") {
+    val df = Seq(("d1", "a", 5.0), ("d1", "b", 5.0), ("d1", "c", 3.0),
+      ("d2", "x", 1.0)).toDF("d", "t", "cap")
+    val got = CoreOps.topKPerGroup(df, Seq($"d"), Seq($"cap".desc, $"t"), 2)
+      .orderBy($"d", $"rn").select($"t").as[String].collect()
+    assert(got.toSeq === Seq("a", "b", "x")) // tie at 5.0 broken by t asc; d2 short group
+  }
+
+  test("upsertLastWins keeps the newest version per key") {
+    val existing = Seq(("k1", 1, "old"), ("k2", 1, "keep")).toDF("k", "ver", "v")
+    val incoming = Seq(("k1", 2, "new")).toDF("k", "ver", "v")
+    val got = CoreOps.upsertLastWins(existing, incoming, Seq("k"), Seq($"ver"))
+      .orderBy($"k").select($"v").as[String].collect()
+    assert(got.toSeq === Seq("new", "keep"))
+  }
+
+  test("lagReturn: first row null, then (v - prev)/prev*100") {
+    val df = Seq((1, 100.0), (2, 110.0), (3, 99.0)).toDF("i", "v")
+    val got = CoreOps.lagReturn(df, Nil, Seq($"i"), $"v", "r")
+      .orderBy($"i").select($"r").as[Option[Double]].collect()
+    assert(got(0).isEmpty)
+    assert(math.abs(got(1).get - 10.0) < 1e-12)
+    assert(math.abs(got(2).get - (-10.0)) < 1e-12)
+  }
+
+  test("returnFromFirst measures vs the window's first row") {
+    val df = Seq((1, 50.0), (2, 75.0), (3, 25.0)).toDF("i", "v")
+    val got = CoreOps.returnFromFirst(df, Nil, Seq($"i"), $"v", "c")
+      .orderBy($"i").select($"c").as[Double].collect()
+    assert(got.toSeq === Seq(0.0, 50.0, -50.0))
+  }
+
+  test("ratioToTotal sums to 1 within a partition") {
+    val df = Seq(("g", 1.0), ("g", 3.0)).toDF("k", "v")
+    val got = CoreOps.ratioToTotal(df, Seq($"k"), $"v", "share")
+      .agg(sum($"share")).head.getDouble(0)
+    assert(math.abs(got - 1.0) < 1e-12)
+  }
+
+  test("changeString formats add/remove and '-' for no change / first row") {
+    val df = Seq[(Int, Seq[String], Seq[String])](
+      (1, Seq("a", "b"), null),
+      (2, Seq("a", "b"), Seq("a", "b")),
+      (3, Seq("a", "c"), Seq("a", "b"))).toDF("i", "cur", "prev")
+      .withColumn("added", filter($"cur", x => !array_contains($"prev", x)))
+      .withColumn("removed", filter($"prev", x => !array_contains($"cur", x)))
+    val got = df.select(CoreOps.changeString($"added", $"removed")).as[String]
+      .collect()
+    assert(got.toSeq === Seq("-", "-", "+(c) , -(b)"))
+  }
+
+  test("asOfBackward honors the lower bound (reference 5-day fallback)") {
+    val events = Seq(("u1", d("2024-01-01"), 1.0), ("u1", d("2024-01-08"), 2.0))
+      .toDF("u", "dt", "v")
+    // probe Jan 10, look back 4 days: Jan 8 hit, Jan 1 out of range
+    val hit = CoreOps.asOfBackward(events, Seq($"u"), $"dt",
+      lit(d("2024-01-10")), expr("INTERVAL 4 DAYS"), Seq($"dt".desc))
+    assert(hit.select($"v").as[Double].collect().toSeq === Seq(2.0))
+    // probe Jan 7, look back 4 days: nothing in (Jan 3, Jan 7]
+    val miss = CoreOps.asOfBackward(events, Seq($"u"), $"dt",
+      lit(d("2024-01-07")), expr("INTERVAL 4 DAYS"), Seq($"dt".desc))
+    assert(miss.count() === 0)
+  }
+}

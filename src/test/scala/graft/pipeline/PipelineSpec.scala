@@ -1,0 +1,143 @@
+package graft.pipeline
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+    (2L, "the quick brown fox jumps over the lazy dog near the river bank today"), // exact dup of 1
+    (3L, "the quick brown fox jumps over the lazy dog near the river bank"),       // near dup of 1
+    (4L, "completely different words about spark catalyst optimizer and shuffles here"),
+    (5L, "another unrelated snippet mentioning parquet columnar storage formats")
+  ).toDF("doc_id", "text")
+
+  test("exact dedup keeps min id and counts copies") {
+    val got = Dedup.exact(docs).orderBy($"kept_id")
+      .select($"kept_id", $"n_copies").as[(Long, Long)].collect().toSeq
+    assert(got === Seq((1L, 2L), (3L, 1L), (4L, 1L), (5L, 1L)))
+  }
+
+  test("minhash LSH finds exact and near dups, not unrelated docs") {
+    val pairs = Dedup.minhashLsh(docs, numHashes = 16, rowsPerBand = 4,
+      shingleN = 3, threshold = 0.5)
+      .select($"doc_a", $"doc_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(pairs.contains((1L, 3L)) && pairs.contains((2L, 3L)))
+    assert(!pairs.exists { case (a, b) => b == 4L || b == 5L || a == 4L || a == 5L })
+  }
+
+  test("LSH candidates agree with all-pairs baseline at threshold 0.5") {
+    val lsh = Dedup.minhashLsh(docs, 16, 4, 3, 0.5)
+      .select($"doc_a", $"doc_b", $"jaccard").collect().toSet
+    val exact = Dedup.allPairsJaccard(docs, 3, 0.5)
+      .select($"doc_a", $"doc_b", $"jaccard").collect().toSet
+    assert(lsh === exact)
+  }
+
+  test("simhash: identical docs share a signature; near dups are close, unrelated far") {
+    val sigs = Dedup.simhash(docs).orderBy($"doc_id")
+      .select($"simhash").as[Long].collect()
+    assert(sigs(0) === sigs(1)) // exact dups
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(sigs(0), sigs(2)) < ham(sigs(0), sigs(3)))
+    val pairs = Dedup.simhashPairs(Dedup.simhash(docs), maxHamming = 3)
+      .select($"doc_a", $"doc_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.contains((1L, 4L)))
+  }
+}
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def vec(xs: Double*): Seq[Float] = xs.map(_.toFloat)
+
+  private lazy val vectors = Seq(
+    (0L, vec(1, 0, 0, 0)),
+    (1L, vec(0.9, 0.1, 0, 0)),   // close to 0
+    (2L, vec(0, 1, 0, 0)),       // orthogonal to 0
+    (3L, vec(1, 0, 0, 0)),       // identical to 0
+    (4L, vec(-1, 0, 0, 0))       // opposite
+  ).toDF("vec_id", "embedding")
+
+  test("bruteForceTopK ranks by cosine with id tiebreak") {
+    val got = Similarity.bruteForceTopK(vectors, vectors.filter($"vec_id" === 0), 3)
+      .orderBy($"rank").select($"neighbor_id", $"cos_sim").as[(Long, Double)].collect()
+    assert(got.map(_._1).toSeq === Seq(3L, 1L, 2L)) // identical, close, orthogonal
+    assert(got(0)._2 === 1.0)
+    assert(math.abs(got(1)._2 - 0.9 / math.sqrt(0.81 + 0.01)) < 1e-4)
+    assert(got(2)._2 === 0.0)
+  }
+
+  test("lshTopK finds the identical vector (same bucket by construction)") {
+    val got = Similarity.lshTopK(vectors, vectors.filter($"vec_id" === 0), 3, bits = 6)
+      .select($"neighbor_id").as[Long].collect().toSet
+    assert(got.contains(3L)) // identical vector always shares the signature
+    assert(!got.contains(4L)) // opposite vector flips every plane sign
+  }
+
+  test("cosinePairs flags identical pairs at high threshold") {
+    // cos(v0, v1) = 0.9/sqrt(0.82) ≈ 0.9939, so 0.999 isolates the exact copy
+    val got = Similarity.cosinePairs(vectors, 0.999)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    assert(got === Set((0L, 3L)))
+  }
+}
+
+class TextAnalysisSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("quality features compute exact token stats") {
+    val df = Seq((1L, "the cat sat on a mat")).toDF("doc_id", "text")
+    val row = TextAnalysis.qualityFeatures(col("text"))
+      .foldLeft(df) { case (acc, (n, c)) => acc.withColumn(n, c) }.head()
+    assert(row.getAs[Long]("n_tokens") === 6L)
+    assert(row.getAs[Long]("n_chars_computed") === 20L)
+    assert(row.getAs[Long]("n_regex_tokens") === 6L)
+    // ratios are round(x, 8), so compare at that precision
+    assert(math.abs(row.getAs[Double]("stopword_ratio") - 2.0 / 6) < 1e-7) // the, a
+    assert(math.abs(row.getAs[Double]("avg_token_len") - 15.0 / 6) < 1e-7)
+  }
+
+  test("shingles produce distinct in-order n-grams") {
+    val df = Seq((1L, "a b c d")).toDF("doc_id", "text")
+    val got = TextAnalysis.shingles(df, 3).select($"shingle").as[String].collect().toSet
+    assert(got === Set("a b c", "b c d"))
+  }
+
+  test("language-ID picks the marker-majority language deterministically") {
+    val df = Seq((1L, "der hund und die katze"), (2L, "xyz qrs")).toDF("doc_id", "text")
+    val scored = TextAnalysis.langIdScores(col("text"))
+      .foldLeft(df) { case (acc, (n, c)) => acc.withColumn(n, c) }
+    val got = scored.withColumn("p", TextAnalysis.predictedLang(
+      col("c_en"), col("c_de"), col("c_fr"), col("c_es")))
+      .orderBy($"doc_id").select($"p").as[String].collect()
+    assert(got.toSeq === Seq("de", "und"))
+  }
+}
+
+class MultimodalSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("documentFeatures: mapPartitions decode emits byte-exact features") {
+    val docs = Seq((7L, "AB c", "en", "src1", 4L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val f = Multimodal.documentFeatures(spark, docs).head()
+    assert(f.media_id === 7L)
+    assert(f.kind === "text/plain")
+    assert(f.n_bytes === 4L)
+    assert(f.first_byte === 'A'.toInt)
+    assert(f.n_frames === 1L)
+    assert(f.checksum === "AB c".getBytes("UTF-8").map(_ & 0xff).sum.toLong)
+  }
+
+  test("empty payload takes the stub's sentinel path") {
+    val docs = Seq((1L, "", "en", "s", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val f = Multimodal.documentFeatures(spark, docs).head()
+    assert(f.first_byte === -1 && f.n_bytes === 0L && f.checksum === 0L)
+  }
+}
