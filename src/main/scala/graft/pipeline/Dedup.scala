@@ -33,15 +33,28 @@ object Dedup {
       .groupBy(md5Hash60(col("text")).as("content_hash"))
       .agg(min(col(idCol)).as("kept_id"), count(lit(1)).as("n_copies"))
 
-  /** Per-seed MinHash values: `(doc_id, seed, minhash)`. Seeded by
-    * prefixing the shingle — one md5 per (shingle, seed); at scale replace
-    * with one xxhash64 plus 2-universal (a*h+b mod p) mixing. */
-  def minhashes(sh: DataFrame, numHashes: Int): DataFrame =
-    sh
-      .select(col("doc_id"), explode(sequence(lit(0), lit(numHashes - 1))).as("seed"),
-        col("shingle"))
-      .groupBy(col("doc_id"), col("seed"))
-      .agg(min(md5Hash60(concat(col("seed"), lit(":"), col("shingle")))).as("mh"))
+  /** Mersenne prime 2^31-1: the 2-universal minhash permutations run mod
+    * P so `a*h + b` stays far below 2^63 — BIGINT-overflow-safe in any
+    * engine (DuckDB errors on overflow; Java wraps silently; neither
+    * happens here). */
+  val P: Long = 2147483647L
+
+  /** Per-seed MinHash values: `(doc_id, seed, minhash)` over a hashed
+    * shingle relation `(doc_id, h)` (`TextAnalysis.hashedShingles`).
+    * One content hash per shingle, then `numHashes` affine permutations
+    * `(2i+1)·h + c_i mod P` — pure codegen'd arithmetic, no per-seed
+    * rehashing, and no row explosion: the 16 mins aggregate in one pass
+    * with map-side partials, then unpack to rows. */
+  def minhashes(sh: DataFrame, numHashes: Int): DataFrame = {
+    val aggs = (0 until numHashes).map { i =>
+      min((lit(2L * i + 1) * (col("h") % P) + lit(i * 12347L + 89L)) % P).as(s"mh$i")
+    }
+    sh.groupBy(col("doc_id"))
+      .agg(aggs.head, aggs.tail: _*)
+      .select(col("doc_id"),
+        posexplode(array((0 until numHashes).map(i => col(s"mh$i")): _*)))
+      .toDF("doc_id", "seed", "mh")
+  }
 
   /** LSH candidate pairs: docs sharing ANY band (rows of `rowsPerBand`
     * consecutive minhash values). Returns distinct (doc_a, doc_b),
@@ -58,13 +71,13 @@ object Dedup {
       .select("doc_a", "doc_b").distinct()
   }
 
-  /** Exact Jaccard for given (doc_a, doc_b) pairs over the shingle
-    * relation — used to confirm LSH candidates. */
+  /** Exact Jaccard for given (doc_a, doc_b) pairs over the hashed shingle
+    * relation `(doc_id, h)` — used to confirm LSH candidates. */
   def exactJaccard(pairs: DataFrame, sh: DataFrame): DataFrame = {
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val inter = pairs
-      .join(sh.select(col("doc_id").as("doc_a"), col("shingle")), Seq("doc_a"))
-      .join(sh.select(col("doc_id").as("doc_b"), col("shingle")), Seq("doc_b", "shingle"))
+      .join(sh.select(col("doc_id").as("doc_a"), col("h")), Seq("doc_a"))
+      .join(sh.select(col("doc_id").as("doc_b"), col("h")), Seq("doc_b", "h"))
       .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("n_inter"))
     inter
       .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("n_a")), Seq("doc_a"))
@@ -77,7 +90,7 @@ object Dedup {
     * candidates → exact-Jaccard confirm at `threshold`. */
   def minhashLsh(docs: DataFrame, numHashes: Int = 16, rowsPerBand: Int = 4,
                  shingleN: Int = 3, threshold: Double = 0.5): DataFrame = {
-    val sh = shingles(docs, shingleN)
+    val sh = TextAnalysis.hashedShingles(docs, shingleN)
     val cands = lshCandidates(minhashes(sh, numHashes), rowsPerBand)
     exactJaccard(cands, sh).filter(col("jaccard") >= threshold)
   }
@@ -86,9 +99,9 @@ object Dedup {
     * sharing a shingle; the small-scale baseline the LSH path is verified
     * against. */
   def allPairsJaccard(docs: DataFrame, shingleN: Int = 3, threshold: Double = 0.1): DataFrame = {
-    val sh = shingles(docs, shingleN)
-    val pairs = sh.select(col("doc_id").as("doc_a"), col("shingle"))
-      .join(sh.select(col("doc_id").as("doc_b"), col("shingle")), Seq("shingle"))
+    val sh = TextAnalysis.hashedShingles(docs, shingleN)
+    val pairs = sh.select(col("doc_id").as("doc_a"), col("h"))
+      .join(sh.select(col("doc_id").as("doc_b"), col("h")), Seq("h"))
       .filter(col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b").distinct()
     exactJaccard(pairs, sh).filter(col("jaccard") >= threshold)

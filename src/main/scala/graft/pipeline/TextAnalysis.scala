@@ -77,6 +77,13 @@ object TextAnalysis {
       .distinct()
   }
 
+  /** `shingles` with each shingle replaced by its 60-bit hash — the
+    * substrate the dedup joins actually run on: equality joins and
+    * minhashing over 8-byte longs instead of ~25-byte strings cut shuffle
+    * width, and the hash is computed exactly once per (doc, shingle). */
+  def hashedShingles(docs: DataFrame, n: Int = 3): DataFrame =
+    shingles(docs, n).select(col("doc_id"), md5Hash60(col("shingle")).as("h"))
+
   /** Rolling-hash document fingerprint: min / max / count over the shingle
     * hashes — a compact signature for shard-level pre-clustering. */
   def fingerprint(docs: DataFrame, n: Int = 4): DataFrame =

@@ -27,13 +27,18 @@ object PipelineQueries {
       |  FROM toks, UNNEST(range(1, len(w) - 1)) AS t(i)
       |  WHERE len(w) >= 3)""".stripMargin
 
+  /** SQL fragment: hashed shingle relation (mirrors
+    * `TextAnalysis.hashedShingles`); appended after `shinglesSql`. */
+  private def hashedSql: String =
+    s"hsh AS (SELECT doc_id, ${h60("shingle")} AS h FROM sh)"
+
   private val jaccardTailSql =
-    """sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+    """sizes AS (SELECT doc_id, count(*) AS n FROM hsh GROUP BY 1),
       |inter AS (
       |  SELECT p.doc_a, p.doc_b, count(*) AS ni
       |  FROM cand p
-      |  JOIN sh a ON a.doc_id = p.doc_a
-      |  JOIN sh b ON b.doc_id = p.doc_b AND b.shingle = a.shingle
+      |  JOIN hsh a ON a.doc_id = p.doc_a
+      |  JOIN hsh b ON b.doc_id = p.doc_b AND b.h = a.h
       |  GROUP BY 1, 2)
       |SELECT i.doc_a, i.doc_b,
       |       round(i.ni * 1.0 / (sa.n + sb.n - i.ni), 6) AS jaccard
@@ -137,9 +142,10 @@ object PipelineQueries {
           Tables.documents(s, dir).filter(col("doc_id") < 1000)
             .select(col("doc_id"), col("text")), 3, 0.5),
       Some(s"""${shinglesSql(" WHERE doc_id < 1000")},
+        |$hashedSql,
         |cand AS (
         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-        |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id),
+        |  FROM hsh a JOIN hsh b ON a.h = b.h AND a.doc_id < b.doc_id),
         |$jaccardTailSql
         |WHERE round(i.ni * 1.0 / (sa.n + sb.n - i.ni), 6) >= 0.5""".stripMargin)),
 
@@ -152,10 +158,11 @@ object PipelineQueries {
           Tables.documents(s, dir).select(col("doc_id"), col("text")),
           numHashes = 16, rowsPerBand = 4, shingleN = 3, threshold = 0.5),
       Some(s"""${shinglesSql()},
+        |$hashedSql,
         |mh AS (
         |  SELECT doc_id, CAST(seed AS INT) AS seed,
-        |         min(${h60("seed || ':' || shingle")}) AS mh
-        |  FROM sh, UNNEST(range(0, 16)) AS u(seed) GROUP BY 1, 2),
+        |         min(((2*seed + 1) * (h % 2147483647) + (seed*12347 + 89)) % 2147483647) AS mh
+        |  FROM hsh, UNNEST(range(0, 16)) AS u(seed) GROUP BY 1, 2),
         |bands AS (
         |  SELECT doc_id, seed // 4 AS band,
         |         md5(string_agg(CAST(mh AS VARCHAR), ',' ORDER BY seed)) AS sig
