@@ -23,9 +23,11 @@ import org.apache.spark.sql.functions._
 object Similarity {
 
   /** Σ a_i·b_i over two array<double> columns, folded left-to-right in
-    * index order (deterministic). */
+    * index order (deterministic). Backed by the codegen'd
+    * [[graft.functions.DotProduct]] Catalyst expression — a compiled
+    * inner loop rather than interpreted `zip_with`/`aggregate` lambdas. */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+    graft.functions.VectorExpressions.dot_product(a, b)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
