@@ -1,0 +1,93 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
+
+/** Structured Streaming surface over the `events` table shape. The
+  * reference is batch-only (SURVEY.md §2.9) — this is the beyond-parity
+  * streaming path: the same transforms compile against a batch DataFrame
+  * (unit-testable, and provably equivalent to the batch plan) or a
+  * `readStream` source.
+  *
+  * Scale notes: watermarking bounds state; the windowed aggregation is the
+  * standard shuffle-on-(window,key) pattern; `flatMapGroupsWithState`
+  * keeps per-key state in the state store (RocksDB at cluster scale).
+  */
+object Streams {
+
+  /** events schema as stored (ts surfaces as TimestampType). */
+  val eventSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", TimestampType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** File-based streaming source over a directory of event parquet files
+    * (each arriving file is a micro-batch). */
+  def readEventStream(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream.schema(eventSchema).parquet(dir)
+
+  /** Tumbling-window counts + sums per event type with a watermark for
+    * bounded state and late-data tolerance. Works identically on batch
+    * input (the unit-test / backfill path — one code path for both). */
+  def windowedTypeCounts(events: DataFrame,
+                         windowLen: String = "1 hour",
+                         watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLen).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("total_value"))
+      .select(col("w.start").as("window_start"), col("event_type"),
+        col("n"), col("total_value"))
+
+  final case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+                         event_type: String, value: Double)
+  final case class UserRunning(user_id: Long, n_events: Long, total_value: Double,
+                               last_event_id: Long)
+
+  /** Custom streaming state: running per-user totals via
+    * `flatMapGroupsWithState` — the "custom operator" escape hatch for
+    * semantics windows can't express (cross-batch running aggregates,
+    * session logic). Emits the updated running row per user per batch. */
+  def runningUserTotals(events: Dataset[Event]): Dataset[UserRunning] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (userId: Long, batch: Iterator[Event], state: GroupState[UserRunning]) =>
+          val prev = state.getOption.getOrElse(UserRunning(userId, 0L, 0.0, -1L))
+          // fold deterministically in (ts, event_id) order
+          val sorted = batch.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          if (sorted.isEmpty) Iterator.empty
+          else {
+            val next = sorted.foldLeft(prev) { (acc, e) =>
+              UserRunning(userId, acc.n_events + 1, acc.total_value + e.value, e.event_id)
+            }
+            state.update(next)
+            Iterator.single(next)
+          }
+      }
+  }
+
+  /** Streaming exact dedup: drop events whose `event_id` was already seen
+    * for the key — the streaming face of `Dedup.exact` (state = seen ids
+    * per user; production bounds it with a timeout/watermark). */
+  def dedupEvents(events: Dataset[Event]): Dataset[Event] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: Long, batch: Iterator[Event], state: GroupState[Set[Long]]) =>
+          val seen = state.getOption.getOrElse(Set.empty[Long])
+          val fresh = batch.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+            .filterNot(e => seen.contains(e.event_id))
+            .distinctBy(_.event_id)
+          state.update(seen ++ fresh.map(_.event_id))
+          fresh.iterator
+      }
+  }
+}

@@ -1,0 +1,75 @@
+package graft.streaming
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+import java.sql.Timestamp
+
+class StreamsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  private lazy val batchEvents = Seq(
+    Streams.Event(1L, ts("2024-01-01 00:10:00"), 1L, "click", 1.0),
+    Streams.Event(2L, ts("2024-01-01 00:20:00"), 1L, "click", 2.0),
+    Streams.Event(3L, ts("2024-01-01 01:10:00"), 2L, "view", 5.0),
+    Streams.Event(4L, ts("2024-01-01 01:40:00"), 1L, "view", 3.0))
+
+  test("windowedTypeCounts over a file stream matches the batch plan") {
+    val dir = Files.createTempDirectory("events_stream").toFile
+    batchEvents.toDS().toDF().coalesce(1).write.mode("overwrite").parquet(dir.toString)
+
+    val streaming = Streams.windowedTypeCounts(
+      Streams.readEventStream(spark, dir.toString))
+    val q = streaming.writeStream.outputMode("complete")
+      .format("memory").queryName("win_counts").start()
+    q.processAllAvailable(); q.stop()
+
+    val got = spark.table("win_counts")
+      .orderBy($"window_start", $"event_type")
+      .select($"event_type", $"n", $"total_value")
+      .as[(String, Long, Double)].collect().toSeq
+    val want = Streams.windowedTypeCounts(batchEvents.toDS().toDF())
+      .orderBy($"window_start", $"event_type")
+      .select($"event_type", $"n", $"total_value")
+      .as[(String, Long, Double)].collect().toSeq
+    assert(got === want)
+    // clicks at 00:10/00:20 share window [00:00,01:00); views at 01:10/01:40
+    // share [01:00,02:00)
+    assert(got === Seq(("click", 2L, 3.0), ("view", 2L, 8.0)))
+  }
+
+  test("runningUserTotals keeps cross-batch state") {
+    val dir = Files.createTempDirectory("events_state").toFile
+    val checkpoint = Files.createTempDirectory("events_ckpt").toString
+    batchEvents.take(2).toDS().toDF().coalesce(1)
+      .write.mode("overwrite").parquet(dir.toString)
+
+    val stream = Streams.runningUserTotals(
+      Streams.readEventStream(spark, dir.toString).as[Streams.Event])
+    val q = stream.writeStream.outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .format("memory").queryName("running").start()
+    q.processAllAvailable()
+    // second micro-batch: two more events land as a new file
+    batchEvents.drop(2).toDS().toDF().coalesce(1)
+      .write.mode("append").parquet(dir.toString)
+    q.processAllAvailable(); q.stop()
+
+    val last = spark.table("running").orderBy($"n_events")
+      .as[Streams.UserRunning].collect().filter(_.user_id == 1L).last
+    assert(last.n_events === 3L)        // state carried across batches
+    assert(last.total_value === 6.0)
+    assert(last.last_event_id === 4L)
+  }
+
+  test("dedupEvents drops already-seen ids across batches") {
+    val events = Seq(
+      Streams.Event(1L, ts("2024-01-01 00:00:01"), 1L, "click", 1.0),
+      Streams.Event(1L, ts("2024-01-01 00:00:02"), 1L, "click", 1.0), // dup id
+      Streams.Event(2L, ts("2024-01-01 00:00:03"), 1L, "view", 2.0))
+    val got = Streams.dedupEvents(events.toDS()).collect().map(_.event_id).toSeq.sorted
+    assert(got === Seq(1L, 2L))
+  }
+}
