@@ -108,6 +108,23 @@ object CoreOps {
                    probe: Column, maxBack: Column, order: Seq[Column]): DataFrame =
     latestPerGroup(df.filter(ts <= probe && ts > probe - maxBack), part, order)
 
+  /** Skew-resilient exact sum: two-phase aggregation with a salt on the
+    * hot key. Phase 1 spreads each group over `buckets` reducers (map-side
+    * partials still apply); phase 2 merges the per-salt partials — the
+    * standard fix when one key holds a disproportionate share of rows and
+    * a single reducer would stall the stage. Result is identical to the
+    * unsalted aggregation because the decimal partial sums are exact. */
+  def saltedExactSum(df: DataFrame, keys: Seq[String], value: Column,
+                     scale: Int, as: String, buckets: Int = 16): DataFrame = {
+    val salted = df.withColumn("__salt",
+      pmod(hash(keys.map(col) :+ monotonically_increasing_id(): _*), lit(buckets)))
+    salted
+      .groupBy((keys.map(col) :+ col("__salt")): _*)
+      .agg(sum(value.cast(org.apache.spark.sql.types.DecimalType(30, scale))).as("__partial"))
+      .groupBy(keys.map(col): _*)
+      .agg(sum(col("__partial")).cast("double").as(as))
+  }
+
   /** Exact monetary sum: route a double expression with <= `scale` decimal
     * digits through DECIMAL so the aggregation is order-insensitive
     * (bit-identical across engines/partitionings), then surface a double.

@@ -87,6 +87,41 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
+  /** IVF-style ANN: partition the corpus into `numCells` Voronoi cells
+    * around deterministic "centroids" (the first `numCells` corpus
+    * vectors — a real deployment k-means-trains these; assignment and
+    * search mechanics are identical), then scan only each probe's
+    * `nProbe` closest cells. The corpus cell assignment is the one-time
+    * index build (one centroid broadcast join); each query then touches
+    * `nProbe/numCells` of the data instead of all of it. Recall vs the
+    * brute-force baseline is the tuning knob, measured in SimilaritySpec. */
+  def ivfTopK(corpus: DataFrame, probes: DataFrame, k: Int,
+              numCells: Int = 8, nProbe: Int = 2): DataFrame = {
+    val c = corpus.select(col("vec_id").as("neighbor_id"), asDouble(col("embedding")).as("cv"))
+    val cents = corpus.filter(col("vec_id") < numCells)
+      .select(col("vec_id").as("cell"), asDouble(col("embedding")).as("centroid"))
+    val wAssign = Window.partitionBy(col("neighbor_id"))
+      .orderBy(col("cent_sim").desc, col("cell"))
+    val assigned = c.join(broadcast(cents), lit(true))
+      .withColumn("cent_sim", round(cosine(col("cv"), col("centroid")), 6))
+      .withColumn("r", row_number().over(wAssign)).filter(col("r") === 1)
+      .select(col("neighbor_id"), col("cv"), col("cell"))
+    val p = probes.select(col("vec_id").as("probe_id"), asDouble(col("embedding")).as("pv"))
+    val wProbe = Window.partitionBy(col("probe_id"))
+      .orderBy(col("cent_sim").desc, col("cell"))
+    val probeCells = p.join(broadcast(cents), lit(true))
+      .withColumn("cent_sim", round(cosine(col("pv"), col("centroid")), 6))
+      .withColumn("r", row_number().over(wProbe)).filter(col("r") <= nProbe)
+      .select(col("probe_id"), col("pv"), col("cell"))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("cos_sim").desc, col("neighbor_id"))
+    assigned.join(broadcast(probeCells), Seq("cell"))
+      .filter(col("probe_id") =!= col("neighbor_id"))
+      .select(col("probe_id"), col("neighbor_id"),
+        round(cosine(col("pv"), col("cv")), 6).as("cos_sim"))
+      .withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
   /** Embedding near-dup pairs: cosine ≥ threshold among all pairs
     * (doc_a < doc_b). Quadratic baseline; the LSH signature equi-join is
     * the scale path. */

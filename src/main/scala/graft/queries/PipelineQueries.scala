@@ -243,6 +243,55 @@ object PipelineQueries {
         |       max(${h60("shingle")}) AS fp_max, count(*) AS n_shingles
         |FROM sh GROUP BY 1""".stripMargin)),
 
+    // Skew-resilient two-phase aggregation: salted partial sums, identical
+    // result to the direct aggregation (the DuckDB oracle is the unsalted
+    // formulation — equality IS the correctness statement).
+    Q("q31_salted_revenue",
+      (s, dir) =>
+        graft.operators.CoreOps.saltedExactSum(
+          Tables.lineitem(s, dir), Seq("l_suppkey"), col("l_extendedprice"), 2, "rev",
+          buckets = 16),
+      Some("""SELECT l_suppkey,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,2))) AS DOUBLE) AS rev
+        |FROM lineitem GROUP BY 1""".stripMargin)),
+
+    // IVF-style ANN: Voronoi cells around deterministic centroids, probe
+    // the 2 nearest cells only — the index-build + bounded-search shape.
+    Q("q32_ivf_knn",
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 5), k = 5,
+          numCells = 8, nProbe = 2)
+          .select(col("probe_id"), col("neighbor_id"), col("cos_sim"),
+            col("rank").cast("long").as("rank"))
+      },
+      Some("""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        |cents AS (SELECT vec_id AS cell, e AS centroid FROM v WHERE vec_id < 8),
+        |asg AS (
+        |  SELECT neighbor_id, cv, cell FROM (
+        |    SELECT v.vec_id AS neighbor_id, v.e AS cv, c.cell,
+        |           row_number() OVER (PARTITION BY v.vec_id ORDER BY
+        |             round(list_dot_product(v.e, c.centroid)
+        |               / (sqrt(list_dot_product(v.e, v.e)) * sqrt(list_dot_product(c.centroid, c.centroid))), 6) DESC,
+        |             c.cell) AS r
+        |    FROM v, cents c) WHERE r = 1),
+        |pc AS (
+        |  SELECT probe_id, pv, cell FROM (
+        |    SELECT v.vec_id AS probe_id, v.e AS pv, c.cell,
+        |           row_number() OVER (PARTITION BY v.vec_id ORDER BY
+        |             round(list_dot_product(v.e, c.centroid)
+        |               / (sqrt(list_dot_product(v.e, v.e)) * sqrt(list_dot_product(c.centroid, c.centroid))), 6) DESC,
+        |             c.cell) AS r
+        |    FROM v, cents c WHERE v.vec_id < 5) WHERE r <= 2),
+        |s AS (
+        |  SELECT pc.probe_id, asg.neighbor_id,
+        |         round(list_dot_product(pc.pv, asg.cv)
+        |           / (sqrt(list_dot_product(pc.pv, pc.pv)) * sqrt(list_dot_product(asg.cv, asg.cv))), 6) AS cos_sim
+        |  FROM asg JOIN pc USING (cell) WHERE pc.probe_id <> asg.neighbor_id),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY probe_id
+        |        ORDER BY cos_sim DESC, neighbor_id) AS rank FROM s)
+        |SELECT probe_id, neighbor_id, cos_sim, rank FROM r WHERE rank <= 5""".stripMargin)),
+
     // Multimodal metadata path: binary payload + deterministic stub decode
     // (byte count / first byte / frame-sample count / checksum); the
     // mapPartitions batch plumbing is exercised by this same module in

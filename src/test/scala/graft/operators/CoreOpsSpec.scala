@@ -57,6 +57,15 @@ class CoreOpsSpec extends SparkSpec {
     assert(got.toSeq === Seq("-", "-", "+(c) , -(b)"))
   }
 
+  test("saltedExactSum equals the direct exact aggregation") {
+    val df = (1 to 500).map(i => (i % 3, i * 1.01)).toDF("k", "v")
+    val salted = CoreOps.saltedExactSum(df, Seq("k"), $"v", 4, "s", buckets = 8)
+      .orderBy($"k").select($"s").as[Double].collect().toSeq
+    val direct = df.groupBy($"k").agg(CoreOps.exactSum($"v", 4).as("s"))
+      .orderBy($"k").select($"s").as[Double].collect().toSeq
+    assert(salted === direct)
+  }
+
   test("asOfBackward honors the lower bound (reference 5-day fallback)") {
     val events = Seq(("u1", d("2024-01-01"), 1.0), ("u1", d("2024-01-08"), 2.0))
       .toDF("u", "dt", "v")

@@ -79,6 +79,22 @@ class SimilaritySpec extends SparkSpec {
     assert(!got.contains(4L)) // opposite vector flips every plane sign
   }
 
+  test("ivfTopK finds the identical vector when probing its own cell") {
+    val got = Similarity.ivfTopK(vectors, vectors.filter($"vec_id" === 0), k = 3,
+      numCells = 2, nProbe = 1)
+      .select($"neighbor_id").as[Long].collect().toSet
+    assert(got.contains(3L)) // identical vector shares the Voronoi cell
+  }
+
+  test("ivfTopK with all cells probed reproduces brute force") {
+    val ivf = Similarity.ivfTopK(vectors, vectors.filter($"vec_id" === 0), k = 3,
+      numCells = 2, nProbe = 2)
+      .select($"neighbor_id", $"cos_sim", $"rank").collect().toSet
+    val brute = Similarity.bruteForceTopK(vectors, vectors.filter($"vec_id" === 0), 3)
+      .select($"neighbor_id", $"cos_sim", $"rank").collect().toSet
+    assert(ivf === brute) // nProbe == numCells -> exhaustive -> exact
+  }
+
   test("cosinePairs flags identical pairs at high threshold") {
     // cos(v0, v1) = 0.9/sqrt(0.82) ≈ 0.9939, so 0.999 isolates the exact copy
     val got = Similarity.cosinePairs(vectors, 0.999)
