@@ -21,10 +21,12 @@ object TextAnalysis {
 
   /** Deterministic 60-bit content hash usable identically from DuckDB
     * (`CAST('0x' || substr(md5(x),1,15) AS BIGINT)`): the cross-engine
-    * hash used by dedup/minhash oracles. In a pure-Spark deployment,
+    * hash used by dedup/minhash oracles. Backed by the fused codegen'd
+    * [[graft.functions.Md5Hash60]] expression (bit-identical to
+    * `conv(substring(md5(c),1,15),16,10)`). In a pure-Spark deployment,
     * `xxhash64` is the faster drop-in. */
   def md5Hash60(c: Column): Column =
-    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+    graft.functions.Md5Hash60.md5_hash60(c)
 
   /** Quality-score feature columns over a `text` column. All ratios are
     * exact-integer-derived doubles (deterministic across engines). */
@@ -85,12 +87,14 @@ object TextAnalysis {
     shingles(docs, n).select(col("doc_id"), md5Hash60(col("shingle")).as("h"))
 
   /** Rolling-hash document fingerprint: min / max / count over the shingle
-    * hashes — a compact signature for shard-level pre-clustering. */
+    * hashes — a compact signature for shard-level pre-clustering. Runs on
+    * `hashedShingles` so the hash is computed once per shingle (separate
+    * agg expressions would defeat common-subexpression elimination). */
   def fingerprint(docs: DataFrame, n: Int = 4): DataFrame =
-    shingles(docs, n)
+    hashedShingles(docs, n)
       .groupBy(col("doc_id"))
       .agg(
-        min(md5Hash60(col("shingle"))).as("fp_min"),
-        max(md5Hash60(col("shingle"))).as("fp_max"),
+        min(col("h")).as("fp_min"),
+        max(col("h")).as("fp_max"),
         count(lit(1)).as("n_shingles"))
 }
