@@ -79,6 +79,29 @@ object TextAnalysis {
       .distinct()
   }
 
+  /** Training-data text scrub: strip URLs and emails, collapse repeated
+    * whitespace, trim — the standard cleaning pass before tokenization.
+    * Pure regexp_replace chain (codegen'd, no UDF). */
+  def scrub(text: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(
+        regexp_replace(text, lit("https?://\\S+"), lit(" ")),
+        lit("[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"), lit(" ")),
+      lit("\\s+"), lit(" ")))
+
+  /** Composite quality gate: keep documents whose features clear the
+    * given thresholds — the filter stage of a cleaning pipeline. */
+  def qualityFilter(docs: DataFrame, minTokens: Long = 20,
+                    maxStopwordRatio: Double = 0.5,
+                    maxShortTokenRatio: Double = 0.6): DataFrame = {
+    val withFeatures = qualityFeatures(col("text"))
+      .foldLeft(docs) { case (df, (n, c)) => df.withColumn(n, c) }
+    withFeatures
+      .filter(col("n_tokens") >= minTokens &&
+        col("stopword_ratio") <= maxStopwordRatio &&
+        col("short_token_ratio") <= maxShortTokenRatio)
+  }
+
   /** `shingles` with each shingle replaced by its 60-bit hash — the
     * substrate the dedup joins actually run on: equality joins and
     * minhashing over 8-byte longs instead of ~25-byte strings cut shuffle

@@ -292,6 +292,51 @@ object PipelineQueries {
         |        ORDER BY cos_sim DESC, neighbor_id) AS rank FROM s)
         |SELECT probe_id, neighbor_id, cos_sim, rank FROM r WHERE rank <= 5""".stripMargin)),
 
+    // Text scrub: URL/email removal + whitespace collapse (cleaning pass).
+    Q("q33_text_scrub",
+      (s, dir) =>
+        Tables.documents(s, dir).select(col("doc_id"),
+          TextAnalysis.scrub(
+            concat(lit("see http://ex.com/a?b=1 and mail a.b@ex.org  "), col("text")))
+            .as("clean"))
+          .withColumn("clean_len", length(col("clean")).cast("long")),
+      Some("""SELECT doc_id,
+        |  trim(regexp_replace(
+        |    regexp_replace(
+        |      regexp_replace('see http://ex.com/a?b=1 and mail a.b@ex.org  ' || text,
+        |        'https?://\S+', ' ', 'g'),
+        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', ' ', 'g'),
+        |    '\s+', ' ', 'g')) AS clean,
+        |  CAST(length(trim(regexp_replace(
+        |    regexp_replace(
+        |      regexp_replace('see http://ex.com/a?b=1 and mail a.b@ex.org  ' || text,
+        |        'https?://\S+', ' ', 'g'),
+        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', ' ', 'g'),
+        |    '\s+', ' ', 'g'))) AS BIGINT) AS clean_len
+        |FROM documents""".stripMargin)),
+
+    // Composite quality gate: the filter stage of a cleaning pipeline.
+    Q("q34_quality_filter",
+      (s, dir) =>
+        TextAnalysis.qualityFilter(
+          Tables.documents(s, dir).select(col("doc_id"), col("text")),
+          minTokens = 40, maxStopwordRatio = 0.2, maxShortTokenRatio = 0.3)
+          .select(col("doc_id"), col("n_tokens"), col("stopword_ratio"),
+            col("short_token_ratio")),
+      Some("""WITH t AS (
+        |  SELECT doc_id, text, regexp_split_to_array(text, '\s+') AS toks,
+        |         len(regexp_split_to_array(text, '\s+')) AS n_tokens
+        |  FROM documents),
+        |f AS (
+        |  SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+        |    round(len(list_filter(toks, x -> x IN ('the','a','of','and','to','in')))
+        |          / CAST(n_tokens AS DOUBLE), 8) AS stopword_ratio,
+        |    round(len(list_filter(toks, x -> length(x) <= 2))
+        |          / CAST(n_tokens AS DOUBLE), 8) AS short_token_ratio
+        |  FROM t)
+        |SELECT * FROM f
+        |WHERE n_tokens >= 40 AND stopword_ratio <= 0.2 AND short_token_ratio <= 0.3""".stripMargin)),
+
     // Multimodal metadata path: binary payload + deterministic stub decode
     // (byte count / first byte / frame-sample count / checksum); the
     // mapPartitions batch plumbing is exercised by this same module in

@@ -124,6 +124,25 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got === Set("a b c", "b c d"))
   }
 
+  test("scrub strips urls/emails and collapses whitespace") {
+    val df = Seq("visit https://x.io/p?q=1 or mail bob.c@x.co.uk   now \t ok")
+      .toDF("text")
+    val got = df.select(TextAnalysis.scrub(col("text"))).as[String].head()
+    assert(got === "visit or mail now ok")
+  }
+
+  test("qualityFilter keeps only documents clearing all thresholds") {
+    val docs = Seq(
+      (1L, ("word " * 30).trim),              // 30 tokens, no stopwords
+      (2L, ("the " * 30).trim),               // all stopwords
+      (3L, "short text")                      // too few tokens
+    ).toDF("doc_id", "text")
+    val kept = TextAnalysis.qualityFilter(docs, minTokens = 20,
+      maxStopwordRatio = 0.5, maxShortTokenRatio = 0.6)
+      .select($"doc_id").as[Long].collect().toSeq
+    assert(kept === Seq(1L))
+  }
+
   test("language-ID picks the marker-majority language deterministically") {
     val df = Seq((1L, "der hund und die katze"), (2L, "xyz qrs")).toDF("doc_id", "text")
     val scored = TextAnalysis.langIdScores(col("text"))
