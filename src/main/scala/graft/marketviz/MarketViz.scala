@@ -119,6 +119,20 @@ object Analytics {
     CoreOps.returnFromFirst(withDaily, Nil, ordered, col("index_value"), "cumulative_return")
   }
 
+  /** The headline stat tiles (`dashboard.py:146-156`): latest index value,
+    * absolute daily change, percent daily return — last two rows of the
+    * ordered series, as one row. */
+  def statistics(indexData: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("date"))
+    indexData
+      .withColumn("prev", lag(col("index_value"), 1).over(w))
+      .orderBy(col("date").desc).limit(1)
+      .select(
+        col("index_value").as("current_value"),
+        (col("index_value") - col("prev")).as("daily_change"),
+        ((col("index_value") - col("prev")) / col("prev") * 100).as("daily_return"))
+  }
+
   /** W6 (`dashboard.py:158-172`): dates whose constituent SET differs from
     * the previous date's (order changes alone don't count — the reference
     * compares `set(...)`). */

@@ -94,6 +94,15 @@ class MarketVizSpec extends SparkSpec {
     assert(math.abs(m(1)._2 - (v1 - v0) / v0 * 100) < 1e-9)
   }
 
+  test("statistics returns latest value, daily change, daily return") {
+    val got = Analytics.statistics(index).head()
+    val v4 = (23.0 + 5.0 + 33.0) / 3
+    val v5 = (1.0 + 2.0 + 3.0) / 3
+    assert(math.abs(got.getAs[Double]("current_value") - v5) < 1e-12)
+    assert(math.abs(got.getAs[Double]("daily_change") - (v5 - v4)) < 1e-12)
+    assert(math.abs(got.getAs[Double]("daily_return") - (v5 - v4) / v4 * 100) < 1e-9)
+  }
+
   test("compositionChangeDates flags set changes only (W6)") {
     val got = Analytics.compositionChangeDates(index).orderBy($"date")
       .as[java.sql.Date].collect().toSeq
