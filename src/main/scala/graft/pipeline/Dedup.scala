@@ -158,12 +158,40 @@ object Dedup {
   }
 
   /** SimHash near-dup pairs: Hamming distance ≤ `maxHamming` via
-    * bit_count(a XOR b). All-pairs here (baseline); the scale path blocks
-    * on signature bands first, exactly like `lshCandidates`. */
+    * bit_count(a XOR b). All-pairs cross join — the small-data baseline
+    * `simhashPairsBanded` is verified against. */
   def simhashPairs(sigs: DataFrame, maxHamming: Int): DataFrame = {
     val a = sigs.select(col("doc_id").as("doc_a"), col("simhash").as("sig_a"))
     val b = sigs.select(col("doc_id").as("doc_b"), col("simhash").as("sig_b"))
     a.crossJoin(b).filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).cast("long").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** SimHash near-dup pairs at scale: split each signature into `bands`
+    * bit-bands; by pigeonhole, any pair with Hamming ≤ `maxHamming` <
+    * `bands` shares at least one band untouched, so an equi-join on
+    * (band, bits) finds every qualifying pair without the quadratic
+    * cross join — same blocking idea as `lshCandidates`, exact rather
+    * than probabilistic. Returns exactly `simhashPairs`' result. */
+  def simhashPairsBanded(sigs: DataFrame, maxHamming: Int,
+                         bands: Int = 4, bitsPerBand: Int = 15): DataFrame = {
+    require(maxHamming < bands,
+      s"pigeonhole guarantee needs maxHamming ($maxHamming) < bands ($bands)")
+    val mask = (1L << bitsPerBand) - 1
+    val bandCols = (0 until bands).map { b =>
+      struct(lit(b).as("b"),
+        expr(s"shiftright(simhash, ${b * bitsPerBand}) & ${mask}L").as("v"))
+    }
+    val banded = sigs
+      .select(col("doc_id"), col("simhash"), explode(array(bandCols: _*)).as("bd"))
+      .select(col("doc_id"), col("simhash"), col("bd.b").as("b"), col("bd.v").as("v"))
+    banded.select(col("b"), col("v"), col("doc_id").as("doc_a"), col("simhash").as("sig_a"))
+      .join(banded.select(col("b"), col("v"), col("doc_id").as("doc_b"),
+        col("simhash").as("sig_b")), Seq("b", "v"))
+      .filter(col("doc_a") < col("doc_b"))
+      .dropDuplicates("doc_a", "doc_b")
       .select(col("doc_a"), col("doc_b"),
         bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).cast("long").as("hamming"))
       .filter(col("hamming") <= maxHamming)

@@ -37,6 +37,16 @@ class DedupSpec extends SparkSpec {
     assert(lsh === exact)
   }
 
+  test("banded simhash pairs equal the all-pairs baseline (pigeonhole blocking)") {
+    val sigs = Dedup.simhash(docs)
+    val banded = Dedup.simhashPairsBanded(sigs, maxHamming = 3)
+      .collect().map(_.toSeq).toSet
+    val allPairs = Dedup.simhashPairs(sigs, maxHamming = 3)
+      .collect().map(_.toSeq).toSet
+    assert(banded === allPairs)
+    assert(banded.nonEmpty) // the exact-dup pair qualifies
+  }
+
   test("simhash: identical docs share a signature; near dups are close, unrelated far") {
     val sigs = Dedup.simhash(docs).orderBy($"doc_id")
       .select($"simhash").as[Long].collect()
