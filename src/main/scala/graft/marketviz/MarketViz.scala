@@ -138,7 +138,7 @@ object Analytics {
     * compares `set(...)`). */
   def compositionChangeDates(indexData: DataFrame): DataFrame =
     CoreOps.lagArrayDiff(indexData.select(col("date"), col("composition").as("arr")),
-        Seq(col("date")), col("arr"))
+        Nil, Seq(col("date")), col("arr"))
       .filter(col("prev").isNotNull && (size(col("added")) > 0 || size(col("removed")) > 0))
       .select("date")
 
@@ -146,7 +146,7 @@ object Analytics {
     * order-preserving, `-` for unchanged and for the first date. */
   def compositionChanges(indexData: DataFrame): DataFrame =
     CoreOps.lagArrayDiff(indexData.select(col("date"), col("composition").as("arr")),
-        Seq(col("date")), col("arr"))
+        Nil, Seq(col("date")), col("arr"))
       .select(col("date"),
         CoreOps.changeString(col("added"), col("removed")).as("composition_changes"))
 
@@ -186,8 +186,12 @@ object Analytics {
 }
 
 /** §5's golden report shapes — the three xlsx sheets the reference commits
-  * (`dashboard.py:206-219`), as DataFrames; actual file emission is an
-  * export boundary the harness replaces with parquet. */
+  * (`dashboard.py:203-226`), as DataFrames; actual file emission is an
+  * export boundary (see [[SheetWriter]]).
+  *
+  * Row order: the reference reverses its metrics frame to NEWEST-FIRST
+  * before exporting (`dashboard.py:372` then `:387`), so all three sheets
+  * are `Date` descending. */
 object Exports {
   def performanceSheet(indexData: DataFrame): DataFrame =
     Analytics.summaryMetrics(indexData)
@@ -198,11 +202,44 @@ object Exports {
 
   def compositionSheet(indexData: DataFrame): DataFrame =
     indexData.select(col("date").as("Date"),
-      array_join(col("composition"), ",").as("Composition")).orderBy(col("Date"))
+      array_join(col("composition"), ",").as("Composition")).orderBy(col("Date").desc)
 
-  def changesSheet(indexData: DataFrame): DataFrame =
-    Analytics.compositionChanges(indexData)
+  /** The export sheet's alignment is NOT the dashboard's: the reference
+    * computes `changes[j] = diff(row j → row j+1)` over the ASCENDING frame
+    * and pads '-' at the end (`dashboard.py:174-190`), so each date is
+    * labeled with the change TO THE NEXT date and the NEWEST date shows
+    * '-' (the display/W7 prev-diff lives in
+    * [[Analytics.compositionChanges]]). `lead` reproduces it exactly;
+    * `changeString` yields '-' for the newest row because its lead is
+    * null. Global window is the sanctioned date-grain single series. */
+  def changesSheet(indexData: DataFrame): DataFrame = {
+    val w = Window.orderBy(col("date"))
+    indexData.select(col("date"), col("composition").as("arr"))
+      .withColumn("nxt", lead(col("arr"), 1).over(w))
+      .withColumn("added", filter(col("nxt"), x => !array_contains(col("arr"), x)))
+      .withColumn("removed", filter(col("arr"), x => !array_contains(col("nxt"), x)))
       .select(col("date").as("Date"),
-        col("composition_changes").as("Composition Changes"))
+        CoreOps.changeString(col("added"), col("removed")).as("Composition Changes"))
       .orderBy(col("Date").desc)
+  }
+}
+
+/** S9 file emission. The reference writes one xlsx with three sheets via
+  * xlsxwriter (`dashboard.py:203-226`); this build has no spreadsheet jar
+  * on the classpath (zero-egress), so the export boundary emits one
+  * headered CSV per sheet — same golden columns and newest-first row
+  * order, re-targetable to a spark-excel `.format("excel")` writer when
+  * that jar is present. `coalesce(1)` is deliberate: a report sheet is
+  * dashboard-sized output (the reference exports 30 rows), not data-plane
+  * output — the upstream plan still computes distributed. */
+object SheetWriter {
+  def writeAll(indexData: DataFrame, dir: String): Unit = {
+    write(Exports.performanceSheet(indexData), s"$dir/Performance")
+    write(Exports.compositionSheet(indexData), s"$dir/Composition")
+    write(Exports.changesSheet(indexData), s"$dir/Composition Changes")
+  }
+
+  private def write(sheet: DataFrame, path: String): Unit =
+    sheet.coalesce(1).write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .option("header", "true").csv(path)
 }

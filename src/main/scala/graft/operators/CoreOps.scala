@@ -37,10 +37,16 @@ object CoreOps {
 
   /** S6/S7: last-write-wins upsert semantics of `INSERT OR REPLACE`
     * (`database_manager.py:39`): union old+new, keep the newest row per key
-    * by `version` (descending total order). */
+    * by `version` (descending total order). On a version TIE the incoming
+    * row wins — `INSERT OR REPLACE` always replaces, so re-ingesting the
+    * same version must surface the fresh row, deterministically. */
   def upsertLastWins(existing: DataFrame, incoming: DataFrame,
                      keys: Seq[String], version: Seq[Column]): DataFrame =
-    latestPerGroup(existing.unionByName(incoming), keys.map(col), version.map(_.desc))
+    latestPerGroup(
+      existing.withColumn("__incoming", lit(0))
+        .unionByName(incoming.withColumn("__incoming", lit(1))),
+      keys.map(col), version.map(_.desc) :+ col("__incoming").desc)
+      .drop("__incoming")
 
   /** W3: lag-1 percent return over `order` within `part` partitions
     * (`dashboard.py:196`). First row per partition is null. */
@@ -83,8 +89,14 @@ object CoreOps {
     * than `array_except` because the latter deduplicates — the reference's
     * list-comprehension diff (`dashboard.py:180-181`) is order-preserving
     * AND keeps duplicate members, and so does this. */
-  def lagArrayDiff(df: DataFrame, order: Seq[Column], arr: Column): DataFrame = {
-    val w = Window.orderBy(order: _*)
+  def lagArrayDiff(df: DataFrame, part: Seq[Column], order: Seq[Column],
+                   arr: Column): DataFrame = {
+    // part = Nil is an explicit opt-in to a single-partition global window
+    // — valid only when the row count is known-small (one row per date in
+    // the reference's index series); at scale callers partition per
+    // instrument/shard so the sort never concentrates on one task.
+    val w = if (part.isEmpty) Window.orderBy(order: _*)
+            else Window.partitionBy(part: _*).orderBy(order: _*)
     df.withColumn("prev", lag(arr, 1).over(w))
       .withColumn("added", filter(arr, x => !array_contains(col("prev"), x)))
       .withColumn("removed", filter(col("prev"), x => !array_contains(arr, x)))
@@ -113,11 +125,18 @@ object CoreOps {
     * partials still apply); phase 2 merges the per-salt partials — the
     * standard fix when one key holds a disproportionate share of rows and
     * a single reducer would stall the stage. Result is identical to the
-    * unsalted aggregation because the decimal partial sums are exact. */
+    * unsalted aggregation because the decimal partial sums are exact.
+    *
+    * The salt hashes the ROW'S OWN columns, never a stateful expression
+    * like `monotonically_increasing_id()`: task retries / speculative
+    * re-execution must map every row to the same bucket or phase 1 can
+    * drop/duplicate rows (SPARK-23207-class hazard). Full-row duplicates
+    * collide into one bucket — acceptable, since identical rows carry
+    * identical partial sums and exact-duplicate skew is a data bug. */
   def saltedExactSum(df: DataFrame, keys: Seq[String], value: Column,
                      scale: Int, as: String, buckets: Int = 16): DataFrame = {
     val salted = df.withColumn("__salt",
-      pmod(hash(keys.map(col) :+ monotonically_increasing_id(): _*), lit(buckets)))
+      pmod(hash(df.columns.map(col): _*), lit(buckets)))
     salted
       .groupBy((keys.map(col) :+ col("__salt")): _*)
       .agg(sum(value.cast(org.apache.spark.sql.types.DecimalType(30, scale))).as("__partial"))

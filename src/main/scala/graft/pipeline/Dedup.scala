@@ -87,44 +87,40 @@ object Dedup {
   }
 
   /** MinHash-LSH near-dup detection end to end: shingle → minhash → banded
-    * candidates → exact-Jaccard confirm at `threshold`. */
-  /** MinHash-LSH near-dup detection, fused: ONE shuffle builds per-doc
-    * sorted shingle-hash arrays; minhashes come from `array_min` over the
-    * arrays (no second aggregation), band signatures explode from the
-    * minhash columns, and the exact-Jaccard confirm is
-    * `array_intersect` on the arrays carried through the candidate join —
-    * the shingle relation is never recomputed. Candidate rows carry the
-    * two doc arrays, which is fine precisely because LSH keeps the
-    * candidate set tiny; the quadratic work never materializes. */
+    * candidates → exact-Jaccard confirm at `threshold`.
+    *
+    * Shuffle profile at 100 TB: the band exchange carries ONLY
+    * `(band, sig, doc_id)` — id-width rows, never shingle arrays or text —
+    * so a hot bucket (boilerplate near-identical docs) skews a narrow
+    * relation, not the corpus. The confirm re-joins the hashed-shingle
+    * relation `(doc_id, h)` (8-byte longs) on the candidate ids; LSH keeps
+    * that candidate set tiny, so the quadratic work never materializes.
+    * The shingle relation is recomputed rather than cached: it is one
+    * codegen'd narrow pass over the scan, and measured at sf0.1 the
+    * recompute beats a persist (memory pressure + serialization). */
   def minhashLsh(docs: DataFrame, numHashes: Int = 16, rowsPerBand: Int = 4,
                  shingleN: Int = 3, threshold: Double = 0.5): DataFrame = {
-    // One aggregation produces BOTH the per-doc array (for the exact
-    // confirm) and the 16 minhashes (codegen'd mins with map-side
+    val sh = TextAnalysis.hashedShingles(docs, shingleN)
+    // All 16 minhashes in ONE aggregation (codegen'd mins with map-side
     // partials) — single shuffle over the shingle relation.
-    val aggExprs = sort_array(collect_list(col("h"))).as("hs") +:
-      (0 until numHashes).map { i =>
-        min((lit(2L * i + 1) * (col("h") % P) + lit(i * 12347L + 89L)) % P).as(s"mh$i")
-      }
-    val withMh = TextAnalysis.hashedShingles(docs, shingleN)
-      .groupBy(col("doc_id")).agg(aggExprs.head, aggExprs.tail: _*)
+    val mins = (0 until numHashes).map { i =>
+      min((lit(2L * i + 1) * (col("h") % P) + lit(i * 12347L + 89L)) % P).as(s"mh$i")
+    }
+    val withMh = sh.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
     val bandCols = (0 until numHashes / rowsPerBand).map { b =>
       struct(lit(b).as("band"),
         md5(concat_ws(",",
           (b * rowsPerBand until (b + 1) * rowsPerBand).map(i => col(s"mh$i").cast("string")): _*)).as("sig"))
     }
     val sigs = withMh
-      .select(col("doc_id"), col("hs"), explode(array(bandCols: _*)).as("bs"))
-      .select(col("doc_id"), col("hs"), col("bs.band").as("band"), col("bs.sig").as("sig"))
-    val cands = sigs.select(col("band"), col("sig"), col("doc_id").as("doc_a"), col("hs").as("hs_a"))
-      .join(sigs.select(col("band"), col("sig"), col("doc_id").as("doc_b"), col("hs").as("hs_b")),
+      .select(col("doc_id"), explode(array(bandCols: _*)).as("bs"))
+      .select(col("doc_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
+    val cands = sigs.select(col("band"), col("sig"), col("doc_id").as("doc_a"))
+      .join(sigs.select(col("band"), col("sig"), col("doc_id").as("doc_b")),
         Seq("band", "sig"))
       .filter(col("doc_a") < col("doc_b"))
-      .dropDuplicates("doc_a", "doc_b")
-    cands
-      .withColumn("ni", size(array_intersect(col("hs_a"), col("hs_b"))))
-      .select(col("doc_a"), col("doc_b"),
-        round(col("ni") / (size(col("hs_a")) + size(col("hs_b")) - col("ni")), 6).as("jaccard"))
-      .filter(col("jaccard") >= threshold)
+      .select("doc_a", "doc_b").distinct()
+    exactJaccard(cands, sh).filter(col("jaccard") >= threshold)
   }
 
   /** All-pairs n-gram Jaccard via shingle equi-join — QUADRATIC in docs

@@ -150,7 +150,7 @@ object ParityQueries {
       (s, dir) => {
         val daySets = li(s, dir).select(col("d"), col("l_suppkey")).distinct()
           .groupBy(col("d")).agg(sort_array(collect_set(col("l_suppkey"))).as("s"))
-        CoreOps.lagArrayDiff(daySets.withColumnRenamed("s", "arr"), Seq(col("d")), col("arr"))
+        CoreOps.lagArrayDiff(daySets.withColumnRenamed("s", "arr"), Nil, Seq(col("d")), col("arr"))
           .filter(col("prev").isNotNull && col("arr") =!= col("prev"))
           .select(col("d"),
             size(col("added")).cast("long").as("n_added"),
@@ -169,7 +169,7 @@ object ParityQueries {
     // rank-ordered composition arrays; "-" for unchanged and the first day.
     Q("q06_composition_diff",
       (s, dir) =>
-        CoreOps.lagArrayDiff(dayComposition(s, dir), Seq(col("d")), col("arr"))
+        CoreOps.lagArrayDiff(dayComposition(s, dir), Nil, Seq(col("d")), col("arr"))
           .select(col("d"),
             CoreOps.changeString(col("added"), col("removed")).as("composition_changes")),
       Some(s"""$dayCompositionSql,

@@ -1,6 +1,7 @@
 package graft.sources
 
 import graft.operators.CoreOps
+import org.apache.hadoop.fs.{FileSystem, Path => HPath}
 import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -22,69 +23,143 @@ object Snapshots {
           StructField("marketCap", StringType)))))))))))))
 
   /** S1 + S2 + S5: JSON snapshot → ticker universe. Explicit schema (no
-    * inference pass over the file), `explode` of the rows array, symbol
-    * normalization ('/' → '-'), deterministic order + limit — the whole
-    * imperative JSON walk as one declarative plan. Null symbols are
-    * dropped (the reference's per-ticker loop skips them via its
+    * inference pass over the file), `posexplode` of the rows array, symbol
+    * normalization ('/' → '-'), RESPONSE-ORDER limit — the whole
+    * imperative JSON walk as one declarative plan. The reference consumes
+    * the screener rows in response order (market-cap ranked, server-side
+    * limit, `stock_data_fetcher.py:106-118`), so the universe is the first
+    * `limit` rows BY ARRAY POSITION, not alphabetically — `posexplode`
+    * captures that position exactly (one snapshot = one rows array, so
+    * this is file-order independent). Null symbols are dropped before the
+    * limit (the reference's per-ticker loop skips them via its
     * catch-and-continue, `stock_data_fetcher.py:122-128`); duplicate
     * symbols are kept, matching the reference, and collapse later at the
     * store's last-wins upsert. */
   def tickerUniverse(spark: SparkSession, path: String, limit: Int): DataFrame =
     spark.read.schema(screenerSchema).json(path)
-      .select(explode(col("data.table.rows")).as("r"))
+      .select(posexplode(col("data.table.rows")).as(Seq("pos", "r")))
       .filter(col("r.symbol").isNotNull)
+      .orderBy(col("pos"))
+      .limit(limit)
       .select(translate(col("r.symbol"), "/", "-").as("ticker"),
         col("r.name").as("name"))
-      .orderBy(col("ticker"))
-      .limit(limit)
 }
 
 /** Last-write-wins keyed parquet store: the engine-level replacement for
   * the reference's `INSERT OR REPLACE` SQLite tables (S6/S7,
   * `database_manager.py:34-44`). Plain parquet (no Delta jars in this
-  * build): upsert = read-if-exists ∪ incoming → keyed last-wins dedup →
-  * atomic swap via a staging directory. With Delta available, `upsert`
-  * becomes a `MERGE` on the same keys — the call-site contract is
-  * unchanged.
+  * build); with Delta available, `upsert` becomes a `MERGE` on the same
+  * keys — the call-site contract is unchanged.
   *
-  * Scale notes: `partitionBy` columns put each partition in its own
-  * directory, so date-ranged reads prune at the file listing level
-  * (verified in SourcesSpec via the plan's PartitionFilters); the
-  * last-wins dedup is one hash shuffle on the PK.
+  * Scale design (the 100 TB story):
+  *  - PARTITION-SCOPED MERGE: with `partitionCols`, an upsert reads,
+  *    merges and rewrites ONLY the partitions present in `incoming`
+  *    (file-level pruning via partition-value predicates); untouched
+  *    partitions' files are never opened, let alone rewritten. A daily
+  *    ingest into a year-long store touches one partition, not the store.
+  *  - All file moves go through the Hadoop `FileSystem` API (works on
+  *    HDFS/S3/local, unlike `java.io.File`), every rename is CHECKED, and
+  *    the swap order (target→.old, staging→target, drop .old) leaves a
+  *    recoverable `.old` on crash — `read` heals it automatically.
+  *  - `partitionBy` columns put each partition in its own directory, so
+  *    date-ranged reads prune at the file listing level (verified in
+  *    SourcesSpec via the plan's PartitionFilters); the last-wins dedup is
+  *    one hash shuffle on the PK over the affected partitions only.
   */
 object KeyedParquetStore {
 
-  def read(spark: SparkSession, path: String): Option[DataFrame] =
-    if (new java.io.File(path).exists()) Some(spark.read.parquet(path)) else None
+  private def fs(spark: SparkSession, path: String): FileSystem =
+    new HPath(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** Read the store if present. Heals a crashed swap: if only
+    * `path + ".old"` exists (failure between the two renames of a swap),
+    * the previous committed state is restored before reading. */
+  def read(spark: SparkSession, path: String): Option[DataFrame] = {
+    val f = fs(spark, path)
+    val target = new HPath(path)
+    val old = new HPath(path + ".old")
+    if (!f.exists(target) && f.exists(old))
+      require(f.rename(old, target), s"store recovery failed: $old -> $target")
+    if (f.exists(target)) Some(spark.read.parquet(path)) else None
+  }
 
   /** Merge `incoming` into the store at `path`, newest `version` wins per
-    * `keys` row. Writes through a staging dir then swaps, so a failed job
+    * `keys` row (ties prefer `incoming`, matching `INSERT OR REPLACE`).
+    * With `partitionCols`, only partitions present in `incoming` are
+    * merged and swapped; everything else is untouched on disk. All writes
+    * go through a staging dir then a checked rename swap, so a failed job
     * never leaves a half-written store. */
   def upsert(spark: SparkSession, path: String, incoming: DataFrame,
              keys: Seq[String], version: Seq[Column],
              partitionCols: Seq[String] = Nil): Unit = {
-    val merged = read(spark, path) match {
-      case Some(existing) => CoreOps.upsertLastWins(existing, incoming, keys, version)
-      case None => CoreOps.latestPerGroup(incoming, keys.map(col), version.map(_.desc))
-    }
+    val f = fs(spark, path)
+    val existing = read(spark, path)
     val staging = path + ".staging"
-    val writer = merged.write.mode(SaveMode.Overwrite)
-    (if (partitionCols.nonEmpty) writer.partitionBy(partitionCols: _*) else writer)
-      .parquet(staging)
-    val target = new java.io.File(path)
-    if (target.exists()) {
-      val old = new java.io.File(path + ".old")
-      deleteRec(old)
-      target.renameTo(old)
-      new java.io.File(staging).renameTo(target)
-      deleteRec(old)
+    f.delete(new HPath(staging), true)
+
+    if (partitionCols.isEmpty || existing.isEmpty) {
+      // Full write: first load, or an unpartitioned store (small dims).
+      val merged = existing match {
+        case Some(ex) => CoreOps.upsertLastWins(ex, incoming, keys, version)
+        case None => CoreOps.latestPerGroup(incoming, keys.map(col), version.map(_.desc))
+      }
+      val writer = merged.write.mode(SaveMode.Overwrite)
+      (if (partitionCols.nonEmpty) writer.partitionBy(partitionCols: _*) else writer)
+        .parquet(staging)
+      swap(f, new HPath(staging), new HPath(path))
     } else {
-      new java.io.File(staging).renameTo(target)
+      // Partition-scoped merge: only partitions present in `incoming` are
+      // read back, merged, and rewritten. The collected partition tuple
+      // set is bounded by the ingest batch (e.g. one date), not the store.
+      val tuples = incoming.select(partitionCols.map(col): _*).distinct().collect()
+      require(tuples.forall(r => (0 until r.length).forall(!r.isNullAt(_))),
+        "null partition values are not supported by the partition-scoped upsert")
+      val pred = tuples.map { r =>
+        partitionCols.zipWithIndex
+          .map { case (c, i) => col(c) === lit(r.get(i)) }
+          .reduce(_ && _)
+      }.reduce(_ || _)
+      // Partition-value directory names round-trip through type inference
+      // on read (e.g. '2024-01-03' comes back as DATE); align the read
+      // side to incoming's dtypes so the union resolves.
+      val affected = partitionCols.foldLeft(existing.get.filter(pred)) { (df, c) =>
+        df.withColumn(c, col(c).cast(incoming.schema(c).dataType))
+      }
+      val merged = CoreOps.upsertLastWins(affected, incoming, keys, version)
+      merged.write.mode(SaveMode.Overwrite).partitionBy(partitionCols: _*).parquet(staging)
+      // Swap exactly the partition directories the staging write produced
+      // (its output contains only affected partitions) — names are taken
+      // from the listing, so value escaping never needs re-deriving.
+      // Qualify both roots: listStatus returns fully-qualified URIs.
+      val stagingQ = f.makeQualified(new HPath(staging)).toString
+      val pathQ = f.makeQualified(new HPath(path)).toString
+      partitionDirs(f, new HPath(staging), partitionCols.length).foreach { dir =>
+        val rel = f.makeQualified(dir).toString.stripPrefix(stagingQ).stripPrefix("/")
+        require(rel.nonEmpty && !rel.contains(":"),
+          s"unexpected staging partition dir $dir under $stagingQ")
+        val target = new HPath(s"$pathQ/$rel")
+        f.mkdirs(target.getParent)
+        swap(f, dir, target)
+      }
+      f.delete(new HPath(staging), true)
     }
   }
 
-  private def deleteRec(f: java.io.File): Unit = {
-    if (f.isDirectory) f.listFiles().foreach(deleteRec)
-    if (f.exists()) { f.delete(); () }
+  /** First-level-down traversal of `depth` partition directory levels. */
+  private def partitionDirs(f: FileSystem, base: HPath, depth: Int): Seq[HPath] =
+    if (depth == 0) Seq(base)
+    else f.listStatus(base).filter(_.isDirectory).toSeq
+      .flatMap(s => partitionDirs(f, s.getPath, depth - 1))
+
+  /** Checked-rename swap: target→.old, staging→target, drop .old. A crash
+    * between the renames leaves `.old` only, which `read` recovers. */
+  private def swap(f: FileSystem, staging: HPath, target: HPath): Unit = {
+    val old = new HPath(target.toString + ".old")
+    if (f.exists(old)) require(f.delete(old, true), s"could not clear $old")
+    if (f.exists(target))
+      require(f.rename(target, old), s"swap failed: $target -> $old")
+    require(f.rename(staging, target), s"swap failed: $staging -> $target")
+    f.delete(old, true)
+    ()
   }
 }

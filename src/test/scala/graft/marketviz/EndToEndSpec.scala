@@ -44,8 +44,25 @@ class EndToEndSpec extends SparkSpec {
     val perf = Exports.performanceSheet(index)
     assert(perf.columns.toSeq ===
       Seq("Date", "Price", "Daily Return (%)", "Cumulative Return (%)"))
+    // export alignment: each date carries the change TO THE NEXT date, so
+    // the NEWEST date (ascending .last) is the reference's padded '-' row
     val changes = Exports.changesSheet(index).orderBy($"Date")
       .select($"Composition Changes").as[String].collect()
-    assert(changes.head === "-")
+    assert(changes.last === "-")
+
+    // S9 file emission: three sheets written and re-read (CSV fallback —
+    // no spreadsheet jar in this build)
+    val outDir = Files.createTempDirectory("sheets").toString
+    SheetWriter.writeAll(index, outDir)
+    val perfBack = spark.read.option("header", "true").csv(s"$outDir/Performance")
+    assert(perfBack.columns.toSeq ===
+      Seq("Date", "Price", "Daily Return (%)", "Cumulative Return (%)"))
+    assert(perfBack.count() === 2)
+    // newest-first row order survives the round trip
+    assert(perfBack.limit(1).select($"Date").as[String].head() === "2024-01-02")
+    assert(spark.read.option("header", "true").csv(s"$outDir/Composition")
+      .columns.toSeq === Seq("Date", "Composition"))
+    assert(spark.read.option("header", "true").csv(s"$outDir/Composition Changes")
+      .columns.toSeq === Seq("Date", "Composition Changes"))
   }
 }

@@ -140,9 +140,11 @@ class MarketVizSpec extends SparkSpec {
     assert(Exports.compositionSheet(index).columns.toSeq === Seq("Date", "Composition"))
     val changes = Exports.changesSheet(index)
     assert(changes.columns.toSeq === Seq("Date", "Composition Changes"))
-    // newest first; oldest row is the '-' row
+    // newest first; the reference pads '-' at the END of the ascending
+    // frame (dashboard.py:188), so the NEWEST date — the sheet's first
+    // row — is the '-' row.
     val vals = changes.select($"Composition Changes").as[String].collect()
-    assert(vals.last === "-")
+    assert(vals.head === "-")
   }
 
   test("tailReport keeps the last n dates newest-first (O3/O2)") {
