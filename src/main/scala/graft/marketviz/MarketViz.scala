@@ -137,7 +137,7 @@ object Analytics {
     * the previous date's (order changes alone don't count — the reference
     * compares `set(...)`). */
   def compositionChangeDates(indexData: DataFrame): DataFrame =
-    CoreOps.lagArrayDiff(indexData.select(col("date"), col("composition").as("arr")),
+    CoreOps.lagSetDiff(indexData.select(col("date"), col("composition").as("arr")),
         Nil, Seq(col("date")), col("arr"))
       .filter(col("prev").isNotNull && (size(col("added")) > 0 || size(col("removed")) > 0))
       .select("date")

@@ -102,6 +102,23 @@ object CoreOps {
       .withColumn("removed", filter(col("prev"), x => !array_contains(arr, x)))
   }
 
+  /** W6 at scale: like [[lagArrayDiff]] but for SET-valued arrays
+    * (distinct members). `array_except` builds a hash set per row —
+    * O(|a|+|b|) per pair instead of the lambda filter's O(|a|·|b|) — and
+    * for distinct inputs the two coincide (`array_except`'s dedup is a
+    * no-op on sets). Day-grain member sets grow with the entity count
+    * (thousands wide at SF 100), where the quadratic variant dominates
+    * the whole query; keep [[lagArrayDiff]] only where duplicates/order
+    * must survive (W7). */
+  def lagSetDiff(df: DataFrame, part: Seq[Column], order: Seq[Column],
+                 arr: Column): DataFrame = {
+    val w = if (part.isEmpty) Window.orderBy(order: _*)
+            else Window.partitionBy(part: _*).orderBy(order: _*)
+    df.withColumn("prev", lag(arr, 1).over(w))
+      .withColumn("added", array_except(arr, col("prev")))
+      .withColumn("removed", array_except(col("prev"), arr))
+  }
+
   /** W7 formatting: `+(A, B) , -(C)` or `-` when unchanged / first row
     * (`dashboard.py:182-188`). */
   def changeString(added: Column, removed: Column): Column =
@@ -127,16 +144,19 @@ object CoreOps {
     * a single reducer would stall the stage. Result is identical to the
     * unsalted aggregation because the decimal partial sums are exact.
     *
-    * The salt hashes the ROW'S OWN columns, never a stateful expression
-    * like `monotonically_increasing_id()`: task retries / speculative
-    * re-execution must map every row to the same bucket or phase 1 can
-    * drop/duplicate rows (SPARK-23207-class hazard). Full-row duplicates
-    * collide into one bucket — acceptable, since identical rows carry
-    * identical partial sums and exact-duplicate skew is a data bug. */
+    * The salt hashes the row's own (key, value) columns, never a stateful
+    * expression like `monotonically_increasing_id()`: task retries /
+    * speculative re-execution must map every row to the same bucket or
+    * phase 1 can drop/duplicate rows (SPARK-23207-class hazard). Hashing
+    * only the aggregation's inputs keeps the salt one cheap codegen'd
+    * hash (wide rows' unrelated columns — comments, payloads — never
+    * enter it); (key, value) duplicates collide into one bucket, which is
+    * harmless because a high-cardinality measure spreads a hot key's rows
+    * near-uniformly. */
   def saltedExactSum(df: DataFrame, keys: Seq[String], value: Column,
                      scale: Int, as: String, buckets: Int = 16): DataFrame = {
     val salted = df.withColumn("__salt",
-      pmod(hash(df.columns.map(col): _*), lit(buckets)))
+      pmod(hash(keys.map(col) :+ value: _*), lit(buckets)))
     salted
       .groupBy((keys.map(col) :+ col("__salt")): _*)
       .agg(sum(value.cast(org.apache.spark.sql.types.DecimalType(30, scale))).as("__partial"))

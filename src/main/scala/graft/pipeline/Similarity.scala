@@ -50,34 +50,42 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
-  /** Deterministic pseudo-random hyperplane component for (seed, dim):
-    * md5-derived uniform in [-0.5, 0.5). Reproducible in any engine with
-    * md5 — the LSH analogue of `TextAnalysis.md5Hash60`. */
-  private def planeComponent(seed: Column, dimIdx: Column): Column =
-    (TextAnalysis.md5Hash60(concat(seed, lit("_"), dimIdx)) % 1000000L) / 1000000.0 - 0.5
-
-  /** Random-hyperplane signature: `bits` sign bits packed into a long. */
-  def rhpSignature(vec: Column, bits: Int): Column = {
-    val terms = (0 until bits).map { b =>
-      val proj = aggregate(
-        zip_with(vec, sequence(lit(0), size(vec) - 1),
-          (x, i) => x * planeComponent(lit(b), i)),
-        lit(0.0), (acc, v) => acc + v)
-      when(proj > 0, lit(1L << b)).otherwise(0L)
-    }
-    terms.reduce(_ + _)
+  /** Deterministic pseudo-random hyperplane component for (seed, dimIdx):
+    * md5-derived uniform in [-0.5, 0.5), computed ON THE DRIVER with the
+    * exact arithmetic of `TextAnalysis.md5Hash60` (first 15 md5 hex chars
+    * as a 60-bit integer) so a DuckDB oracle rebuilds the identical
+    * planes from `md5(b || '_' || i)`. */
+  private[pipeline] def planeComponent(seed: Int, dimIdx: Int): Double = {
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"${seed}_${dimIdx}".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.substring(0, 15)
+    (java.lang.Long.parseLong(hex, 16) % 1000000L) / 1000000.0 - 0.5
   }
+
+  /** Random-hyperplane signature: `bits` sign bits packed into a long.
+    * The hyperplanes are CONSTANTS, so they are materialized once as
+    * array literals (bits × dim doubles — ~4 KiB for 8×64, negligible in
+    * the plan) and each bit is one codegen'd `DotProduct` against the
+    * vector: no per-row md5, no interpreted `aggregate`/`zip_with`
+    * lambdas on the signature path. */
+  def rhpSignature(vec: Column, bits: Int, dim: Int): Column =
+    (0 until bits).map { b =>
+      val plane = typedLit((0 until dim).map(i => planeComponent(b, i)))
+      when(dot(vec, plane) > 0, lit(1L << b)).otherwise(0L)
+    }.reduce(_ + _)
 
   /** LSH-bucketed ANN: probes and corpus rows that share a signature are
     * scored exactly; others are never compared. Returns the same schema as
     * `bruteForceTopK` (some probes may surface < k or zero neighbors —
     * that is the recall trade-off, measured against the brute-force path
-    * in tests). */
-  def lshTopK(corpus: DataFrame, probes: DataFrame, k: Int, bits: Int = 8): DataFrame = {
+    * in tests). `dim` is the embedding dimensionality (hyperplanes are
+    * plan-time constants of that width). */
+  def lshTopK(corpus: DataFrame, probes: DataFrame, k: Int, bits: Int = 8,
+              dim: Int = 64): DataFrame = {
     val p = probes.select(col("vec_id").as("probe_id"), asDouble(col("embedding")).as("pv"))
-      .withColumn("sig", rhpSignature(col("pv"), bits))
+      .withColumn("sig", rhpSignature(col("pv"), bits, dim))
     val c = corpus.select(col("vec_id").as("neighbor_id"), asDouble(col("embedding")).as("cv"))
-      .withColumn("sig", rhpSignature(col("cv"), bits))
+      .withColumn("sig", rhpSignature(col("cv"), bits, dim))
     val scored = c.join(broadcast(p), Seq("sig"))
       .filter(col("probe_id") =!= col("neighbor_id"))
       .select(col("probe_id"), col("neighbor_id"),
@@ -87,19 +95,54 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
-  /** IVF-style ANN: partition the corpus into `numCells` Voronoi cells
-    * around deterministic "centroids" (the first `numCells` corpus
-    * vectors — a real deployment k-means-trains these; assignment and
-    * search mechanics are identical), then scan only each probe's
+  /** K-means centroid training: `iters` Lloyd iterations seeded by the
+    * first `numCells` corpus vectors (deterministic seed — a production
+    * index samples instead; the iteration is identical). Each iteration
+    * is one broadcast assign + one per-(cell,component) aggregation;
+    * centroid count is tiny, so only the narrow (cell, pos, x) relation
+    * ever shuffles — the corpus itself never does.
+    *
+    * Cross-engine exactness: component means route the sum through
+    * DECIMAL (order-insensitive, like [[CoreOps.exactSum]]) and divide by
+    * the exact count, then round to 8 dp — bit-identical in DuckDB, so
+    * the trained centroids (and everything downstream) oracle-check. A
+    * cell that captures no vectors drops out, same as the SQL formulation. */
+  def kmeansCentroids(corpus: DataFrame, numCells: Int, iters: Int): DataFrame = {
+    val c = corpus.select(col("vec_id").as("neighbor_id"), asDouble(col("embedding")).as("cv"))
+    var cents = corpus.filter(col("vec_id") < numCells)
+      .select(col("vec_id").as("cell"), asDouble(col("embedding")).as("centroid"))
+    val wAssign = Window.partitionBy(col("neighbor_id"))
+      .orderBy(col("cent_sim").desc, col("cell"))
+    for (_ <- 0 until iters) {
+      val assigned = c.join(broadcast(cents), lit(true))
+        .withColumn("cent_sim", round(cosine(col("cv"), col("centroid")), 6))
+        .withColumn("r", row_number().over(wAssign)).filter(col("r") === 1)
+        .select(col("cell"), col("cv"))
+      cents = assigned
+        .select(col("cell"), posexplode(col("cv")).as(Seq("pos", "x")))
+        .groupBy(col("cell"), col("pos"))
+        .agg(round(
+          sum(col("x").cast(org.apache.spark.sql.types.DecimalType(30, 15))).cast("double")
+            / count(lit(1)), 8).as("m"))
+        .groupBy(col("cell"))
+        .agg(graft.operators.CoreOps.orderedCollect(col("pos"), col("m")).as("centroid"))
+    }
+    cents
+  }
+
+  /** IVF ANN: partition the corpus into `numCells` Voronoi cells around
+    * k-means-trained centroids (`trainIters` Lloyd rounds over the
+    * first-N seed; 0 = raw seed vectors), then scan only each probe's
     * `nProbe` closest cells. The corpus cell assignment is the one-time
     * index build (one centroid broadcast join); each query then touches
     * `nProbe/numCells` of the data instead of all of it. Recall vs the
     * brute-force baseline is the tuning knob, measured in SimilaritySpec. */
   def ivfTopK(corpus: DataFrame, probes: DataFrame, k: Int,
-              numCells: Int = 8, nProbe: Int = 2): DataFrame = {
+              numCells: Int = 8, nProbe: Int = 2, trainIters: Int = 2): DataFrame = {
     val c = corpus.select(col("vec_id").as("neighbor_id"), asDouble(col("embedding")).as("cv"))
-    val cents = corpus.filter(col("vec_id") < numCells)
-      .select(col("vec_id").as("cell"), asDouble(col("embedding")).as("centroid"))
+    // The trained index is numCells rows; cache it so the corpus-assign
+    // and probe-assign joins don't each re-run the Lloyd iterations.
+    val cents = kmeansCentroids(corpus, numCells, trainIters).cache()
     val wAssign = Window.partitionBy(col("neighbor_id"))
       .orderBy(col("cent_sim").desc, col("cell"))
     val assigned = c.join(broadcast(cents), lit(true))

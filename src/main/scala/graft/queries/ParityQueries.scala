@@ -150,7 +150,7 @@ object ParityQueries {
       (s, dir) => {
         val daySets = li(s, dir).select(col("d"), col("l_suppkey")).distinct()
           .groupBy(col("d")).agg(sort_array(collect_set(col("l_suppkey"))).as("s"))
-        CoreOps.lagArrayDiff(daySets.withColumnRenamed("s", "arr"), Nil, Seq(col("d")), col("arr"))
+        CoreOps.lagSetDiff(daySets.withColumnRenamed("s", "arr"), Nil, Seq(col("d")), col("arr"))
           .filter(col("prev").isNotNull && col("arr") =!= col("prev"))
           .select(col("d"),
             size(col("added")).cast("long").as("n_added"),

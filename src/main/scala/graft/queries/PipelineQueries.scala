@@ -32,6 +32,29 @@ object PipelineQueries {
   private def hashedSql: String =
     s"hsh AS (SELECT doc_id, ${h60("shingle")} AS h FROM sh)"
 
+  /** SQL fragment: round-6 cosine similarity, index-ordered dot products
+    * (mirrors `Similarity.cosine` over the codegen'd DotProduct). */
+  private def cosSql(a: String, b: String): String =
+    s"round(list_dot_product($a, $b) / (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b))), 6)"
+
+  /** SQL fragment: one Lloyd iteration `cents{n}` → `cents{n+1}` (mirrors
+    * `Similarity.kmeansCentroids`: round-6 cosine assignment with cell
+    * tiebreak, then exact decimal-summed component means rounded to 8 dp
+    * so both engines produce bit-identical centroids). */
+  private def lloydSql(n: Int, dim: Int): String =
+    s"""asg$n AS (
+       |  SELECT cell, cv FROM (
+       |    SELECT v.e AS cv, c.cell,
+       |           row_number() OVER (PARTITION BY v.vec_id
+       |             ORDER BY ${cosSql("v.e", "c.centroid")} DESC, c.cell) AS r
+       |    FROM v, cents$n c) WHERE r = 1),
+       |m$n AS (
+       |  SELECT cell, i,
+       |         round(CAST(SUM(CAST(cv[CAST(i + 1 AS INT)] AS DECIMAL(30,15))) AS DOUBLE)
+       |               / COUNT(*), 8) AS m
+       |  FROM asg$n, range(0, $dim) t(i) GROUP BY 1, 2),
+       |cents${n + 1} AS (SELECT cell, list(m ORDER BY i) AS centroid FROM m$n GROUP BY 1)""".stripMargin
+
   private val jaccardTailSql =
     """sizes AS (SELECT doc_id, count(*) AS n FROM hsh GROUP BY 1),
       |inter AS (
@@ -255,39 +278,72 @@ object PipelineQueries {
         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,2))) AS DOUBLE) AS rev
         |FROM lineitem GROUP BY 1""".stripMargin)),
 
-    // IVF-style ANN: Voronoi cells around deterministic centroids, probe
-    // the 2 nearest cells only — the index-build + bounded-search shape.
+    // IVF ANN: k-means-trained Voronoi cells (2 Lloyd iterations over the
+    // first-8 seed, reproduced verbatim in the oracle), probe the 2
+    // nearest cells only — the index-build + bounded-search shape.
     Q("q32_ivf_knn",
       (s, dir) => {
         val emb = Tables.embeddings(s, dir)
         Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 5), k = 5,
-          numCells = 8, nProbe = 2)
+          numCells = 8, nProbe = 2, trainIters = 2)
           .select(col("probe_id"), col("neighbor_id"), col("cos_sim"),
             col("rank").cast("long").as("rank"))
       },
-      Some("""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
-        |cents AS (SELECT vec_id AS cell, e AS centroid FROM v WHERE vec_id < 8),
+      Some(s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        |cents0 AS (SELECT vec_id AS cell, e AS centroid FROM v WHERE vec_id < 8),
+        |${lloydSql(0, 64)},
+        |${lloydSql(1, 64)},
         |asg AS (
         |  SELECT neighbor_id, cv, cell FROM (
         |    SELECT v.vec_id AS neighbor_id, v.e AS cv, c.cell,
-        |           row_number() OVER (PARTITION BY v.vec_id ORDER BY
-        |             round(list_dot_product(v.e, c.centroid)
-        |               / (sqrt(list_dot_product(v.e, v.e)) * sqrt(list_dot_product(c.centroid, c.centroid))), 6) DESC,
-        |             c.cell) AS r
-        |    FROM v, cents c) WHERE r = 1),
+        |           row_number() OVER (PARTITION BY v.vec_id
+        |             ORDER BY ${cosSql("v.e", "c.centroid")} DESC, c.cell) AS r
+        |    FROM v, cents2 c) WHERE r = 1),
         |pc AS (
         |  SELECT probe_id, pv, cell FROM (
         |    SELECT v.vec_id AS probe_id, v.e AS pv, c.cell,
-        |           row_number() OVER (PARTITION BY v.vec_id ORDER BY
-        |             round(list_dot_product(v.e, c.centroid)
-        |               / (sqrt(list_dot_product(v.e, v.e)) * sqrt(list_dot_product(c.centroid, c.centroid))), 6) DESC,
-        |             c.cell) AS r
-        |    FROM v, cents c WHERE v.vec_id < 5) WHERE r <= 2),
+        |           row_number() OVER (PARTITION BY v.vec_id
+        |             ORDER BY ${cosSql("v.e", "c.centroid")} DESC, c.cell) AS r
+        |    FROM v, cents2 c WHERE v.vec_id < 5) WHERE r <= 2),
         |s AS (
         |  SELECT pc.probe_id, asg.neighbor_id,
-        |         round(list_dot_product(pc.pv, asg.cv)
-        |           / (sqrt(list_dot_product(pc.pv, pc.pv)) * sqrt(list_dot_product(asg.cv, asg.cv))), 6) AS cos_sim
+        |         ${cosSql("pc.pv", "asg.cv")} AS cos_sim
         |  FROM asg JOIN pc USING (cell) WHERE pc.probe_id <> asg.neighbor_id),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY probe_id
+        |        ORDER BY cos_sim DESC, neighbor_id) AS rank FROM s)
+        |SELECT probe_id, neighbor_id, cos_sim, rank FROM r WHERE rank <= 5""".stripMargin)),
+
+    // Random-hyperplane LSH ANN: 8 md5-derived constant hyperplanes → one
+    // signature per vector (8 codegen'd dot products) → bucket equi-join.
+    // Only same-signature pairs are ever scored — the bucketed scale path
+    // whose recall is measured against q26's brute force in SimilaritySpec.
+    Q("q35_lsh_knn",
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        Similarity.lshTopK(emb, emb.filter(col("vec_id") < 5), k = 5,
+          bits = 8, dim = 64)
+          .select(col("probe_id"), col("neighbor_id"), col("cos_sim"),
+            col("rank").cast("long").as("rank"))
+      },
+      Some(s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        |planes AS (
+        |  SELECT b, list_transform(range(0, 64), i ->
+        |    (CAST(('0x' || substr(md5(CAST(b AS VARCHAR) || '_' || CAST(i AS VARCHAR)), 1, 15)) AS BIGINT)
+        |     % 1000000) / 1000000.0 - 0.5) AS w
+        |  FROM range(0, 8) t(b)),
+        |sig AS (
+        |  SELECT v.vec_id,
+        |         CAST(SUM(CASE WHEN list_dot_product(v.e, p.w) > 0
+        |              THEN (CAST(1 AS BIGINT) << CAST(p.b AS INT)) ELSE 0 END) AS BIGINT) AS sig
+        |  FROM v, planes p GROUP BY 1),
+        |s AS (
+        |  SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id,
+        |         ${cosSql("p.e", "c.e")} AS cos_sim
+        |  FROM v p
+        |  JOIN sig sp ON sp.vec_id = p.vec_id
+        |  JOIN sig sc ON sc.sig = sp.sig
+        |  JOIN v c ON c.vec_id = sc.vec_id AND c.vec_id <> p.vec_id
+        |  WHERE p.vec_id < 5),
         |r AS (SELECT *, row_number() OVER (PARTITION BY probe_id
         |        ORDER BY cos_sim DESC, neighbor_id) AS rank FROM s)
         |SELECT probe_id, neighbor_id, cos_sim, rank FROM r WHERE rank <= 5""".stripMargin)),

@@ -57,6 +57,31 @@ class CoreOpsSpec extends SparkSpec {
     assert(got.toSeq === Seq("-", "-", "+(c) , -(b)"))
   }
 
+  test("upsertLastWins prefers incoming on a version tie") {
+    val existing = Seq(("k1", 1, "stale")).toDF("k", "ver", "v")
+    val incoming = Seq(("k1", 1, "fresh")).toDF("k", "ver", "v") // same ver
+    val got = CoreOps.upsertLastWins(existing, incoming, Seq("k"), Seq($"ver"))
+      .select($"v").as[String].collect()
+    assert(got.toSeq === Seq("fresh"))
+  }
+
+  test("lagArrayDiff with partition columns diffs per group independently") {
+    val df = Seq(
+      ("A", 1, Seq("x", "y")), ("A", 2, Seq("y", "z")),
+      ("B", 1, Seq("p")), ("B", 2, Seq("p"))
+    ).toDF("g", "i", "arr")
+    val got = CoreOps.lagArrayDiff(df, Seq($"g"), Seq($"i"), $"arr")
+      .orderBy($"g", $"i")
+      .select($"g", $"i", $"prev", $"added", $"removed")
+      .collect()
+    // each group's FIRST row has null prev — B's row 1 is not "lagged"
+    // from A's last row, proving the diff runs per partition
+    assert(got(0).isNullAt(2) && got(2).isNullAt(2))
+    assert(got(1).getSeq[String](3) === Seq("z"))
+    assert(got(1).getSeq[String](4) === Seq("x"))
+    assert(got(3).getSeq[String](3) === Seq() && got(3).getSeq[String](4) === Seq())
+  }
+
   test("saltedExactSum equals the direct exact aggregation") {
     val df = (1 to 500).map(i => (i % 3, i * 1.01)).toDF("k", "v")
     val salted = CoreOps.saltedExactSum(df, Seq("k"), $"v", 4, "s", buckets = 8)

@@ -83,7 +83,7 @@ class SimilaritySpec extends SparkSpec {
   }
 
   test("lshTopK finds the identical vector (same bucket by construction)") {
-    val got = Similarity.lshTopK(vectors, vectors.filter($"vec_id" === 0), 3, bits = 6)
+    val got = Similarity.lshTopK(vectors, vectors.filter($"vec_id" === 0), 3, bits = 6, dim = 4)
       .select($"neighbor_id").as[Long].collect().toSet
     assert(got.contains(3L)) // identical vector always shares the signature
     assert(!got.contains(4L)) // opposite vector flips every plane sign
@@ -103,6 +103,25 @@ class SimilaritySpec extends SparkSpec {
     val brute = Similarity.bruteForceTopK(vectors, vectors.filter($"vec_id" === 0), 3)
       .select($"neighbor_id", $"cos_sim", $"rank").collect().toSet
     assert(ivf === brute) // nProbe == numCells -> exhaustive -> exact
+  }
+
+  test("kmeansCentroids converges to per-cluster means (trained IVF)") {
+    val clustered = Seq(
+      (0L, vec(1, 0, 0, 0)), (1L, vec(0, 0, 1, 0)),
+      (2L, vec(0.9, 0.1, 0, 0)), (3L, vec(0, 0.1, 0.9, 0)),
+      (4L, vec(0.95, 0.05, 0, 0)), (5L, vec(0, 0.05, 0.95, 0))
+    ).toDF("vec_id", "embedding")
+    val cents = Similarity.kmeansCentroids(clustered, numCells = 2, iters = 2)
+      .orderBy($"cell").select($"centroid").as[Seq[Double]].collect()
+    assert(cents.length === 2)
+    // cell 0 (seeded at vec 0) -> the x-cluster mean; cell 1 -> z-cluster
+    assert(math.abs(cents(0)(0) - (1.0 + 0.9 + 0.95) / 3) < 1e-6)
+    assert(math.abs(cents(1)(2) - (1.0 + 0.9 + 0.95) / 3) < 1e-6)
+    // nProbe=1 over the trained index returns only in-cluster neighbors
+    val got = Similarity.ivfTopK(clustered, clustered.filter($"vec_id" === 2), k = 2,
+      numCells = 2, nProbe = 1, trainIters = 2)
+      .select($"neighbor_id").as[Long].collect().toSet
+    assert(got === Set(0L, 4L))
   }
 
   test("cosinePairs flags identical pairs at high threshold") {
