@@ -400,12 +400,20 @@ object PipelineQueries {
     Q("q30_multimodal_meta",
       (s, dir) =>
         Multimodal.documentFeatures(s, Tables.documents(s, dir)).toDF(),
-      Some("""SELECT doc_id AS media_id, 'text/plain' AS kind,
-        |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
-        |  CASE WHEN length(text) = 0 THEN -1 ELSE ascii(substr(text, 1, 1)) END AS first_byte,
-        |  octet_length(encode(text)) // 100 + 1 AS n_frames,
-        |  CAST(list_sum(list_transform(range(1, length(text) + 1),
-        |       i -> ascii(substr(text, CAST(i AS INT), 1)))) AS BIGINT) AS checksum
-        |FROM documents""".stripMargin))
+      // BYTE-based oracle (hex-pair walk over the utf-8 payload), matching
+      // the decoder's unsigned-byte arithmetic even for multi-byte
+      // characters — an ascii()/character formulation would diverge on
+      // any non-ASCII document.
+      Some("""WITH b AS (
+        |  SELECT doc_id, hex(encode(text)) AS h,
+        |         octet_length(encode(text)) AS n FROM documents)
+        |SELECT doc_id AS media_id, 'text/plain' AS kind,
+        |  CAST(n AS BIGINT) AS n_bytes,
+        |  CASE WHEN n = 0 THEN -1
+        |       ELSE CAST(('0x' || substr(h, 1, 2)) AS INT) END AS first_byte,
+        |  n // 100 + 1 AS n_frames,
+        |  CAST(COALESCE(list_sum(list_transform(range(0, n),
+        |       i -> CAST(('0x' || substr(h, CAST(i * 2 + 1 AS INT), 2)) AS BIGINT))), 0) AS BIGINT) AS checksum
+        |FROM b""".stripMargin))
   )
 }
