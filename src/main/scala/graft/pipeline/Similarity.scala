@@ -165,6 +165,25 @@ object Similarity {
       .withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
+  /** Embedding near-dup at scale: bucket vectors on their random-
+    * hyperplane signature and score cosine only WITHIN buckets — the
+    * quadratic work is bounded by bucket occupancy, and exact duplicates
+    * always share a signature (recall 1.0 for them; near-dups can lose a
+    * sign bit — the bits/recall trade-off measured in SimilaritySpec).
+    * One shuffle of (sig, id, vector); nothing quadratic materializes.
+    * The scale path for [[cosinePairs]]. */
+  def cosinePairsLsh(vectors: DataFrame, threshold: Double, bits: Int = 8,
+                     dim: Int = 64): DataFrame = {
+    val v = vectors.select(col("vec_id"), asDouble(col("embedding")).as("e"))
+      .withColumn("sig", rhpSignature(col("e"), bits, dim))
+    v.select(col("sig"), col("vec_id").as("id_a"), col("e").as("va"))
+      .join(v.select(col("sig"), col("vec_id").as("id_b"), col("e").as("vb")), Seq("sig"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        round(cosine(col("va"), col("vb")), 6).as("cos_sim"))
+      .filter(col("cos_sim") >= threshold)
+  }
+
   /** Embedding near-dup pairs: cosine ≥ threshold among all pairs
     * (doc_a < doc_b). Quadratic baseline; the LSH signature equi-join is
     * the scale path. */

@@ -348,6 +348,38 @@ object PipelineQueries {
         |        ORDER BY cos_sim DESC, neighbor_id) AS rank FROM s)
         |SELECT probe_id, neighbor_id, cos_sim, rank FROM r WHERE rank <= 5""".stripMargin)),
 
+    // Embedding near-dup AT SCALE: rhp-signature bucketing bounds the
+    // pair comparisons (q27 is the quadratic baseline; this is its 100 TB
+    // path) — planted exact copies always share a bucket.
+    Q("q36_embed_dedup_lsh",
+      (s, dir) => {
+        val v = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+        Similarity.cosinePairsLsh(
+          v.unionByName(v.select((col("vec_id") + 100000).as("vec_id"), col("embedding"))),
+          threshold = 0.99, bits = 8, dim = 64)
+      },
+      Some(s"""WITH base AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        |v AS (SELECT vec_id, e FROM base
+        |      UNION ALL SELECT vec_id + 100000 AS vec_id, e FROM base),
+        |planes AS (
+        |  SELECT b, list_transform(range(0, 64), i ->
+        |    (CAST(('0x' || substr(md5(CAST(b AS VARCHAR) || '_' || CAST(i AS VARCHAR)), 1, 15)) AS BIGINT)
+        |     % 1000000) / 1000000.0 - 0.5) AS w
+        |  FROM range(0, 8) t(b)),
+        |sig AS (
+        |  SELECT v.vec_id,
+        |         CAST(SUM(CASE WHEN list_dot_product(v.e, p.w) > 0
+        |              THEN (CAST(1 AS BIGINT) << CAST(p.b AS INT)) ELSE 0 END) AS BIGINT) AS sig
+        |  FROM v, planes p GROUP BY 1),
+        |s AS (
+        |  SELECT sa.vec_id AS id_a, sb.vec_id AS id_b,
+        |         ${cosSql("a.e", "b.e")} AS cos_sim
+        |  FROM sig sa JOIN sig sb ON sa.sig = sb.sig AND sa.vec_id < sb.vec_id
+        |  JOIN v a ON a.vec_id = sa.vec_id
+        |  JOIN v b ON b.vec_id = sb.vec_id)
+        |SELECT id_a, id_b, cos_sim FROM s WHERE cos_sim >= 0.99""".stripMargin)),
+
     // Text scrub: URL/email removal + whitespace collapse (cleaning pass).
     Q("q33_text_scrub",
       (s, dir) =>

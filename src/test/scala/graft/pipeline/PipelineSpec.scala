@@ -130,6 +130,14 @@ class SimilaritySpec extends SparkSpec {
       .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
     assert(got === Set((0L, 3L)))
   }
+
+  test("cosinePairsLsh finds exact copies within buckets, never opposites") {
+    val got = Similarity.cosinePairsLsh(vectors, 0.999, bits = 6, dim = 4)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    // identical vectors share every sign bit, so the exact copy survives
+    // the bucketing; the opposite vector flips all bits and is never paired
+    assert(got === Set((0L, 3L)))
+  }
 }
 
 class TextAnalysisSpec extends SparkSpec {
