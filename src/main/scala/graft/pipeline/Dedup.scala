@@ -135,22 +135,26 @@ object Dedup {
     exactJaccard(pairs, sh).filter(col("jaccard") >= threshold)
   }
 
-  /** 64-bit SimHash signature per document over DISTINCT whitespace
-    * tokens: bit b is set when the sum of ±1 votes (token-hash bit b) is
-    * positive. Narrow per-doc computation — one explode(tokens × bits)
-    * then two groupBys that both key on doc_id (single shuffle lineage).
-    * 60 usable bits from the md5-derived hash. */
+  /** SimHash signature per document over DISTINCT whitespace tokens:
+    * bit b is set when the sum of ±1 votes (token-hash bit b) is
+    * positive. 60 usable bits from the md5-derived hash.
+    *
+    * Shape: token dedup is `array_distinct` inside the scan stage (no
+    * shuffle — doc_id keys the relation), and all `bits` vote sums are
+    * separate agg expressions in ONE doc_id groupBy — the shuffle carries
+    * (doc_id, h) rows once, never the tokens×bits explosion, and the
+    * map-side partials collapse each doc's votes before the exchange. */
   def simhash(docs: DataFrame, bits: Int = 60): DataFrame = {
     val tok = docs
-      .select(col("doc_id"), explode(tokens(col("text"))).as("t")).distinct()
+      .select(col("doc_id"), explode(array_distinct(tokens(col("text")))).as("t"))
       .select(col("doc_id"), md5Hash60(col("t")).as("h"))
-    tok
-      .select(col("doc_id"), col("h"), explode(sequence(lit(0), lit(bits - 1))).as("bit"))
-      .groupBy(col("doc_id"), col("bit"))
-      .agg(sum(when(expr("shiftright(h, bit) & 1") === 1, 1).otherwise(-1)).as("vote"))
-      .groupBy(col("doc_id"))
-      .agg(sum(when(col("vote") > 0, expr("shiftleft(CAST(1 AS BIGINT), bit)"))
-        .otherwise(0L)).as("simhash"))
+    val votes = (0 until bits).map { b =>
+      sum(when(expr(s"shiftright(h, $b) & 1") === 1, 1).otherwise(-1)).as(s"v$b")
+    }
+    tok.groupBy(col("doc_id")).agg(votes.head, votes.tail: _*)
+      .select(col("doc_id"),
+        (0 until bits).map(b => when(col(s"v$b") > 0, lit(1L << b)).otherwise(0L))
+          .reduce(_ + _).as("simhash"))
   }
 
   /** SimHash near-dup pairs: Hamming distance ≤ `maxHamming` via

@@ -66,17 +66,23 @@ object TextAnalysis {
 
   /** Word n-gram shingles (default 3) as a DISTINCT exploded relation
     * `(doc_id, shingle)` — the substrate for Jaccard/MinHash dedup.
-    * Requires `docs(doc_id, text)`. */
+    * Requires `docs(doc_id, text)`.
+    *
+    * Dedup is `array_distinct` WITHIN each document's shingle array
+    * before the explode: since `doc_id` is part of the relation's key,
+    * per-doc distinct equals relation-level distinct — but it runs
+    * narrow inside the scan stage, where a `.distinct()` after the
+    * explode would hash-shuffle the whole exploded corpus (the largest
+    * relation in the dedup pipeline) once per consumer. */
   def shingles(docs: DataFrame, n: Int = 3): DataFrame = {
     val w = tokens(col("text"))
     docs
       .select(col("doc_id"), w.as("w"))
       .filter(size(col("w")) >= n)
-      .select(col("doc_id"), explode(
+      .select(col("doc_id"), explode(array_distinct(
         transform(sequence(lit(1), size(col("w")) - (n - 1)),
-          i => concat_ws(" ", (0 until n).map(o => element_at(col("w"), i + o)): _*)))
+          i => concat_ws(" ", (0 until n).map(o => element_at(col("w"), i + o)): _*))))
         .as("shingle"))
-      .distinct()
   }
 
   /** Training-data text scrub: strip URLs and emails, collapse repeated
