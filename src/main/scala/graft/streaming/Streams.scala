@@ -1,8 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Row, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery}
 import org.apache.spark.sql.types._
 
 /** Structured Streaming surface over the `events` table shape. The
@@ -72,6 +72,28 @@ object Streams {
           }
       }
   }
+
+  /** Incremental ingest: stream → keyed store. Each micro-batch merges
+    * into the store at `path` with `INSERT OR REPLACE` semantics via the
+    * partition-scoped upsert — the streaming face of S6/S7. Only the
+    * partitions a batch touches are rewritten, so a steady stream into a
+    * year-long store does per-batch work proportional to the batch, not
+    * the store. `foreachBatch` is the sanctioned escape hatch for sinks
+    * with merge semantics Structured Streaming lacks natively; the batch
+    * id + checkpoint give at-least-once delivery, and the keyed last-wins
+    * merge makes replays idempotent — together, effectively-once store
+    * contents. Caller owns the returned query's lifecycle. */
+  def upsertStream(events: DataFrame, path: String, keys: Seq[String],
+                   version: Seq[Column], partitionCols: Seq[String],
+                   checkpoint: String): StreamingQuery =
+    events.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode(OutputMode.Update)
+      .foreachBatch { (batch: Dataset[Row], _: Long) =>
+        graft.sources.KeyedParquetStore.upsert(
+          batch.sparkSession, path, batch.toDF(), keys, version, partitionCols)
+      }
+      .start()
 
   /** Streaming exact dedup: drop events whose `event_id` was already seen
     * for the key — the streaming face of `Dedup.exact` (state = seen ids

@@ -64,6 +64,30 @@ class StreamsSpec extends SparkSpec {
     assert(last.last_event_id === 4L)
   }
 
+  test("upsertStream merges each micro-batch into the keyed store (S6 streaming)") {
+    val src = Files.createTempDirectory("events_upsert_src").toFile
+    val store = Files.createTempDirectory("events_upsert").toString + "/events"
+    val checkpoint = Files.createTempDirectory("events_upsert_ckpt").toString
+    batchEvents.take(3).toDS().toDF().coalesce(1)
+      .write.mode("overwrite").parquet(src.toString)
+
+    val q = Streams.upsertStream(
+      Streams.readEventStream(spark, src.toString),
+      store, keys = Seq("event_id"), version = Seq($"ts"),
+      partitionCols = Seq("event_type"), checkpoint = checkpoint)
+    q.processAllAvailable()
+    // second micro-batch REPLACES event 2 (newer ts, new value) + adds 4
+    Seq(Streams.Event(2L, ts("2024-01-01 02:00:00"), 1L, "click", 9.0),
+        batchEvents(3))
+      .toDS().toDF().coalesce(1).write.mode("append").parquet(src.toString)
+    q.processAllAvailable(); q.stop()
+
+    val got = graft.sources.KeyedParquetStore.read(spark, store).get
+      .orderBy($"event_id").select($"event_id", $"value")
+      .as[(Long, Double)].collect().toSeq
+    assert(got === Seq((1L, 1.0), (2L, 9.0), (3L, 5.0), (4L, 3.0)))
+  }
+
   test("dedupEvents drops already-seen ids across batches") {
     val events = Seq(
       Streams.Event(1L, ts("2024-01-01 00:00:01"), 1L, "click", 1.0),
