@@ -25,7 +25,10 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // method flags the round-2+ timing change: full noop materialization
+    // (count()-based rounds pruned top-level sorts/projections, so their
+    // totals are not comparable 1:1).
+    println(s"""{"metric":"total","value":$total,"unit":"sec","method":"noop-materialize","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

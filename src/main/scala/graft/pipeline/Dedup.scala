@@ -123,6 +123,48 @@ object Dedup {
     exactJaccard(cands, sh).filter(col("jaccard") >= threshold)
   }
 
+  /** Near-dup CLUSTER canonicalization: connected components over the
+    * (doc_a, doc_b) pair graph via iterative min-label propagation —
+    * the "keep one document per duplicate cluster" step downstream of
+    * any pair producer ([[minhashLsh]], [[simhashPairsBanded]],
+    * [[graft.pipeline.Similarity.cosinePairsLsh]]). Returns
+    * `(doc_id, label)` where `label` is the cluster's minimum doc id
+    * (the canonical survivor); docs not in any pair are absent —
+    * singletons are their own canonical by definition.
+    *
+    * Each iteration is one join + one min-agg on the edge list;
+    * `localCheckpoint` truncates the growing lineage (the MLlib-style
+    * iterative pattern) and the loop exits at the fixpoint, so the
+    * result is the true component minimum whenever the loop converges
+    * within `maxIters` (components from near-dup thresholds are shallow
+    * cliques — convergence in 2-3 rounds; propagation distance doubles
+    * per round, so 20 covers diameter ~10^6). */
+  def dedupClusters(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .cache()
+    var labels = edges.select(col("src").as("doc_id")).distinct()
+      .withColumn("label", col("doc_id")).localCheckpoint()
+    var converged = false
+    var i = 0
+    while (i < maxIters && !converged) {
+      val nbrMin = edges
+        .join(labels.select(col("doc_id").as("src"), col("label")), "src")
+        .groupBy(col("dst").as("doc_id")).agg(min("label").as("nbr_min"))
+      val next = labels.join(nbrMin, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          least(col("label"), coalesce(col("nbr_min"), col("label"))).as("label"))
+        .localCheckpoint()
+      converged = next
+        .join(labels.withColumnRenamed("label", "old"), "doc_id")
+        .filter(col("label") =!= col("old")).isEmpty
+      labels = next
+      i += 1
+    }
+    edges.unpersist()
+    labels
+  }
+
   /** All-pairs n-gram Jaccard via shingle equi-join — QUADRATIC in docs
     * sharing a shingle; the small-scale baseline the LSH path is verified
     * against. */

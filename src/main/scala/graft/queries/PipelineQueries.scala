@@ -55,6 +55,39 @@ object PipelineQueries {
        |  FROM asg$n, range(0, $dim) t(i) GROUP BY 1, 2),
        |cents${n + 1} AS (SELECT cell, list(m ORDER BY i) AS centroid FROM m$n GROUP BY 1)""".stripMargin
 
+  /** SQL fragment: the full MinHash→bands→candidates→exact-Jaccard chain
+    * ending in CTE `jac(doc_a, doc_b, jaccard)` (mirrors
+    * `Dedup.minhashLsh` before its threshold filter) — shared by the
+    * near-dup pair query and the cluster-canonicalization query. */
+  private def minhashJacSql: String =
+    s"""${shinglesSql()},
+      |$hashedSql,
+      |mh AS (
+      |  SELECT doc_id, CAST(seed AS INT) AS seed,
+      |         min(((2*seed + 1) * (h % 2147483647) + (seed*12347 + 89)) % 2147483647) AS mh
+      |  FROM hsh, UNNEST(range(0, 16)) AS u(seed) GROUP BY 1, 2),
+      |bands AS (
+      |  SELECT doc_id, seed // 4 AS band,
+      |         md5(string_agg(CAST(mh AS VARCHAR), ',' ORDER BY seed)) AS sig
+      |  FROM mh GROUP BY 1, 2),
+      |cand AS (
+      |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |  FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig
+      |  WHERE a.doc_id < b.doc_id),
+      |sizes AS (SELECT doc_id, count(*) AS n FROM hsh GROUP BY 1),
+      |inter AS (
+      |  SELECT p.doc_a, p.doc_b, count(*) AS ni
+      |  FROM cand p
+      |  JOIN hsh a ON a.doc_id = p.doc_a
+      |  JOIN hsh b ON b.doc_id = p.doc_b AND b.h = a.h
+      |  GROUP BY 1, 2),
+      |jac AS (
+      |  SELECT i.doc_a, i.doc_b,
+      |         round(i.ni * 1.0 / (sa.n + sb.n - i.ni), 6) AS jaccard
+      |  FROM inter i
+      |  JOIN sizes sa ON i.doc_a = sa.doc_id
+      |  JOIN sizes sb ON i.doc_b = sb.doc_id)""".stripMargin
+
   private val jaccardTailSql =
     """sizes AS (SELECT doc_id, count(*) AS n FROM hsh GROUP BY 1),
       |inter AS (
@@ -180,22 +213,32 @@ object PipelineQueries {
         Dedup.minhashLsh(
           Tables.documents(s, dir).select(col("doc_id"), col("text")),
           numHashes = 16, rowsPerBand = 4, shingleN = 3, threshold = 0.5),
-      Some(s"""${shinglesSql()},
-        |$hashedSql,
-        |mh AS (
-        |  SELECT doc_id, CAST(seed AS INT) AS seed,
-        |         min(((2*seed + 1) * (h % 2147483647) + (seed*12347 + 89)) % 2147483647) AS mh
-        |  FROM hsh, UNNEST(range(0, 16)) AS u(seed) GROUP BY 1, 2),
-        |bands AS (
-        |  SELECT doc_id, seed // 4 AS band,
-        |         md5(string_agg(CAST(mh AS VARCHAR), ',' ORDER BY seed)) AS sig
-        |  FROM mh GROUP BY 1, 2),
-        |cand AS (
-        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-        |  FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig
-        |  WHERE a.doc_id < b.doc_id),
-        |$jaccardTailSql
-        |WHERE round(i.ni * 1.0 / (sa.n + sb.n - i.ni), 6) >= 0.5""".stripMargin)),
+      Some(s"""$minhashJacSql
+        |SELECT doc_a, doc_b, jaccard FROM jac WHERE jaccard >= 0.5""".stripMargin)),
+
+    // Near-dup cluster canonicalization: connected components over the
+    // LSH pair graph (min doc id per cluster = the kept survivor). The
+    // oracle materializes the transitive closure with a recursive CTE;
+    // the engine reaches the same fixpoint by min-label propagation.
+    Q("q37_dedup_clusters",
+      (s, dir) =>
+        Dedup.dedupClusters(
+          Dedup.minhashLsh(
+            Tables.documents(s, dir).select(col("doc_id"), col("text")),
+            numHashes = 16, rowsPerBand = 4, shingleN = 3, threshold = 0.5)
+            .select("doc_a", "doc_b")),
+      Some(s"""${minhashJacSql.replaceFirst("^WITH ", "WITH RECURSIVE ")},
+        |pairs AS (SELECT doc_a, doc_b FROM jac WHERE jaccard >= 0.5),
+        |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+        |          UNION ALL SELECT doc_b AS src, doc_a AS dst FROM pairs),
+        |nodes AS (SELECT DISTINCT src AS doc_id FROM edges),
+        |reach(a, b) AS (
+        |  SELECT src, dst FROM edges
+        |  UNION
+        |  SELECT r.a, e.dst FROM reach r JOIN edges e ON e.src = r.b)
+        |SELECT n.doc_id, least(n.doc_id, min(r.b)) AS label
+        |FROM nodes n JOIN reach r ON r.a = n.doc_id
+        |GROUP BY 1""".stripMargin)),
 
     // Brute-force cosine top-k ANN baseline: 5 probes against the corpus.
     Q("q26_knn_cosine",

@@ -60,6 +60,20 @@ class DedupSpec extends SparkSpec {
   }
 }
 
+class DedupClustersSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("dedupClusters labels every member with the component minimum") {
+    // chain 1-2-3-4 (diameter 3) + separate pair 10-11
+    val pairs = Seq((2L, 1L), (2L, 3L), (3L, 4L), (10L, 11L))
+      .toDF("doc_a", "doc_b")
+    val got = Dedup.dedupClusters(pairs)
+      .orderBy($"doc_id").as[(Long, Long)].collect().toSeq
+    assert(got === Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 1L),
+      (10L, 10L), (11L, 10L)))
+  }
+}
+
 class SimilaritySpec extends SparkSpec {
   import spark.implicits._
 
