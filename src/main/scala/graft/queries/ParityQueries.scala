@@ -393,6 +393,27 @@ object ParityQueries {
         |  count(json_extract_string(props, '$.k')) AS n_k,
         |  round(CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
         |        / count(json_extract_string(props, '$.k')), 8) AS avg_k
-        |FROM events GROUP BY event_type""".stripMargin))
+        |FROM events GROUP BY event_type""".stripMargin)),
+
+    // The dashboard stat tiles (dashboard.py:146-156): latest value of the
+    // daily series, absolute change and percent return vs the prior day —
+    // `Analytics.statistics` verbatim over an exact-decimal daily total
+    // (all downstream arithmetic is deterministic IEEE, no rounding
+    // needed for the cross-engine hash).
+    Q("q38_stat_tiles",
+      (s, dir) => {
+        val series = Tables.orders(s, dir)
+          .groupBy(day(col("o_orderdate")).as("date"))
+          .agg(CoreOps.exactSum(col("o_totalprice"), 2).as("index_value"))
+        graft.marketviz.Analytics.statistics(series)
+      },
+      Some("""WITH dly AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS d,
+        |         CAST(SUM(CAST(o_totalprice AS DECIMAL(30,2))) AS DOUBLE) AS v
+        |  FROM orders GROUP BY 1),
+        |r AS (SELECT d, v, lag(v) OVER (ORDER BY d) AS prev FROM dly)
+        |SELECT v AS current_value, v - prev AS daily_change,
+        |       (v - prev) / prev * 100 AS daily_return
+        |FROM r ORDER BY d DESC LIMIT 1""".stripMargin))
   )
 }
