@@ -115,7 +115,10 @@ object CoreOps {
     val w = if (part.isEmpty) Window.orderBy(order: _*)
             else Window.partitionBy(part: _*).orderBy(order: _*)
     df.withColumn("prev", lag(arr, 1).over(w))
-      .withColumn("added", array_except(arr, col("prev")))
+      // coalesce keeps first-row semantics identical to lagArrayDiff's
+      // lambda filter: added = [] (not null) when prev is null, removed
+      // stays null — asserted equivalent in CoreOpsSpec
+      .withColumn("added", array_except(arr, coalesce(col("prev"), arr)))
       .withColumn("removed", array_except(col("prev"), arr))
   }
 

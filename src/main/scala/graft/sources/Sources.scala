@@ -145,6 +145,23 @@ object KeyedParquetStore {
     }
   }
 
+  /** Co-located join layout: write `df` as a BUCKETED (optionally
+    * bucket-sorted) table — `spark.table(name)` scans then expose the
+    * bucketing to the planner, so two tables bucketed identically on
+    * their join key sort-merge-join with NO exchange on either side
+    * (verified plan-level in SourcesSpec). This is the at-rest answer to
+    * repeated big-big joins at 100 TB: pay the shuffle once at write
+    * time, never again per query. Bucket count fixes reducer-side
+    * parallelism for the joins — size it to the cluster, not the data
+    * (buckets ≈ 2-4× executor cores). */
+  def writeBucketed(df: DataFrame, table: String, bucketCols: Seq[String],
+                    numBuckets: Int, sortCols: Seq[String] = Nil): Unit = {
+    val w = df.write.mode(SaveMode.Overwrite).format("parquet")
+      .bucketBy(numBuckets, bucketCols.head, bucketCols.tail: _*)
+    (if (sortCols.nonEmpty) w.sortBy(sortCols.head, sortCols.tail: _*) else w)
+      .saveAsTable(table)
+  }
+
   /** First-level-down traversal of `depth` partition directory levels. */
   private def partitionDirs(f: FileSystem, base: HPath, depth: Int): Seq[HPath] =
     if (depth == 0) Seq(base)

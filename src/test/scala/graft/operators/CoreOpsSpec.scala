@@ -82,6 +82,19 @@ class CoreOpsSpec extends SparkSpec {
     assert(got(3).getSeq[String](3) === Seq() && got(3).getSeq[String](4) === Seq())
   }
 
+  test("lagSetDiff equals lagArrayDiff on distinct-member arrays") {
+    // hash-based array_except vs the order/dup-preserving lambda filter:
+    // on SET-valued arrays (the W6 contract) they must coincide exactly
+    val df = Seq(
+      (1, Seq("a", "b", "c")), (2, Seq("b", "c", "d")), (3, Seq("b", "c", "d")),
+      (4, Seq("x")), (5, Seq.empty[String])
+    ).toDF("i", "arr")
+    def rows(d: org.apache.spark.sql.DataFrame) = d.orderBy($"i")
+      .select($"i", $"added", $"removed").collect().toSeq.map(_.toString)
+    assert(rows(CoreOps.lagSetDiff(df, Nil, Seq($"i"), $"arr")) ===
+      rows(CoreOps.lagArrayDiff(df, Nil, Seq($"i"), $"arr")))
+  }
+
   test("saltedExactSum equals the direct exact aggregation") {
     val df = (1 to 500).map(i => (i % 3, i * 1.01)).toDF("k", "v")
     val salted = CoreOps.saltedExactSum(df, Seq("k"), $"v", 4, "s", buckets = 8)

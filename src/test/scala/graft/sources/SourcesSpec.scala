@@ -85,6 +85,29 @@ class SourcesSpec extends SparkSpec {
     assert(new java.io.File(path).exists() && !new java.io.File(path + ".old").exists())
   }
 
+  test("bucketed tables sort-merge-join with zero exchanges") {
+    val wh = Files.createTempDirectory("bkt_wh").toString.replace("\\", "/")
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS bkt LOCATION '$wh'")
+    val facts = (1 to 1000).map(i => (i % 50L, i.toLong, i * 1.5))
+      .toDF("k", "fact_id", "v")
+    val dims = (0 until 50).map(i => (i.toLong, s"dim_$i")).toDF("k", "name")
+    KeyedParquetStore.writeBucketed(facts, "bkt.facts", Seq("k"), 4, Seq("k"))
+    KeyedParquetStore.writeBucketed(dims, "bkt.dims", Seq("k"), 4, Seq("k"))
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = spark.table("bkt.facts").join(spark.table("bkt.dims"), "k")
+      assert(joined.count() === 1000)
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), s"expected SMJ:\n$plan")
+      // the whole point of bucketing: both sides pre-shuffled at rest
+      assert(!plan.contains("Exchange"), s"expected no exchanges:\n$plan")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.sql("DROP DATABASE bkt CASCADE")
+    }
+  }
+
   test("partitioned store prunes partitions on date filters") {
     val path = Files.createTempDirectory("store_part").toString + "/stocks"
     val rows = (1 to 10).flatMap(day => Seq(("AAA", f"2024-01-$day%02d", day * 1.0, 1)))
