@@ -95,30 +95,29 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
-  /** K-means centroid training: `iters` Lloyd iterations seeded by the
-    * first `numCells` corpus vectors (deterministic seed — a production
-    * index samples instead; the iteration is identical). Each iteration
-    * is one broadcast assign + one per-(cell,component) aggregation;
-    * centroid count is tiny, so only the narrow (cell, pos, x) relation
-    * ever shuffles — the corpus itself never does.
+  /** K-means centroid training on the driver loop: `iters` Lloyd
+    * iterations seeded by the first `numCells` corpus vectors
+    * (deterministic seed — a production index samples instead; the
+    * iteration is identical). Returns `(cell, centroid)` sorted by cell.
     *
-    * Cross-engine exactness: component means route the sum through
-    * DECIMAL (order-insensitive, like [[CoreOps.exactSum]]) and divide by
-    * the exact count, then round to 8 dp — bit-identical in DuckDB, so
-    * the trained centroids (and everything downstream) oracle-check. A
-    * cell that captures no vectors drops out, same as the SQL formulation. */
-  def kmeansCentroids(corpus: DataFrame, numCells: Int, iters: Int): DataFrame = {
-    val c = corpus.select(col("vec_id").as("neighbor_id"), asDouble(col("embedding")).as("cv"))
-    var cents = corpus.filter(col("vec_id") < numCells)
-      .select(col("vec_id").as("cell"), asDouble(col("embedding")).as("centroid"))
-    val wAssign = Window.partitionBy(col("neighbor_id"))
-      .orderBy(col("cent_sim").desc, col("cell"))
+    * Assignment is a NARROW argmax against centroid array literals (the
+    * centroid set lives on the driver between iterations, like an MLlib
+    * model): no corpus×cells row explosion, no per-vector window — the
+    * only shuffle per iteration is the (cell, pos, x) component-mean
+    * aggregation. Cross-engine exactness: component means route the sum
+    * through DECIMAL and divide by the exact count, then round to 8 dp —
+    * bit-identical in DuckDB, so trained centroids (and everything
+    * downstream) oracle-check. A cell that captures no vectors drops
+    * out, same as the SQL formulation. */
+  def trainCentroids(corpus: DataFrame, numCells: Int,
+                     iters: Int): Seq[(Long, Seq[Double])] = {
+    val c = corpus.select(col("vec_id").as("id"), asDouble(col("embedding")).as("cv"))
+    var cents: Seq[(Long, Seq[Double])] = corpus.filter(col("vec_id") < numCells)
+      .select(col("vec_id"), asDouble(col("embedding")))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1))).sortBy(_._1).toSeq
     for (_ <- 0 until iters) {
-      val assigned = c.join(broadcast(cents), lit(true))
-        .withColumn("cent_sim", round(cosine(col("cv"), col("centroid")), 6))
-        .withColumn("r", row_number().over(wAssign)).filter(col("r") === 1)
-        .select(col("cell"), col("cv"))
-      cents = assigned
+      cents = c
+        .withColumn("cell", argmaxCell(col("cv"), cents))
         .select(col("cell"), posexplode(col("cv")).as(Seq("pos", "x")))
         .groupBy(col("cell"), col("pos"))
         .agg(round(
@@ -126,34 +125,62 @@ object Similarity {
             / count(lit(1)), 8).as("m"))
         .groupBy(col("cell"))
         .agg(graft.operators.CoreOps.orderedCollect(col("pos"), col("m")).as("centroid"))
+        .collect().map(r => (r.getLong(0), r.getSeq[Double](1))).sortBy(_._1).toSeq
     }
     cents
+  }
+
+  /** DataFrame face of [[trainCentroids]] (schema `(cell, centroid)`). */
+  def kmeansCentroids(corpus: DataFrame, numCells: Int, iters: Int): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    trainCentroids(corpus, numCells, iters).toDF("cell", "centroid")
+  }
+
+  /** Narrow argmax over centroid literals, as ONE `array_max` over
+    * `(sim, -cell)` structs — every similarity is computed exactly once
+    * (a when-chain fold would copy the running-best subtree per cell:
+    * exponential expression blowup). Struct ordering is lexicographic,
+    * so max = highest round-6 similarity, ties → highest `-cell` =
+    * LOWEST cell — identical to the window formulation (`cent_sim` DESC,
+    * cell ASC). Centroid norms fold to constants on the driver. A
+    * thousands-of-cells deployment swaps this for a matrix-multiply
+    * expression; the per-row-narrow shape is the point. */
+  private def argmaxCell(v: Column, cents: Seq[(Long, Seq[Double])]): Column = {
+    val entries = cents.map { case (cell, w) =>
+      val normW = math.sqrt(w.map(x => x * x).sum)
+      struct(round(dot(v, typedLit(w)) / (norm(v) * lit(normW)), 6).as("s"),
+        lit(-cell).as("negc"))
+    }
+    -array_max(array(entries: _*)).getField("negc")
   }
 
   /** IVF ANN: partition the corpus into `numCells` Voronoi cells around
     * k-means-trained centroids (`trainIters` Lloyd rounds over the
     * first-N seed; 0 = raw seed vectors), then scan only each probe's
-    * `nProbe` closest cells. The corpus cell assignment is the one-time
-    * index build (one centroid broadcast join); each query then touches
-    * `nProbe/numCells` of the data instead of all of it. Recall vs the
-    * brute-force baseline is the tuning knob, measured in SimilaritySpec. */
+    * `nProbe` closest cells. The index build assigns each corpus vector
+    * its cell with one narrow argmax pass (no explosion, no window —
+    * survives any corpus size); each query then touches `nProbe/numCells`
+    * of the data instead of all of it. Recall vs the brute-force baseline
+    * is the tuning knob, measured in SimilaritySpec. */
   def ivfTopK(corpus: DataFrame, probes: DataFrame, k: Int,
               numCells: Int = 8, nProbe: Int = 2, trainIters: Int = 2): DataFrame = {
-    val c = corpus.select(col("vec_id").as("neighbor_id"), asDouble(col("embedding")).as("cv"))
-    // The trained index is numCells rows; cache it so the corpus-assign
-    // and probe-assign joins don't each re-run the Lloyd iterations.
-    val cents = kmeansCentroids(corpus, numCells, trainIters).cache()
-    val wAssign = Window.partitionBy(col("neighbor_id"))
-      .orderBy(col("cent_sim").desc, col("cell"))
-    val assigned = c.join(broadcast(cents), lit(true))
-      .withColumn("cent_sim", round(cosine(col("cv"), col("centroid")), 6))
-      .withColumn("r", row_number().over(wAssign)).filter(col("r") === 1)
-      .select(col("neighbor_id"), col("cv"), col("cell"))
+    val cents = trainCentroids(corpus, numCells, trainIters)
+    val assigned = corpus
+      .select(col("vec_id").as("neighbor_id"), asDouble(col("embedding")).as("cv"))
+      .withColumn("cell", argmaxCell(col("cv"), cents))
+    // probe side: nProbe CLOSEST cells per probe — probes are few, so the
+    // tiny probes×cells expansion + window is the right tool here
     val p = probes.select(col("vec_id").as("probe_id"), asDouble(col("embedding")).as("pv"))
+    val centRows = cents.map { case (cell, w) =>
+      struct(lit(cell).as("cell"), typedLit(w).as("centroid"))
+    }
     val wProbe = Window.partitionBy(col("probe_id"))
       .orderBy(col("cent_sim").desc, col("cell"))
-    val probeCells = p.join(broadcast(cents), lit(true))
-      .withColumn("cent_sim", round(cosine(col("pv"), col("centroid")), 6))
+    val probeCells = p
+      .select(col("probe_id"), col("pv"), explode(array(centRows: _*)).as("c"))
+      .select(col("probe_id"), col("pv"), col("c.cell").as("cell"),
+        round(cosine(col("pv"), col("c.centroid")), 6).as("cent_sim"))
       .withColumn("r", row_number().over(wProbe)).filter(col("r") <= nProbe)
       .select(col("probe_id"), col("pv"), col("cell"))
     val w = Window.partitionBy(col("probe_id"))
