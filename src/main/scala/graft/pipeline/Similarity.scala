@@ -74,25 +74,47 @@ object Similarity {
       when(dot(vec, plane) > 0, lit(1L << b)).otherwise(0L)
     }.reduce(_ + _)
 
-  /** LSH-bucketed ANN: probes and corpus rows that share a signature are
-    * scored exactly; others are never compared. Returns the same schema as
-    * `bruteForceTopK` (some probes may surface < k or zero neighbors —
-    * that is the recall trade-off, measured against the brute-force path
-    * in tests). `dim` is the embedding dimensionality (hyperplanes are
-    * plan-time constants of that width). */
-  def lshTopK(corpus: DataFrame, probes: DataFrame, k: Int, bits: Int = 8,
-              dim: Int = 64): DataFrame = {
+  /** Per-table signature array `[(t, sig)]`: `tables` independent
+    * signature tables of `bits` sign bits each — table t uses hyperplanes
+    * seeded `t*bits .. t*bits+bits-1`, so every plane is distinct and
+    * DuckDB rebuilds the same family from one seed range. */
+  private def lshSignatures(vec: Column, bits: Int, tables: Int, dim: Int): Column =
+    array((0 until tables).map { t =>
+      struct(lit(t).as("t"),
+        (0 until bits).map { b =>
+          val plane = typedLit((0 until dim).map(i => planeComponent(t * bits + b, i)))
+          when(dot(vec, plane) > 0, lit(1L << b)).otherwise(0L)
+        }.reduce(_ + _).as("sig"))
+    }: _*)
+
+  /** MULTI-TABLE LSH ANN: a (probe, corpus) pair is scored iff it shares
+    * a signature in ANY of the `tables` tables — the OR-of-ANDs
+    * construction (the banding trick, same as MinHash LSH): single-table
+    * sign-LSH has near-zero top-k recall at useful bit widths (measured
+    * in SimilaritySpec), while L tables of fewer bits trade bounded extra
+    * candidates for recall ≈ 1-(1-p^bits)^tables. Scale knobs: grow
+    * `bits` with corpus size (bucket occupancy), `tables` with target
+    * recall. The signature computation is `tables × bits` codegen'd dot
+    * products against constant plane literals; the join touches only
+    * colliding buckets; duplicate cross-table candidates collapse before
+    * scoring. */
+  def lshTopK(corpus: DataFrame, probes: DataFrame, k: Int, bits: Int = 4,
+              tables: Int = 8, dim: Int = 64): DataFrame = {
     val p = probes.select(col("vec_id").as("probe_id"), asDouble(col("embedding")).as("pv"))
-      .withColumn("sig", rhpSignature(col("pv"), bits, dim))
+      .withColumn("ts", explode(lshSignatures(col("pv"), bits, tables, dim)))
+      .select(col("probe_id"), col("pv"), col("ts.t").as("t"), col("ts.sig").as("sig"))
     val c = corpus.select(col("vec_id").as("neighbor_id"), asDouble(col("embedding")).as("cv"))
-      .withColumn("sig", rhpSignature(col("cv"), bits, dim))
-    val scored = c.join(broadcast(p), Seq("sig"))
+      .withColumn("ts", explode(lshSignatures(col("cv"), bits, tables, dim)))
+      .select(col("neighbor_id"), col("cv"), col("ts.t").as("t"), col("ts.sig").as("sig"))
+    val cand = c.join(broadcast(p), Seq("t", "sig"))
       .filter(col("probe_id") =!= col("neighbor_id"))
-      .select(col("probe_id"), col("neighbor_id"),
-        round(cosine(col("pv"), col("cv")), 6).as("cos_sim"))
+      .dropDuplicates("probe_id", "neighbor_id")
     val w = Window.partitionBy(col("probe_id"))
       .orderBy(col("cos_sim").desc, col("neighbor_id"))
-    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+    cand
+      .select(col("probe_id"), col("neighbor_id"),
+        round(cosine(col("pv"), col("cv")), 6).as("cos_sim"))
+      .withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
   /** K-means centroid training on the driver loop: `iters` Lloyd

@@ -356,15 +356,15 @@ object PipelineQueries {
         |        ORDER BY cos_sim DESC, neighbor_id) AS rank FROM s)
         |SELECT probe_id, neighbor_id, cos_sim, rank FROM r WHERE rank <= 5""".stripMargin)),
 
-    // Random-hyperplane LSH ANN: 8 md5-derived constant hyperplanes → one
-    // signature per vector (8 codegen'd dot products) → bucket equi-join.
-    // Only same-signature pairs are ever scored — the bucketed scale path
-    // whose recall is measured against q26's brute force in SimilaritySpec.
+    // Multi-table random-hyperplane LSH ANN: 8 tables × 4 sign bits from
+    // md5-derived constant hyperplanes; a pair is scored iff it collides
+    // in ANY table (the banding trick — single-table sign-LSH measures
+    // near-zero top-k recall; this measures ~0.7 in SimilaritySpec).
     Q("q35_lsh_knn",
       (s, dir) => {
         val emb = Tables.embeddings(s, dir)
         Similarity.lshTopK(emb, emb.filter(col("vec_id") < 5), k = 5,
-          bits = 8, dim = 64)
+          bits = 4, tables = 8, dim = 64)
           .select(col("probe_id"), col("neighbor_id"), col("cos_sim"),
             col("rank").cast("long").as("rank"))
       },
@@ -373,20 +373,22 @@ object PipelineQueries {
         |  SELECT b, list_transform(range(0, 64), i ->
         |    (CAST(('0x' || substr(md5(CAST(b AS VARCHAR) || '_' || CAST(i AS VARCHAR)), 1, 15)) AS BIGINT)
         |     % 1000000) / 1000000.0 - 0.5) AS w
-        |  FROM range(0, 8) t(b)),
-        |sig AS (
-        |  SELECT v.vec_id,
+        |  FROM range(0, 32) t(b)),
+        |sigs AS (
+        |  SELECT v.vec_id, CAST(p.b // 4 AS INT) AS t,
         |         CAST(SUM(CASE WHEN list_dot_product(v.e, p.w) > 0
-        |              THEN (CAST(1 AS BIGINT) << CAST(p.b AS INT)) ELSE 0 END) AS BIGINT) AS sig
-        |  FROM v, planes p GROUP BY 1),
+        |              THEN (CAST(1 AS BIGINT) << CAST(p.b % 4 AS INT)) ELSE 0 END) AS BIGINT) AS sig
+        |  FROM v, planes p GROUP BY 1, 2),
+        |cand AS (
+        |  SELECT DISTINCT sp.vec_id AS probe_id, sc.vec_id AS neighbor_id
+        |  FROM sigs sp JOIN sigs sc ON sc.t = sp.t AND sc.sig = sp.sig
+        |  WHERE sp.vec_id < 5 AND sc.vec_id <> sp.vec_id),
         |s AS (
-        |  SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id,
+        |  SELECT cand.probe_id, cand.neighbor_id,
         |         ${cosSql("p.e", "c.e")} AS cos_sim
-        |  FROM v p
-        |  JOIN sig sp ON sp.vec_id = p.vec_id
-        |  JOIN sig sc ON sc.sig = sp.sig
-        |  JOIN v c ON c.vec_id = sc.vec_id AND c.vec_id <> p.vec_id
-        |  WHERE p.vec_id < 5),
+        |  FROM cand
+        |  JOIN v p ON p.vec_id = cand.probe_id
+        |  JOIN v c ON c.vec_id = cand.neighbor_id),
         |r AS (SELECT *, row_number() OVER (PARTITION BY probe_id
         |        ORDER BY cos_sim DESC, neighbor_id) AS rank FROM s)
         |SELECT probe_id, neighbor_id, cos_sim, rank FROM r WHERE rank <= 5""".stripMargin)),

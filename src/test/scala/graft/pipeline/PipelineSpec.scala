@@ -97,7 +97,8 @@ class SimilaritySpec extends SparkSpec {
   }
 
   test("lshTopK finds the identical vector (same bucket by construction)") {
-    val got = Similarity.lshTopK(vectors, vectors.filter($"vec_id" === 0), 3, bits = 6, dim = 4)
+    val got = Similarity.lshTopK(vectors, vectors.filter($"vec_id" === 0), 3,
+      bits = 3, tables = 2, dim = 4)
       .select($"neighbor_id").as[Long].collect().toSet
     assert(got.contains(3L)) // identical vector always shares the signature
     assert(!got.contains(4L)) // opposite vector flips every plane sign
@@ -143,6 +144,30 @@ class SimilaritySpec extends SparkSpec {
     val got = Similarity.cosinePairs(vectors, 0.999)
       .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
     assert(got === Set((0L, 3L)))
+  }
+
+  test("measured recall@5 vs brute force on real embeddings (LSH and IVF)") {
+    // quantified recall on the sf0.001 testdata corpus: for each of 20
+    // probes, |approx top-5 ∩ exact top-5| / 5, averaged
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val probes = emb.filter($"vec_id" < 20)
+    def top5(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
+      df.select($"probe_id", $"neighbor_id").as[(Long, Long)].collect()
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val exact = top5(Similarity.bruteForceTopK(emb, probes, 5))
+    def recall(approx: Map[Long, Set[Long]]): Double =
+      exact.map { case (p, want) =>
+        approx.getOrElse(p, Set.empty).count(want).toDouble / want.size
+      }.sum / exact.size
+    val lshRecall = recall(top5(Similarity.lshTopK(emb, probes, 5,
+      bits = 4, tables = 8, dim = 64)))
+    val ivfRecall = recall(top5(Similarity.ivfTopK(emb, probes, 5,
+      numCells = 8, nProbe = 2, trainIters = 2)))
+    info(f"recall@5: lsh=$lshRecall%.3f ivf=$ivfRecall%.3f")
+    // floors chosen below current measurements (lsh≈0.69, ivf≈0.68) to
+    // catch regressions, not to flatter
+    assert(ivfRecall >= 0.5, s"IVF recall@5 regressed: $ivfRecall")
+    assert(lshRecall >= 0.6, s"LSH recall@5 regressed: $lshRecall")
   }
 
   test("cosinePairsLsh finds exact copies within buckets, never opposites") {
