@@ -163,11 +163,17 @@ class SimilaritySpec extends SparkSpec {
       bits = 4, tables = 8, dim = 64)))
     val ivfRecall = recall(top5(Similarity.ivfTopK(emb, probes, 5,
       numCells = 8, nProbe = 2, trainIters = 2)))
-    info(f"recall@5: lsh=$lshRecall%.3f ivf=$ivfRecall%.3f")
+    val ivfStubRecall = recall(top5(Similarity.ivfTopK(emb, probes, 5,
+      numCells = 8, nProbe = 2, trainIters = 0)))
+    info(f"recall@5: lsh=$lshRecall%.3f ivf=$ivfRecall%.3f ivf-untrained=$ivfStubRecall%.3f")
     // floors chosen below current measurements (lsh≈0.69, ivf≈0.68) to
     // catch regressions, not to flatter
     assert(ivfRecall >= 0.5, s"IVF recall@5 regressed: $ivfRecall")
     assert(lshRecall >= 0.6, s"LSH recall@5 regressed: $lshRecall")
+    // k-means training must not LOSE recall vs the raw first-N seed
+    // (small tolerance: cell boundaries shift, individual probes can swap)
+    assert(ivfRecall >= ivfStubRecall - 0.1,
+      s"training hurt recall: trained=$ivfRecall untrained=$ivfStubRecall")
   }
 
   test("cosinePairsLsh finds exact copies within buckets, never opposites") {
