@@ -63,6 +63,28 @@ class SourcesSpec extends SparkSpec {
       ("BBB", "2024-01-01", 3.0), ("CCC", "2024-01-03", 7.0)))
   }
 
+  test("partition-scoped upsert handles MULTI-LEVEL partitioning") {
+    val path = Files.createTempDirectory("store_multi").toString + "/t"
+    val v1 = Seq(("2024-01-01", "AAA", 1.0, 1), ("2024-01-01", "BBB", 2.0, 1),
+      ("2024-01-02", "AAA", 3.0, 1)).toDF("date", "ticker", "price", "ver")
+    KeyedParquetStore.upsert(spark, path, v1, Seq("date", "ticker"), Seq($"ver"),
+      partitionCols = Seq("date", "ticker"))
+    val untouched = new java.io.File(s"$path/date=2024-01-01/ticker=BBB")
+    val before = untouched.listFiles().map(f => (f.getName, f.length, f.lastModified)).toSeq.sorted
+    Thread.sleep(1000)
+    // touches (Jan1, AAA) and a brand-new (Jan2, CCC) leaf only
+    val v2 = Seq(("2024-01-01", "AAA", 9.0, 2), ("2024-01-02", "CCC", 7.0, 2))
+      .toDF("date", "ticker", "price", "ver")
+    KeyedParquetStore.upsert(spark, path, v2, Seq("date", "ticker"), Seq($"ver"),
+      partitionCols = Seq("date", "ticker"))
+    assert(untouched.listFiles().map(f => (f.getName, f.length, f.lastModified)).toSeq.sorted === before)
+    val got = KeyedParquetStore.read(spark, path).get
+      .select($"date".cast("string"), $"ticker", $"price")
+      .as[(String, String, Double)].collect().toSeq.sorted
+    assert(got === Seq(("2024-01-01", "AAA", 9.0), ("2024-01-01", "BBB", 2.0),
+      ("2024-01-02", "AAA", 3.0), ("2024-01-02", "CCC", 7.0)))
+  }
+
   test("upsert version tie prefers the incoming row (INSERT OR REPLACE)") {
     val path = Files.createTempDirectory("store_tie").toString + "/dim"
     val v1 = Seq(("AAA", 10.0, 1)).toDF("ticker", "price", "ver")
