@@ -115,6 +115,30 @@ object TextAnalysis {
   def hashedShingles(docs: DataFrame, n: Int = 3): DataFrame =
     shingles(docs, n).select(col("doc_id"), md5Hash60(col("shingle")).as("h"))
 
+  /** TF-IDF keyword extraction: top-`k` terms per document by
+    * `tf · ln((N+1)/(df+1))` (smoothed idf), deterministic tiebreak on
+    * the term. Shuffle profile: one (doc_id, term) aggregation for TF,
+    * one term aggregation for DF (narrow counts — term strings shuffle
+    * once each), a broadcast of the tiny DF relation back onto TF, and a
+    * rank-limit window per doc. Scores round to 6 dp so the ranking (and
+    * the DuckDB differential) is stable across libm ulp differences in
+    * `ln`. */
+  def tfidfTopTerms(docs: DataFrame, k: Int): DataFrame = {
+    val tok = docs.select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+    val tf = tok.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val n = docs.select(countDistinct(col("doc_id")).as("n_docs"))
+    val scored = tf
+      .join(broadcast(df), Seq("term"))
+      .crossJoin(broadcast(n))
+      .withColumn("tfidf",
+        round(col("tf") * log((col("n_docs") + 1) / (col("df") + 1)), 6))
+    graft.operators.CoreOps.topKPerGroup(scored,
+        Seq(col("doc_id")), Seq(col("tfidf").desc, col("term")), k)
+      .select(col("doc_id"), col("term"), col("tf"), col("df"),
+        col("tfidf"), col("rn").cast("long").as("rank"))
+  }
+
   /** Rolling-hash document fingerprint: min / max / count over the shingle
     * hashes — a compact signature for shard-level pre-clustering. Runs on
     * `hashedShingles` so the hash is computed once per shingle (separate

@@ -470,6 +470,27 @@ object PipelineQueries {
         |SELECT * FROM f
         |WHERE n_tokens >= 40 AND stopword_ratio <= 0.2 AND short_token_ratio <= 0.3""".stripMargin)),
 
+    // TF-IDF keyword extraction: top-5 terms per document with smoothed
+    // idf; scores rounded to 6 dp so libm ulp differences in ln can't
+    // perturb the cross-engine ranking.
+    Q("q39_tfidf",
+      (s, dir) =>
+        TextAnalysis.tfidfTopTerms(
+          Tables.documents(s, dir).select(col("doc_id"), col("text")), k = 5),
+      Some("""WITH tok AS (
+        |  SELECT doc_id, unnest(regexp_split_to_array(text, '\s+')) AS term
+        |  FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+        |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+        |scored AS (
+        |  SELECT tf.doc_id, tf.term, tf.tf, df.df,
+        |         round(tf.tf * ln((n.n_docs + 1) * 1.0 / (df.df + 1)), 6) AS tfidf
+        |  FROM tf JOIN df USING (term), n),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+        |        ORDER BY tfidf DESC, term) AS rank FROM scored)
+        |SELECT doc_id, term, tf, df, tfidf, rank FROM r WHERE rank <= 5""".stripMargin)),
+
     // Multimodal metadata path: binary payload + deterministic stub decode
     // (byte count / first byte / frame-sample count / checksum); the
     // mapPartitions batch plumbing is exercised by this same module in

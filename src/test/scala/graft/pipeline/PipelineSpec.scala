@@ -60,6 +60,27 @@ class DedupSpec extends SparkSpec {
   }
 }
 
+class TfIdfSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("tfidfTopTerms ranks distinctive terms above common ones") {
+    val docs = Seq(
+      (1L, "spark spark spark shared"),
+      (2L, "duck duck shared"),
+      (3L, "goose shared")
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.tfidfTopTerms(docs, k = 2)
+      .filter($"doc_id" === 1L).orderBy($"rank")
+      .select($"term", $"tf", $"df").as[(String, Long, Long)].collect().toSeq
+    // 'spark' (tf=3, df=1) must outrank 'shared' (tf=1, df=3, idf=ln(1)=0)
+    assert(got.head === (("spark", 3L, 1L)))
+    assert(got(1)._1 === "shared")
+    val sharedScore = TextAnalysis.tfidfTopTerms(docs, 2)
+      .filter($"term" === "shared").select($"tfidf").as[Double].head()
+    assert(sharedScore === 0.0) // df == n_docs -> smoothed idf = ln(1) = 0
+  }
+}
+
 class DedupClustersSpec extends SparkSpec {
   import spark.implicits._
 
