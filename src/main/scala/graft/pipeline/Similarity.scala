@@ -100,18 +100,27 @@ object Similarity {
     * scoring. */
   def lshTopK(corpus: DataFrame, probes: DataFrame, k: Int, bits: Int = 4,
               tables: Int = 8, dim: Int = 64): DataFrame = {
-    val p = probes.select(col("vec_id").as("probe_id"), asDouble(col("embedding")).as("pv"))
+    // Candidate generation is ID-ONLY: the corpus side of the bucket join
+    // carries (t, sig, id) — never embedding arrays — so the exchange is
+    // id-width regardless of dim, and a hot bucket skews a narrow
+    // relation (same shape as Dedup.minhashLsh's band join).
+    val pSig = probes.select(col("vec_id").as("probe_id"), asDouble(col("embedding")).as("pv"))
       .withColumn("ts", explode(lshSignatures(col("pv"), bits, tables, dim)))
-      .select(col("probe_id"), col("pv"), col("ts.t").as("t"), col("ts.sig").as("sig"))
-    val c = corpus.select(col("vec_id").as("neighbor_id"), asDouble(col("embedding")).as("cv"))
+      .select(col("probe_id"), col("ts.t").as("t"), col("ts.sig").as("sig"))
+    val cSig = corpus.select(col("vec_id").as("neighbor_id"), asDouble(col("embedding")).as("cv"))
       .withColumn("ts", explode(lshSignatures(col("cv"), bits, tables, dim)))
-      .select(col("neighbor_id"), col("cv"), col("ts.t").as("t"), col("ts.sig").as("sig"))
-    val cand = c.join(broadcast(p), Seq("t", "sig"))
+      .select(col("neighbor_id"), col("ts.t").as("t"), col("ts.sig").as("sig"))
+    val candIds = cSig.join(broadcast(pSig), Seq("t", "sig"))
       .filter(col("probe_id") =!= col("neighbor_id"))
-      .dropDuplicates("probe_id", "neighbor_id")
+      .select("probe_id", "neighbor_id").distinct()
+    // Scoring re-attaches vectors via broadcasts of the tiny candidate
+    // and probe relations — the corpus is scanned, never shuffled.
+    val p = probes.select(col("vec_id").as("probe_id"), asDouble(col("embedding")).as("pv"))
+    val c = corpus.select(col("vec_id").as("neighbor_id"), asDouble(col("embedding")).as("cv"))
     val w = Window.partitionBy(col("probe_id"))
       .orderBy(col("cos_sim").desc, col("neighbor_id"))
-    cand
+    c.join(broadcast(candIds), Seq("neighbor_id"))
+      .join(broadcast(p), Seq("probe_id"))
       .select(col("probe_id"), col("neighbor_id"),
         round(cosine(col("pv"), col("cv")), 6).as("cos_sim"))
       .withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
