@@ -115,6 +115,9 @@ class SourcesSpec extends SparkSpec {
     val dims = (0 until 50).map(i => (i.toLong, s"dim_$i")).toDF("k", "name")
     KeyedParquetStore.writeBucketed(facts, "bkt.facts", Seq("k"), 4, Seq("k"))
     KeyedParquetStore.writeBucketed(dims, "bkt.dims", Seq("k"), 4, Seq("k"))
+    // S8: catalog existence check — the reference's table-exists guard
+    assert(spark.catalog.tableExists("bkt.facts"))
+    assert(!spark.catalog.tableExists("bkt.nonexistent"))
     val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     try {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
