@@ -165,6 +165,22 @@ object Dedup {
     labels
   }
 
+  /** Apply a dedup decision: keep only rows whose id appears in
+    * `keeperIds` — a LEFT SEMI join, so the corpus never duplicates and
+    * `keeperIds` (small — one id per surviving group) broadcasts. */
+  def keepCanonical(docs: DataFrame, keeperIds: DataFrame,
+                    idCol: String = "doc_id"): DataFrame =
+    docs.join(keeperIds.select(col(idCol)), Seq(idCol), "left_semi")
+
+  /** Apply a cluster decision from [[dedupClusters]]: drop every NON-
+    * canonical cluster member (id ≠ label) — a LEFT ANTI join; docs in no
+    * cluster (singletons, absent from `labels`) survive by construction. */
+  def dropNonCanonical(docs: DataFrame, labels: DataFrame,
+                       idCol: String = "doc_id"): DataFrame =
+    docs.join(
+      labels.filter(col("doc_id") =!= col("label")).select(col("doc_id").as(idCol)),
+      Seq(idCol), "left_anti")
+
   /** All-pairs n-gram Jaccard via shingle equi-join — QUADRATIC in docs
     * sharing a shingle; the small-scale baseline the LSH path is verified
     * against. */

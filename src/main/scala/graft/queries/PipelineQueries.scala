@@ -470,6 +470,27 @@ object PipelineQueries {
         |SELECT * FROM f
         |WHERE n_tokens >= 40 AND stopword_ratio <= 0.2 AND short_token_ratio <= 0.3""".stripMargin)),
 
+    // Apply the exact-dedup decision back to the corpus: semi-join the
+    // planted-duplicate corpus onto its per-hash survivors (§2.3's
+    // missing family — semi/anti joins).
+    Q("q40_dedup_keep",
+      (s, dir) => {
+        val d = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+        val all = d.unionByName(
+          d.select((col("doc_id") + 100000).as("doc_id"), col("text")))
+        Dedup.keepCanonical(all, Dedup.exact(all).select(col("kept_id").as("doc_id")))
+          .select(col("doc_id"), length(col("text")).cast("long").as("text_len"))
+      },
+      Some("""WITH all_docs AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL SELECT doc_id + 100000 AS doc_id, text FROM documents),
+        |keep AS (
+        |  SELECT min(doc_id) AS doc_id
+        |  FROM all_docs
+        |  GROUP BY CAST(('0x' || substr(md5(text), 1, 15)) AS BIGINT))
+        |SELECT a.doc_id, CAST(length(a.text) AS BIGINT) AS text_len
+        |FROM all_docs a JOIN keep USING (doc_id)""".stripMargin)),
+
     // TF-IDF keyword extraction: top-5 terms per document with smoothed
     // idf; scores rounded to 6 dp so libm ulp differences in ln can't
     // perturb the cross-engine ranking.

@@ -93,6 +93,15 @@ class DedupClustersSpec extends SparkSpec {
     assert(got === Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 1L),
       (10L, 10L), (11L, 10L)))
   }
+
+  test("dropNonCanonical keeps cluster minima and untouched singletons") {
+    val docs = (1L to 6L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val labels = Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 4L), (5L, 4L))
+      .toDF("doc_id", "label") // doc 6 is a singleton, absent from labels
+    val kept = Dedup.dropNonCanonical(docs, labels)
+      .select($"doc_id").as[Long].collect().toSeq.sorted
+    assert(kept === Seq(1L, 4L, 6L))
+  }
 }
 
 class SimilaritySpec extends SparkSpec {
