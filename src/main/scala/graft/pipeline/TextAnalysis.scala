@@ -115,6 +115,28 @@ object TextAnalysis {
   def hashedShingles(docs: DataFrame, n: Int = 3): DataFrame =
     shingles(docs, n).select(col("doc_id"), md5Hash60(col("shingle")).as("h"))
 
+  /** Sketch-based corpus statistics per `group`: approximate distinct
+    * documents/tokens (HyperLogLog++, `rsd` relative error) and length
+    * quantiles (Greenwald-Khanna sketch). At 100 TB these are THE way to
+    * profile a corpus — exact distincts shuffle every value, sketches
+    * shuffle a few KB per partition and merge associatively. Accuracy vs
+    * the exact aggregation is asserted in TextAnalysisSpec; no DuckDB
+    * oracle (sketch implementations differ across engines by design). */
+  def corpusSketch(docs: DataFrame, group: String, rsd: Double = 0.02): DataFrame = {
+    // doc-grain and token-grain sketches aggregate separately (an explode
+    // before the quantile would weight each document by its token count),
+    // then join on the tiny group key.
+    val docStats = docs.groupBy(col(group)).agg(
+      approx_count_distinct(col("doc_id"), rsd).as("approx_docs"),
+      percentile_approx(length(col("text")).cast("double"), array(lit(0.5), lit(0.9), lit(0.99)),
+        lit(10000)).as("len_quantiles"))
+    val tokStats = docs
+      .select(col(group), explode(tokens(col("text"))).as("tok"))
+      .groupBy(col(group))
+      .agg(approx_count_distinct(col("tok"), rsd).as("approx_distinct_tokens"))
+    docStats.join(tokStats, Seq(group))
+  }
+
   /** TF-IDF keyword extraction: top-`k` terms per document by
     * `tf · ln((N+1)/(df+1))` (smoothed idf), deterministic tiebreak on
     * the term. Shuffle profile: one (doc_id, term) aggregation for TF,

@@ -470,6 +470,18 @@ object PipelineQueries {
         |SELECT * FROM f
         |WHERE n_tokens >= 40 AND stopword_ratio <= 0.2 AND short_token_ratio <= 0.3""".stripMargin)),
 
+    // Sketch-based corpus profiling (HLL++ distincts + GK quantiles): the
+    // 100 TB way to profile a corpus — sketches shuffle KBs, not values.
+    // No oracle by design (sketch algorithms differ across engines); the
+    // driver records the rows-only check, and TextAnalysisSpec bounds the
+    // approximation error against the exact aggregation.
+    Q("q41_corpus_sketch",
+      (s, dir) =>
+        TextAnalysis.corpusSketch(
+          Tables.documents(s, dir).select(col("source"), col("doc_id"), col("text")),
+          group = "source"),
+      None),
+
     // Apply the exact-dedup decision back to the corpus: semi-join the
     // planted-duplicate corpus onto its per-hash survivors (§2.3's
     // missing family — semi/anti joins).

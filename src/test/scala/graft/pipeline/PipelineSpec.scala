@@ -60,6 +60,33 @@ class DedupSpec extends SparkSpec {
   }
 }
 
+class CorpusSketchSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("sketch statistics land within tolerance of the exact aggregation") {
+    val docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+      .select($"source", $"doc_id", $"text")
+    val sk = TextAnalysis.corpusSketch(docs, "source").collect()
+      .map(r => r.getString(0) -> r).toMap
+    val exact = docs
+      .select($"source", $"doc_id", explode(TextAnalysis.tokens($"text")).as("tok"))
+      .groupBy($"source")
+      .agg(countDistinct($"doc_id").as("docs"), countDistinct($"tok").as("toks"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(sk.keySet === exact.keySet)
+    exact.foreach { case (src, (nDocs, nToks)) =>
+      val row = sk(src)
+      assert(math.abs(row.getLong(1) - nDocs).toDouble / nDocs <= 0.05,
+        s"$src approx_docs ${row.getLong(1)} vs exact $nDocs")
+      assert(math.abs(row.getLong(3) - nToks).toDouble / nToks <= 0.05,
+        s"$src approx_distinct_tokens ${row.getLong(3)} vs exact $nToks")
+      // median length must sit inside the group's observed min/max
+      val q = row.getSeq[Double](2)
+      assert(q.length === 3 && q(0) <= q(1) && q(1) <= q(2))
+    }
+  }
+}
+
 class TfIdfSpec extends SparkSpec {
   import spark.implicits._
 
