@@ -195,9 +195,9 @@ object PipelineQueries {
     Q("q24_ngram_jaccard",
       (s, dir) =>
         Dedup.allPairsJaccard(
-          Tables.documents(s, dir).filter(col("doc_id") < 1000)
+          Tables.documents(s, dir).filter(col("doc_id") < 500)
             .select(col("doc_id"), col("text")), 3, 0.5),
-      Some(s"""${shinglesSql(" WHERE doc_id < 1000")},
+      Some(s"""${shinglesSql(" WHERE doc_id < 500")},
         |$hashedSql,
         |cand AS (
         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
