@@ -151,14 +151,16 @@ object Dedup {
       val nbrMin = edges
         .join(labels.select(col("doc_id").as("src"), col("label")), "src")
         .groupBy(col("dst").as("doc_id")).agg(min("label").as("nbr_min"))
+      // change detection rides the propagation select (old label is right
+      // here), so convergence costs one filter over the checkpoint — not
+      // an extra join of two label snapshots per round
       val next = labels.join(nbrMin, Seq("doc_id"), "left")
         .select(col("doc_id"),
-          least(col("label"), coalesce(col("nbr_min"), col("label"))).as("label"))
+          least(col("label"), coalesce(col("nbr_min"), col("label"))).as("label"),
+          (col("nbr_min") < col("label")).as("__changed"))
         .localCheckpoint()
-      converged = next
-        .join(labels.withColumnRenamed("label", "old"), "doc_id")
-        .filter(col("label") =!= col("old")).isEmpty
-      labels = next
+      converged = next.filter(col("__changed")).isEmpty
+      labels = next.drop("__changed")
       i += 1
     }
     edges.unpersist()
