@@ -68,4 +68,29 @@ object Multimodal {
     import spark.implicits._
     extractFeatures(fromDocuments(docs).as[MediaRow])
   }
+
+  /** One sampled frame: offset/length into the payload + stub checksum
+    * (a real decoder emits pixel/PCM buffers; same row shape). */
+  final case class FrameRow(media_id: Long, frame_idx: Int, offset: Long,
+                            n_bytes: Long, checksum: Long)
+
+  /** Frame sampling — the ONE-TO-MANY decode shape (each media row yields
+    * N frame rows), the form real video/audio extraction takes under
+    * `mapInPandas`/`flatMap`: iterator-in/iterator-out per partition, no
+    * shuffle, output fan-out bounded by payload size. The stub "frame" is
+    * a `frameSize`-byte slice with an unsigned-byte checksum; a real
+    * build swaps the slicer for a codec and keeps the row shape. */
+  def sampleFrames(media: Dataset[MediaRow], frameSize: Int = 100): Dataset[FrameRow] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.flatMap { r =>
+        r.payload.grouped(frameSize).zipWithIndex.map { case (bytes, i) =>
+          var sum = 0L
+          var j = 0
+          while (j < bytes.length) { sum += (bytes(j) & 0xffL); j += 1 }
+          FrameRow(r.media_id, i, i.toLong * frameSize, bytes.length.toLong, sum)
+        }
+      }
+    }
+  }
 }

@@ -470,6 +470,30 @@ object PipelineQueries {
         |SELECT * FROM f
         |WHERE n_tokens >= 40 AND stopword_ratio <= 0.2 AND short_token_ratio <= 0.3""".stripMargin)),
 
+    // Frame sampling: the one-to-many decode shape (media row → N frame
+    // rows) with byte-exact offsets/checksums — the oracle walks the
+    // same 100-byte windows over the hex payload.
+    Q("q42_frame_sample",
+      (s, dir) =>
+        Multimodal.sampleFrames(
+          Multimodal.fromDocuments(Tables.documents(s, dir))
+            .as[Multimodal.MediaRow](org.apache.spark.sql.Encoders.product[Multimodal.MediaRow]),
+          frameSize = 100).toDF()
+          .withColumnRenamed("offset", "frame_offset"),
+      Some("""WITH b AS (
+        |  SELECT doc_id, hex(encode(text)) AS h,
+        |         octet_length(encode(text)) AS n FROM documents),
+        |f AS (
+        |  SELECT doc_id, CAST(fi AS INT) AS frame_idx, fi * 100 AS off,
+        |         LEAST(n - fi * 100, 100) AS nb, h
+        |  FROM b, UNNEST(range(0, (n + 99) // 100)) AS t(fi)
+        |  WHERE n > 0)
+        |SELECT doc_id AS media_id, frame_idx,
+        |  CAST(off AS BIGINT) AS frame_offset, CAST(nb AS BIGINT) AS n_bytes,
+        |  CAST(COALESCE(list_sum(list_transform(range(0, nb),
+        |       j -> CAST(('0x' || substr(h, CAST((off + j) * 2 + 1 AS INT), 2)) AS BIGINT))), 0) AS BIGINT) AS checksum
+        |FROM f""".stripMargin)),
+
     // Sketch-based corpus profiling (HLL++ distincts + GK quantiles): the
     // 100 TB way to profile a corpus — sketches shuffle KBs, not values.
     // No oracle by design (sketch algorithms differ across engines); the

@@ -314,4 +314,20 @@ class MultimodalSpec extends SparkSpec {
     val f = Multimodal.documentFeatures(spark, docs).head()
     assert(f.first_byte === -1 && f.n_bytes === 0L && f.checksum === 0L)
   }
+
+  test("sampleFrames fans one media row out to exact byte windows") {
+    val text = "x" * 250 // 3 frames of 100/100/50 bytes
+    val docs = Seq((3L, text, "en", "s", 250L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val frames = Multimodal.sampleFrames(
+      Multimodal.fromDocuments(docs).as[Multimodal.MediaRow], frameSize = 100)
+      .orderBy($"frame_idx").collect()
+    assert(frames.map(f => (f.frame_idx, f.offset, f.n_bytes)).toSeq ===
+      Seq((0, 0L, 100L), (1, 100L, 100L), (2, 200L, 50L)))
+    assert(frames.map(_.checksum).toSeq === Seq(12000L, 12000L, 6000L)) // 'x'=120
+    // empty payload -> zero frames (no sentinel rows in the fan-out shape)
+    val empty = Seq((4L, "", "en", "s", 0L)).toDF("doc_id", "text", "lang", "source", "n_chars")
+    assert(Multimodal.sampleFrames(
+      Multimodal.fromDocuments(empty).as[Multimodal.MediaRow]).isEmpty)
+  }
 }
