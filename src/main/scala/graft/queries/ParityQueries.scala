@@ -414,6 +414,38 @@ object ParityQueries {
         |r AS (SELECT d, v, lag(v) OVER (ORDER BY d) AS prev FROM dly)
         |SELECT v AS current_value, v - prev AS daily_change,
         |       (v - prev) / prev * 100 AS daily_return
-        |FROM r ORDER BY d DESC LIMIT 1""".stripMargin))
+        |FROM r ORDER BY d DESC LIMIT 1""".stripMargin)),
+
+    // Event sessionization via session_window (gap-based event-time
+    // sessions; identical code shape works under readStream + watermark —
+    // the batch face is the oracle-checkable one). Session end = last
+    // event + gap; an event landing exactly at the previous session's end
+    // opens a NEW session (half-open windows) — the oracle's >= mirrors
+    // that.
+    Q("q43_sessionize",
+      (s, dir) =>
+        Tables.events(s, dir)
+          .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("w"))
+          .agg(count(lit(1)).as("n_events"),
+            CoreOps.exactSum(col("value"), 2).as("session_value"))
+          .select(col("user_id"), col("w.start").as("session_start"),
+            col("w.end").as("session_end"), col("n_events"), col("session_value")),
+      Some("""WITH e AS (
+        |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events),
+        |m AS (
+        |  SELECT user_id, ts, value,
+        |    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+        |         OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+        |            >= INTERVAL 30 MINUTE
+        |         THEN 1 ELSE 0 END AS new_s
+        |  FROM e),
+        |s AS (
+        |  SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+        |    ROWS UNBOUNDED PRECEDING) AS sid FROM m)
+        |SELECT user_id, min(ts) AS session_start,
+        |  max(ts) + INTERVAL 30 MINUTE AS session_end,
+        |  count(*) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(30,2))) AS DOUBLE) AS session_value
+        |FROM s GROUP BY user_id, sid""".stripMargin))
   )
 }

@@ -64,6 +64,24 @@ class StreamsSpec extends SparkSpec {
     assert(last.last_event_id === 4L)
   }
 
+  test("sessionCounts over a stream matches the batch plan (gap sessions)") {
+    val dir = Files.createTempDirectory("events_sessions").toFile
+    batchEvents.toDS().toDF().coalesce(1).write.mode("overwrite").parquet(dir.toString)
+    val q = Streams.sessionCounts(Streams.readEventStream(spark, dir.toString))
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("sessions").start()
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("sessions")
+      .orderBy($"user_id", $"session_start")
+      .select($"user_id", $"n_events").as[(Long, Long)].collect().toSeq
+    // user 1: 00:10+00:20 fuse (gap < 30m), 01:40 stands alone; user 2: 01:10
+    assert(got === Seq((1L, 2L), (1L, 1L), (2L, 1L)))
+    val batch = Streams.sessionCounts(batchEvents.toDS().toDF())
+      .orderBy($"user_id", $"session_start")
+      .select($"user_id", $"n_events").as[(Long, Long)].collect().toSeq
+    assert(got === batch)
+  }
+
   test("upsertStream merges each micro-batch into the keyed store (S6 streaming)") {
     val src = Files.createTempDirectory("events_upsert_src").toFile
     val store = Files.createTempDirectory("events_upsert").toString + "/events"
