@@ -13,7 +13,10 @@ object Bench {
     // Warm the session (scheduler, parquet reader, codegen) so the first
     // timed query doesn't absorb ~5s of one-off JVM init.
     spark.read.parquet(s"$sfDir/nation.parquet").groupBy("n_name").count().count()
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // Sorted execution order: Map iteration order would vary with the key
+    // set, attributing residual warm-up to different queries each round —
+    // sorted order keeps per-query timings comparable across rounds.
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       // Full materialization through the noop sink: unlike .count(),
       // Catalyst cannot prune top-level sorts/projections out of the
@@ -24,7 +27,7 @@ object Bench {
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = results.map(_._2).sum
     // method flags the round-2+ timing change: full noop materialization
     // (count()-based rounds pruned top-level sorts/projections, so their
     // totals are not comparable 1:1).
