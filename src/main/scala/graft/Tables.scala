@@ -5,11 +5,21 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 /** Readers for the harness-generated testdata tables (TESTDATA.md).
   * One parquet file per table under `sfDir`. Kept as plain lazy scans so
   * Catalyst can push filters/projections into the parquet source — callers
-  * must NOT cache here; each query declares its own plan.
-  */
+  * must NOT cache DATA here; each query declares its own plan.
+  *
+  * The RELATION (schema + file index) is memoized per (session, dir,
+  * table): `spark.read.parquet` performs a driver-side listing + footer
+  * read per call, which across a 40-query bench re-lists the same
+  * immutable snapshot dozens of times. Valid precisely because the
+  * testdata is an immutable snapshot — mutable stores
+  * (KeyedParquetStore) never read through this object. */
 object Tables {
+  private val relations =
+    scala.collection.concurrent.TrieMap.empty[(String, String, String), DataFrame]
+
   private def t(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+    relations.getOrElseUpdate((System.identityHashCode(spark).toString, dir, name),
+      spark.read.parquet(s"$dir/$name.parquet"))
 
   def region(s: SparkSession, d: String): DataFrame = t(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame = t(s, d, "nation")
