@@ -178,6 +178,8 @@ object Similarity {
     * thousands-of-cells deployment swaps this for a matrix-multiply
     * expression; the per-row-narrow shape is the point. */
   private def argmaxCell(v: Column, cents: Seq[(Long, Seq[Double])]): Column = {
+    require(cents.nonEmpty,
+      "no centroids: the seed requires corpus vec_ids in [0, numCells)")
     val entries = cents.map { case (cell, w) =>
       val normW = math.sqrt(w.map(x => x * x).sum)
       struct(round(dot(v, typedLit(w)) / (norm(v) * lit(normW)), 6).as("s"),

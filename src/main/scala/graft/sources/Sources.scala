@@ -112,6 +112,7 @@ object KeyedParquetStore {
       // read back, merged, and rewritten. The collected partition tuple
       // set is bounded by the ingest batch (e.g. one date), not the store.
       val tuples = incoming.select(partitionCols.map(col): _*).distinct().collect()
+      if (tuples.isEmpty) return // empty batch (e.g. an idle stream trigger): no-op
       require(tuples.forall(r => (0 until r.length).forall(!r.isNullAt(_))),
         "null partition values are not supported by the partition-scoped upsert")
       val pred = tuples.map { r =>

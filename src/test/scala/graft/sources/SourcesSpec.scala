@@ -85,6 +85,16 @@ class SourcesSpec extends SparkSpec {
       ("2024-01-02", "AAA", 3.0), ("2024-01-02", "CCC", 7.0)))
   }
 
+  test("partition-scoped upsert with an EMPTY batch is a no-op (idle stream trigger)") {
+    val path = Files.createTempDirectory("store_empty").toString + "/t"
+    val v1 = Seq(("2024-01-01", "AAA", 1.0, 1)).toDF("date", "ticker", "price", "ver")
+    KeyedParquetStore.upsert(spark, path, v1, Seq("ticker"), Seq($"ver"),
+      partitionCols = Seq("date"))
+    KeyedParquetStore.upsert(spark, path, v1.limit(0), Seq("ticker"), Seq($"ver"),
+      partitionCols = Seq("date"))
+    assert(KeyedParquetStore.read(spark, path).get.count() === 1)
+  }
+
   test("upsert version tie prefers the incoming row (INSERT OR REPLACE)") {
     val path = Files.createTempDirectory("store_tie").toString + "/dim"
     val v1 = Seq(("AAA", 10.0, 1)).toDF("ticker", "price", "ver")
