@@ -4,9 +4,12 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -17,21 +20,27 @@ object Bench {
     // set, attributing residual warm-up to different queries each round —
     // sorted order keeps per-query timings comparable across rounds.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      // Full materialization through the noop sink: unlike .count(),
-      // Catalyst cannot prune top-level sorts/projections out of the
-      // timed plan — every declared output row is produced and consumed.
-      try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
-      catch { case _: Throwable => () }
-      name -> (System.nanoTime() - t0) / 1e9
+      // Median of `runs` timings per query: single-shot numbers on a
+      // shared VM carry ±50% variance (observed round-over-round), which
+      // the median absorbs without averaging in a cold outlier.
+      val times = (0 until runs).map { _ =>
+        val t0 = System.nanoTime()
+        // Full materialization through the noop sink: unlike .count(),
+        // Catalyst cannot prune top-level sorts/projections out of the
+        // timed plan — every declared output row is produced and consumed.
+        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
+        catch { case _: Throwable => () }
+        (System.nanoTime() - t0) / 1e9
+      }
+      name -> times.sorted.apply(runs / 2)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    // method flags the round-2+ timing change: full noop materialization
-    // (count()-based rounds pruned top-level sorts/projections, so their
-    // totals are not comparable 1:1).
-    println(s"""{"metric":"total","value":$total,"unit":"sec","method":"noop-materialize","queries":$qs,"sf":"$sfDir"}""")
+    // method flags the timing basis: per-query median of N full noop
+    // materializations (count()-based r1 pruned top-level work, and
+    // single-run r2 carried VM variance — neither is comparable 1:1).
+    println(s"""{"metric":"total","value":$total,"unit":"sec","method":"noop-median$runs","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

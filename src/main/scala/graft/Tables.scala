@@ -14,12 +14,24 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * testdata is an immutable snapshot — mutable stores
   * (KeyedParquetStore) never read through this object. */
 object Tables {
-  private val relations =
-    scala.collection.concurrent.TrieMap.empty[(String, String, String), DataFrame]
+  // Weak-keyed on the session OBJECT: identity semantics while the session
+  // lives (no cross-session hash collisions handing out DataFrames bound
+  // to a stopped session), and the whole per-session cache is collectable
+  // once the session is — test suites create many sessions.
+  private val relations = new java.util.WeakHashMap[
+    SparkSession, scala.collection.concurrent.TrieMap[(String, String), DataFrame]]()
 
-  private def t(spark: SparkSession, dir: String, name: String): DataFrame =
-    relations.getOrElseUpdate((System.identityHashCode(spark).toString, dir, name),
-      spark.read.parquet(s"$dir/$name.parquet"))
+  private def t(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val perSession = relations.synchronized {
+      var m = relations.get(spark)
+      if (m == null) {
+        m = scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame]
+        relations.put(spark, m)
+      }
+      m
+    }
+    perSession.getOrElseUpdate((dir, name), spark.read.parquet(s"$dir/$name.parquet"))
+  }
 
   def region(s: SparkSession, d: String): DataFrame = t(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame = t(s, d, "nation")
@@ -31,9 +43,13 @@ object Tables {
   /** `events.parquet` stores TIMESTAMP(NANOS), which Spark's vectorized
     * reader rejects; read it as nanos-since-epoch longs and surface a
     * microsecond-truncated TimestampType `ts` (orderings keep `event_id`
-    * tiebreaks, so sub-microsecond truncation never changes results). */
+    * tiebreaks, so sub-microsecond truncation never changes results).
+    * Requires `spark.sql.legacy.parquet.nanosAsLong=true`, set ONCE at
+    * session construction (Verify/Bench/SparkSpec) — a library reader
+    * must not silently flip session flags. */
   def events(s: SparkSession, d: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    require(s.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") == "true",
+      "set spark.sql.legacy.parquet.nanosAsLong=true at session build to read events.parquet")
     t(s, d, "events").withColumn("ts",
       org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
   }

@@ -205,23 +205,29 @@ object Exports {
       array_join(col("composition"), ",").as("Composition")).orderBy(col("Date").desc)
 
   /** The export sheet's alignment is NOT the dashboard's: the reference
-    * computes `changes[j] = diff(row j → row j+1)` over the ASCENDING frame
-    * and pads '-' at the end (`dashboard.py:174-190`), so each date is
-    * labeled with the change TO THE NEXT date and the NEWEST date shows
-    * '-' (the display/W7 prev-diff lives in
-    * [[Analytics.compositionChanges]]). `lead` reproduces it exactly;
-    * `changeString` yields '-' for the newest row because its lead is
-    * null. Global window is the sanctioned date-grain single series. */
-  def changesSheet(indexData: DataFrame): DataFrame = {
-    val w = Window.orderBy(col("date"))
-    indexData.select(col("date"), col("composition").as("arr"))
-      .withColumn("nxt", lead(col("arr"), 1).over(w))
-      .withColumn("added", filter(col("nxt"), x => !array_contains(col("arr"), x)))
-      .withColumn("removed", filter(col("arr"), x => !array_contains(col("nxt"), x)))
+    * RE-runs `_get_composition_changes_tickers` inside `_export_to_excel`
+    * (`dashboard.py:217`) on the frame that was already reversed to
+    * newest-first (`dashboard.py:372`), so on the export sheet each row's
+    * "prev" neighbor is the OLDER date and the diff comes out inverted —
+    * row at date d is labeled `+(comp(older) \ comp(d)) , -(comp(d) \
+    * comp(older))` (chronologically-removed tickers appear under '+'),
+    * and the length-pad '-' (`dashboard.py:188-190`) lands on the OLDEST
+    * row. Verified cell-for-cell against the committed golden
+    * `index_data.xlsx` sheet 3 (e.g. the 11-29→12-02 transition shows
+    * `+(TTE) , -(PANW)` on 2024-12-02 though PANW was the one added).
+    * That is exactly [[CoreOps.lagArrayDiff]] over date ASC with the
+    * added/removed roles SWAPPED in the label; in-paren order follows the
+    * source arrays (older comp for '+', current comp for '-'), which the
+    * order-preserving filter diff keeps. The chronological/display
+    * alignment (W7) lives in [[Analytics.compositionChanges]]. Global
+    * window is the sanctioned date-grain single series. */
+  def changesSheet(indexData: DataFrame): DataFrame =
+    CoreOps.lagArrayDiff(
+        indexData.select(col("date"), col("composition").as("arr")),
+        part = Nil, order = Seq(col("date")), col("arr"))
       .select(col("date").as("Date"),
-        CoreOps.changeString(col("added"), col("removed")).as("Composition Changes"))
+        CoreOps.changeString(col("removed"), col("added")).as("Composition Changes"))
       .orderBy(col("Date").desc)
-  }
 }
 
 /** S9 file emission. The reference writes one xlsx with three sheets via

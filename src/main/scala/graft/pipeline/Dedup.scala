@@ -124,47 +124,95 @@ object Dedup {
   }
 
   /** Near-dup CLUSTER canonicalization: connected components over the
-    * (doc_a, doc_b) pair graph via iterative min-label propagation —
-    * the "keep one document per duplicate cluster" step downstream of
-    * any pair producer ([[minhashLsh]], [[simhashPairsBanded]],
-    * [[graft.pipeline.Similarity.cosinePairsLsh]]). Returns
-    * `(doc_id, label)` where `label` is the cluster's minimum doc id
-    * (the canonical survivor); docs not in any pair are absent —
-    * singletons are their own canonical by definition.
+    * (doc_a, doc_b) pair graph — the "keep one document per duplicate
+    * cluster" step downstream of any pair producer ([[minhashLsh]],
+    * [[simhashPairsBanded]], [[graft.pipeline.Similarity.cosinePairsLsh]]).
+    * Returns `(doc_id, label)` (both long) where `label` is the cluster's
+    * minimum doc id (the canonical survivor); docs not in any pair are
+    * absent — singletons are their own canonical by definition.
     *
-    * Each iteration is one join + one min-agg on the edge list;
-    * `localCheckpoint` truncates the growing lineage (the MLlib-style
-    * iterative pattern) and the loop exits at the fixpoint, so the
-    * result is the true component minimum whenever the loop converges
-    * within `maxIters` (components from near-dup thresholds are shallow
-    * cliques — convergence in 2-3 rounds; propagation distance doubles
-    * per round, so 20 covers diameter ~10^6). */
-  def dedupClusters(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
-    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-      .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-      .cache()
-    var labels = edges.select(col("src").as("doc_id")).distinct()
-      .withColumn("label", col("doc_id")).localCheckpoint()
-    var converged = false
-    var i = 0
-    while (i < maxIters && !converged) {
-      val nbrMin = edges
-        .join(labels.select(col("doc_id").as("src"), col("label")), "src")
-        .groupBy(col("dst").as("doc_id")).agg(min("label").as("nbr_min"))
-      // change detection rides the propagation select (old label is right
-      // here), so convergence costs one filter over the checkpoint — not
-      // an extra join of two label snapshots per round
-      val next = labels.join(nbrMin, Seq("doc_id"), "left")
-        .select(col("doc_id"),
-          least(col("label"), coalesce(col("nbr_min"), col("label"))).as("label"),
-          (col("nbr_min") < col("label")).as("__changed"))
-        .localCheckpoint()
-      converged = next.filter(col("__changed")).isEmpty
-      labels = next.drop("__changed")
-      i += 1
+    * Two execution paths behind one contract:
+    *
+    *  - **Small graphs** (≤ `driverEdgeLimit` edges, counted after the
+    *    pair producer materializes ONCE into the cache): collect the edge
+    *    list and run union-find with path compression on the driver. A
+    *    near-dup pair graph is orders of magnitude smaller than the corpus
+    *    (it exists only where LSH found candidates), so even a 100 TB run
+    *    usually lands here — and it avoids paying multi-round fixpoint
+    *    scheduling for a graph that fits in a few MB.
+    *  - **At scale**: iterative min-label propagation PLUS pointer
+    *    jumping. Propagation alone advances the component minimum one hop
+    *    per round (a diameter-d chain needs d rounds); adding the
+    *    label←label(label) jump halves pointer-chain depth each round, so
+    *    convergence is O(log d) — `maxIters` = 25 covers any practical
+    *    diameter. Each round is two joins + one min-agg on the edge list;
+    *    `localCheckpoint` truncates the growing lineage (the MLlib-style
+    *    iterative pattern) and the loop exits at the fixpoint. Exhausting
+    *    `maxIters` without converging THROWS rather than silently
+    *    returning partial labels (under-dedup). */
+  def dedupClusters(pairs: DataFrame, maxIters: Int = 25,
+                    driverEdgeLimit: Long = 1000000L): DataFrame = {
+    val spark = pairs.sparkSession
+    val p = pairs.select(col("doc_a").cast("long").as("src"),
+      col("doc_b").cast("long").as("dst")).cache()
+    val nEdges = p.count() // one materialization of the (expensive) pair producer
+    if (nEdges <= driverEdgeLimit) {
+      import spark.implicits._
+      val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent(r) != r) r = parent(r)
+        var c = x
+        while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }
+        r
+      }
+      val it = p.as[(Long, Long)].toLocalIterator()
+      while (it.hasNext) {
+        val (a, b) = it.next()
+        parent.getOrElseUpdate(a, a)
+        parent.getOrElseUpdate(b, b)
+        val ra = find(a); val rb = find(b)
+        if (ra < rb) parent(rb) = ra else if (rb < ra) parent(ra) = rb
+      }
+      val labels = parent.keysIterator.map(id => (id, find(id))).toSeq
+      p.unpersist()
+      labels.toDF("doc_id", "label")
+    } else {
+      val edges = p.unionByName(p.select(col("dst").as("src"), col("src").as("dst")))
+      var labels = edges.select(col("src").as("doc_id")).distinct()
+        .withColumn("label", col("doc_id")).localCheckpoint()
+      var converged = false
+      var i = 0
+      while (i < maxIters && !converged) {
+        val nbrMin = edges
+          .join(labels.select(col("doc_id").as("src"), col("label")), "src")
+          .groupBy(col("dst").as("doc_id")).agg(min("label").as("nbr_min"))
+        val prop = labels.join(nbrMin, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            least(col("label"), coalesce(col("nbr_min"), col("label"))).as("label"),
+            (col("nbr_min") < col("label")).as("__chg"))
+        // pointer jump: label := label(label). Every label value is some
+        // member's doc_id (labels only ever move to an existing id), so
+        // the self-join always finds its row; "left" is belt-and-braces.
+        val next = prop.join(
+            prop.select(col("doc_id").as("label"), col("label").as("__ll")),
+            Seq("label"), "left")
+          .select(col("doc_id"),
+            least(col("label"), coalesce(col("__ll"), col("label"))).as("label"),
+            (col("__chg") || col("__ll") < col("label")).as("__changed"))
+          .localCheckpoint()
+        // change detection costs one filter over the checkpoint — not an
+        // extra join of two label snapshots per round
+        converged = next.filter(col("__changed")).isEmpty
+        labels = next.drop("__changed")
+        i += 1
+      }
+      p.unpersist()
+      if (!converged) throw new IllegalStateException(
+        s"dedupClusters did not converge within $maxIters rounds " +
+          s"($nEdges edges) — raise maxIters; returning partial labels would under-dedup")
+      labels
     }
-    edges.unpersist()
-    labels
   }
 
   /** Apply a dedup decision: keep only rows whose id appears in

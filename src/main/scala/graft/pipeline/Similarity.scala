@@ -230,15 +230,22 @@ object Similarity {
     * quadratic work is bounded by bucket occupancy, and exact duplicates
     * always share a signature (recall 1.0 for them; near-dups can lose a
     * sign bit — the bits/recall trade-off measured in SimilaritySpec).
-    * One shuffle of (sig, id, vector); nothing quadratic materializes.
-    * The scale path for [[cosinePairs]]. */
+    * The bucket self-join exchanges ONLY (sig, id) — id-width rows, never
+    * the dim-wide vectors (the same shape as [[Dedup.minhashLsh]]'s band
+    * join and [[lshTopK]]'s candidate step); vectors re-attach to the
+    * surviving candidate pairs by id afterwards. Nothing quadratic
+    * materializes. The scale path for [[cosinePairs]]. */
   def cosinePairsLsh(vectors: DataFrame, threshold: Double, bits: Int = 8,
                      dim: Int = 64): DataFrame = {
     val v = vectors.select(col("vec_id"), asDouble(col("embedding")).as("e"))
-      .withColumn("sig", rhpSignature(col("e"), bits, dim))
-    v.select(col("sig"), col("vec_id").as("id_a"), col("e").as("va"))
-      .join(v.select(col("sig"), col("vec_id").as("id_b"), col("e").as("vb")), Seq("sig"))
+    val sigs = v.select(col("vec_id"), rhpSignature(col("e"), bits, dim).as("sig"))
+    val cands = sigs.select(col("sig"), col("vec_id").as("id_a"))
+      .join(sigs.select(col("sig"), col("vec_id").as("id_b")), Seq("sig"))
       .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+    cands
+      .join(v.select(col("vec_id").as("id_a"), col("e").as("va")), Seq("id_a"))
+      .join(v.select(col("vec_id").as("id_b"), col("e").as("vb")), Seq("id_b"))
       .select(col("id_a"), col("id_b"),
         round(cosine(col("va"), col("vb")), 6).as("cos_sim"))
       .filter(col("cos_sim") >= threshold)

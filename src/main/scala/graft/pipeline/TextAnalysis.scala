@@ -125,11 +125,16 @@ object TextAnalysis {
   def corpusSketch(docs: DataFrame, group: String, rsd: Double = 0.02): DataFrame = {
     // doc-grain and token-grain sketches aggregate separately (an explode
     // before the quantile would weight each document by its token count),
-    // then join on the tiny group key.
+    // then join on the tiny group key. Quantiles come out as scalar
+    // columns (len_p50/p90/p99), not one array — downstream consumers
+    // (and the driver's rows-check) sort and compare scalars.
+    val q = percentile_approx(length(col("text")).cast("double"),
+      array(lit(0.5), lit(0.9), lit(0.99)), lit(10000))
     val docStats = docs.groupBy(col(group)).agg(
       approx_count_distinct(col("doc_id"), rsd).as("approx_docs"),
-      percentile_approx(length(col("text")).cast("double"), array(lit(0.5), lit(0.9), lit(0.99)),
-        lit(10000)).as("len_quantiles"))
+      q.getItem(0).as("len_p50"),
+      q.getItem(1).as("len_p90"),
+      q.getItem(2).as("len_p99"))
     val tokStats = docs
       .select(col(group), explode(tokens(col("text"))).as("tok"))
       .groupBy(col(group))

@@ -227,16 +227,25 @@ object ParityQueries {
         |GROUP BY n_name""".stripMargin)),
 
     // A4: top-k + OTHERS bucket (collapses the reference's N+1 loop,
-    // `dashboard.py:108-119`).
+    // `dashboard.py:108-119`). The top-3 comes from orderBy+limit
+    // (TakeOrderedAndProject — per-partition top-3, then a 3-row merge)
+    // broadcast back as the bucket map, NOT from
+    // row_number().over(Window.orderBy(...)): that global rank window
+    // funnels every supplier aggregate through ONE task, which is the
+    // plan that dies when the supplier relation grows 100×. AQE reuses
+    // the agg's exchange between the two consumers of `rev`.
     Q("q09_others_bucket",
       (s, dir) => {
         val rev = li(s, dir)
           .join(broadcast(Tables.supplier(s, dir)), col("l_suppkey") === col("s_suppkey"))
           .groupBy(col("s_suppkey"), col("s_name"))
           .agg(CoreOps.exactSum(col("l_extendedprice"), 2).as("rev"))
+        val top3 = rev.orderBy(col("rev").desc, col("s_suppkey")).limit(3)
+          .select(col("s_suppkey").as("__top_key"))
         rev
-          .withColumn("rk", row_number().over(Window.orderBy(col("rev").desc, col("s_suppkey"))))
-          .withColumn("bucket", when(col("rk") <= 3, col("s_name")).otherwise(lit("OTHERS")))
+          .join(broadcast(top3), col("s_suppkey") === col("__top_key"), "left")
+          .withColumn("bucket",
+            when(col("__top_key").isNotNull, col("s_name")).otherwise(lit("OTHERS")))
           .groupBy(col("bucket"))
           .agg(CoreOps.exactSum(col("rev"), 2).as("total_rev"),
             count(lit(1)).as("n_suppliers"))
@@ -252,15 +261,22 @@ object ParityQueries {
         |       count(*) AS n_suppliers
         |FROM rk GROUP BY 1""".stripMargin)),
 
-    // W8: ratio-to-total (pie share) with an exact decimal total.
+    // W8: ratio-to-total (pie share) with an exact decimal total. The
+    // total is a scalar aggregate cross-joined back as a broadcast, NOT
+    // `sum().over(Window.partitionBy())`: the empty-partition window
+    // collapses the whole relation onto one task to compute a single
+    // number, where the agg+broadcast shape keeps every stage parallel
+    // (same exact decimal sum, bit-identical shares).
     Q("q10_ratio_to_total",
       (s, dir) => {
         val rev = li(s, dir).groupBy(col("l_suppkey"))
           .agg(CoreOps.exactSum(col("l_extendedprice"), 2).as("rev"))
-        rev.withColumn("share",
-          round(col("rev") /
-            sum(col("rev").cast(org.apache.spark.sql.types.DecimalType(30, 2)))
-              .over(Window.partitionBy()).cast("double"), 8))
+        val total = rev.agg(
+          sum(col("rev").cast(org.apache.spark.sql.types.DecimalType(30, 2)))
+            .cast("double").as("__total"))
+        rev.crossJoin(broadcast(total))
+          .select(col("l_suppkey"), col("rev"),
+            round(col("rev") / col("__total"), 8).as("share"))
       },
       Some("""WITH rev AS (
         |  SELECT l_suppkey,

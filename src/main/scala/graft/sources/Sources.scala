@@ -30,11 +30,16 @@ object Snapshots {
     * limit, `stock_data_fetcher.py:106-118`), so the universe is the first
     * `limit` rows BY ARRAY POSITION, not alphabetically — `posexplode`
     * captures that position exactly (one snapshot = one rows array, so
-    * this is file-order independent). Null symbols are dropped before the
-    * limit (the reference's per-ticker loop skips them via its
-    * catch-and-continue, `stock_data_fetcher.py:122-128`); duplicate
-    * symbols are kept, matching the reference, and collapse later at the
-    * store's last-wins upsert. */
+    * this is file-order independent). Null symbols: the reference would
+    * ABORT the whole fetch (the `.replace` in its list comprehension
+    * raises on None inside the universe-fetch try,
+    * `stock_data_fetcher.py:106-118`; the per-ticker catch-and-continue
+    * at :122-128 guards only the history fetch). This engine
+    * deliberately relaxes that to dropping null rows before the limit —
+    * a data-quality skip beats failing the ingest — which can change
+    * which rows fill the limit when nulls are present. Duplicate symbols
+    * are kept, matching the reference, and collapse later at the store's
+    * last-wins upsert. */
   def tickerUniverse(spark: SparkSession, path: String, limit: Int): DataFrame =
     spark.read.schema(screenerSchema).json(path)
       .select(posexplode(col("data.table.rows")).as(Seq("pos", "r")))
@@ -71,17 +76,45 @@ object KeyedParquetStore {
   private def fs(spark: SparkSession, path: String): FileSystem =
     new HPath(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
-  /** Read the store if present. Heals a crashed swap: if only
-    * `path + ".old"` exists (failure between the two renames of a swap),
-    * the previous committed state is restored before reading. */
+  /** Read the store if present. Heals a crashed swap — BOTH shapes:
+    *
+    *  - full-write crash: only `path + ".old"` exists (the whole store was
+    *    moved aside and the staging rename never landed) → restore it.
+    *  - partition-scoped crash: the store exists and `path + ".old"`
+    *    holds partition subtrees (displaced mid-swap). Displaced dirs sit
+    *    OUTSIDE the store root precisely so a half-finished swap can
+    *    never confuse Spark's partition discovery; here any old subtree
+    *    whose target is missing is restored, and any whose target exists
+    *    is stale (its swap completed before the crash) and is dropped. */
   def read(spark: SparkSession, path: String): Option[DataFrame] = {
     val f = fs(spark, path)
     val target = new HPath(path)
     val old = new HPath(path + ".old")
     if (!f.exists(target) && f.exists(old))
       require(f.rename(old, target), s"store recovery failed: $old -> $target")
+    else if (f.exists(target) && f.exists(old)) {
+      healDisplaced(f, old, target)
+      f.delete(old, true)
+    }
     if (f.exists(target)) Some(spark.read.parquet(path)) else None
   }
+
+  /** Restore displaced partition subtrees after a partition-scoped swap
+    * crash: old subtrees with no target counterpart are renamed back;
+    * subtrees whose target exists either completed their swap (leaf —
+    * stale copy, dropped) or are intermediate levels (descend). */
+  private def healDisplaced(f: FileSystem, oldDir: HPath, targetDir: HPath): Unit =
+    f.listStatus(oldDir).filter(_.isDirectory).foreach { st =>
+      val t = new HPath(targetDir, st.getPath.getName)
+      if (!f.exists(t))
+        require(f.rename(st.getPath, t), s"store recovery failed: ${st.getPath} -> $t")
+      else {
+        val children = f.listStatus(st.getPath)
+        if (children.isEmpty || children.exists(!_.isDirectory))
+          f.delete(st.getPath, true) // leaf partition dir: swap had completed
+        else healDisplaced(f, st.getPath, t)
+      }
+    }
 
   /** Merge `incoming` into the store at `path`, newest `version` wins per
     * `keys` row (ties prefer `incoming`, matching `INSERT OR REPLACE`).
@@ -106,7 +139,7 @@ object KeyedParquetStore {
       val writer = merged.write.mode(SaveMode.Overwrite)
       (if (partitionCols.nonEmpty) writer.partitionBy(partitionCols: _*) else writer)
         .parquet(staging)
-      swap(f, new HPath(staging), new HPath(path))
+      swap(f, new HPath(staging), new HPath(path), new HPath(path + ".old"))
     } else {
       // Partition-scoped merge: only partitions present in `incoming` are
       // read back, merged, and rewritten. The collected partition tuple
@@ -132,6 +165,10 @@ object KeyedParquetStore {
       // (its output contains only affected partitions) — names are taken
       // from the listing, so value escaping never needs re-deriving.
       // Qualify both roots: listStatus returns fully-qualified URIs.
+      // Displaced pre-images go under `path + ".old"/<rel>` — OUTSIDE the
+      // store root, so a crash mid-swap can never leave a `date=X.old`
+      // directory where Spark's partition discovery would choke on it;
+      // `read` restores or drops them (see healDisplaced).
       val stagingQ = f.makeQualified(new HPath(staging)).toString
       val pathQ = f.makeQualified(new HPath(path)).toString
       partitionDirs(f, new HPath(staging), partitionCols.length).foreach { dir =>
@@ -140,9 +177,10 @@ object KeyedParquetStore {
           s"unexpected staging partition dir $dir under $stagingQ")
         val target = new HPath(s"$pathQ/$rel")
         f.mkdirs(target.getParent)
-        swap(f, dir, target)
+        swap(f, dir, target, new HPath(s"$pathQ.old/$rel"))
       }
       f.delete(new HPath(staging), true)
+      f.delete(new HPath(path + ".old"), true)
     }
   }
 
@@ -169,11 +207,13 @@ object KeyedParquetStore {
     else f.listStatus(base).filter(_.isDirectory).toSeq
       .flatMap(s => partitionDirs(f, s.getPath, depth - 1))
 
-  /** Checked-rename swap: target→.old, staging→target, drop .old. A crash
-    * between the renames leaves `.old` only, which `read` recovers. */
-  private def swap(f: FileSystem, staging: HPath, target: HPath): Unit = {
-    val old = new HPath(target.toString + ".old")
+  /** Checked-rename swap: target→old, staging→target, drop old. `old` is
+    * the caller-chosen displacement location (always OUTSIDE the store
+    * root); a crash between the renames leaves the pre-image there, which
+    * `read` recovers. */
+  private def swap(f: FileSystem, staging: HPath, target: HPath, old: HPath): Unit = {
     if (f.exists(old)) require(f.delete(old, true), s"could not clear $old")
+    if (old.getParent != null) f.mkdirs(old.getParent)
     if (f.exists(target))
       require(f.rename(target, old), s"swap failed: $target -> $old")
     require(f.rename(staging, target), s"swap failed: $staging -> $target")

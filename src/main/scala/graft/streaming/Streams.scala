@@ -64,23 +64,41 @@ object Streams {
   /** Custom streaming state: running per-user totals via
     * `flatMapGroupsWithState` — the "custom operator" escape hatch for
     * semantics windows can't express (cross-batch running aggregates,
-    * session logic). Emits the updated running row per user per batch. */
-  def runningUserTotals(events: Dataset[Event]): Dataset[UserRunning] = {
+    * session logic). Emits the updated running row per user per batch.
+    *
+    * State is BOUNDED: `EventTimeTimeout` evicts a user's running row
+    * once the watermark passes their last event by `stateTtlMs` — without
+    * it, one state entry per ever-seen user grows without limit. An
+    * evicted user who reappears restarts from zero (the documented
+    * bounded-state contract). On a batch Dataset the watermark/timeout
+    * machinery is inert and the fold is the plain batch equivalent. */
+  def runningUserTotals(events: Dataset[Event], watermark: String = "2 hours",
+                        stateTtlMs: Long = 2L * 60 * 60 * 1000): Dataset[UserRunning] = {
     import events.sparkSession.implicits._
+    val streaming = events.isStreaming
     events
+      .withWatermark("ts", watermark)
       .groupByKey(_.user_id)
-      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         (userId: Long, batch: Iterator[Event], state: GroupState[UserRunning]) =>
-          val prev = state.getOption.getOrElse(UserRunning(userId, 0L, 0.0, -1L))
-          // fold deterministically in (ts, event_id) order
-          val sorted = batch.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
-          if (sorted.isEmpty) Iterator.empty
-          else {
-            val next = sorted.foldLeft(prev) { (acc, e) =>
-              UserRunning(userId, acc.n_events + 1, acc.total_value + e.value, e.event_id)
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val prev = state.getOption.getOrElse(UserRunning(userId, 0L, 0.0, -1L))
+            // fold deterministically in (ts, event_id) order
+            val sorted = batch.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+            if (sorted.isEmpty) Iterator.empty
+            else {
+              val next = sorted.foldLeft(prev) { (acc, e) =>
+                UserRunning(userId, acc.n_events + 1, acc.total_value + e.value, e.event_id)
+              }
+              state.update(next)
+              if (streaming) state.setTimeoutTimestamp(math.max(
+                sorted.map(_.ts.getTime).max + stateTtlMs,
+                state.getCurrentWatermarkMs() + 1))
+              Iterator.single(next)
             }
-            state.update(next)
-            Iterator.single(next)
           }
       }
   }
@@ -108,20 +126,39 @@ object Streams {
       .start()
 
   /** Streaming exact dedup: drop events whose `event_id` was already seen
-    * for the key — the streaming face of `Dedup.exact` (state = seen ids
-    * per user; production bounds it with a timeout/watermark). */
-  def dedupEvents(events: Dataset[Event]): Dataset[Event] = {
+    * for the key — the streaming face of `Dedup.exact`.
+    *
+    * State is BOUNDED: each user's seen-id set is evicted by
+    * `EventTimeTimeout` once the watermark passes their last event by
+    * `stateTtlMs`, so dedup is exact WITHIN the ttl horizon and the state
+    * store holds only active users — the unbounded-set variant eventually
+    * OOMs any state store. A duplicate arriving after its key expired is
+    * re-emitted (the contract of every windowed dedup). On a batch
+    * Dataset the timeout machinery is inert: plain exact dedup. */
+  def dedupEvents(events: Dataset[Event], watermark: String = "2 hours",
+                  stateTtlMs: Long = 2L * 60 * 60 * 1000): Dataset[Event] = {
     import events.sparkSession.implicits._
+    val streaming = events.isStreaming
     events
+      .withWatermark("ts", watermark)
       .groupByKey(_.user_id)
-      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         (_: Long, batch: Iterator[Event], state: GroupState[Set[Long]]) =>
-          val seen = state.getOption.getOrElse(Set.empty[Long])
-          val fresh = batch.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
-            .filterNot(e => seen.contains(e.event_id))
-            .distinctBy(_.event_id)
-          state.update(seen ++ fresh.map(_.event_id))
-          fresh.iterator
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val sorted = batch.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+            val seen = state.getOption.getOrElse(Set.empty[Long])
+            val fresh = sorted
+              .filterNot(e => seen.contains(e.event_id))
+              .distinctBy(_.event_id)
+            state.update(seen ++ fresh.map(_.event_id))
+            if (streaming && sorted.nonEmpty) state.setTimeoutTimestamp(math.max(
+              sorted.map(_.ts.getTime).max + stateTtlMs,
+              state.getCurrentWatermarkMs() + 1))
+            fresh.iterator
+          }
       }
   }
 }

@@ -10,6 +10,8 @@ trait SparkSpec extends AnyFunSuite {
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.ui.enabled", "false")
+    // events.parquet is TIMESTAMP(NANOS); Tables.events requires this flag
+    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     // keep saveAsTable's default warehouse out of the repo tree
     .config("spark.sql.warehouse.dir",
       java.nio.file.Files.createTempDirectory("graft_wh").toString)

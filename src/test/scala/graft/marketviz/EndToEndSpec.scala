@@ -44,11 +44,12 @@ class EndToEndSpec extends SparkSpec {
     val perf = Exports.performanceSheet(index)
     assert(perf.columns.toSeq ===
       Seq("Date", "Price", "Daily Return (%)", "Cumulative Return (%)"))
-    // export alignment: each date carries the change TO THE NEXT date, so
-    // the NEWEST date (ascending .last) is the reference's padded '-' row
+    // export alignment: the reference diffs the reversed frame, so each
+    // date carries the (inverted) change FROM the previous date and the
+    // OLDEST date (ascending .head) is the reference's padded '-' row
     val changes = Exports.changesSheet(index).orderBy($"Date")
       .select($"Composition Changes").as[String].collect()
-    assert(changes.last === "-")
+    assert(changes.head === "-")
 
     // S9 file emission: three sheets written and re-read (CSV fallback —
     // no spreadsheet jar in this build)

@@ -140,11 +140,19 @@ class MarketVizSpec extends SparkSpec {
     assert(Exports.compositionSheet(index).columns.toSeq === Seq("Date", "Composition"))
     val changes = Exports.changesSheet(index)
     assert(changes.columns.toSeq === Seq("Date", "Composition Changes"))
-    // newest first; the reference pads '-' at the END of the ascending
-    // frame (dashboard.py:188), so the NEWEST date — the sheet's first
-    // row — is the '-' row.
+    // Newest first. The reference recomputes the diff on the already
+    // REVERSED frame inside _export_to_excel (dashboard.py:372 → :217),
+    // so each row's diff is against the OLDER date with +/- inverted
+    // (the '+' set is the tickers present only in the older composition)
+    // and the length-pad '-' lands on the OLDEST row — matches the
+    // committed golden index_data.xlsx sheet 3 cell-for-cell.
     val vals = changes.select($"Composition Changes").as[String].collect()
-    assert(vals.head === "-")
+    assert(vals.toSeq === Seq(
+      "+(E) , -(A)", // Jan5 vs Jan4 {B,E,C}: E only in older, A only in newer
+      "+(A) , -(E)", // Jan4 vs Jan3 {B,A,C}
+      "+() , -(C)",  // Jan3 vs Jan2 {A,B}: C newly present -> under '-'
+      "+(C) , -()",  // Jan2 vs Jan1 {A,B,C}: C dropped -> under '+'
+      "-"))          // oldest row: the pad
   }
 
   test("tailReport keeps the last n dates newest-first (O3/O2)") {

@@ -78,11 +78,11 @@ class CorpusSketchSpec extends SparkSpec {
       val row = sk(src)
       assert(math.abs(row.getLong(1) - nDocs).toDouble / nDocs <= 0.05,
         s"$src approx_docs ${row.getLong(1)} vs exact $nDocs")
-      assert(math.abs(row.getLong(3) - nToks).toDouble / nToks <= 0.05,
-        s"$src approx_distinct_tokens ${row.getLong(3)} vs exact $nToks")
-      // median length must sit inside the group's observed min/max
-      val q = row.getSeq[Double](2)
-      assert(q.length === 3 && q(0) <= q(1) && q(1) <= q(2))
+      assert(math.abs(row.getLong(5) - nToks).toDouble / nToks <= 0.05,
+        s"$src approx_distinct_tokens ${row.getLong(5)} vs exact $nToks")
+      // quantiles come out as ordered scalar columns
+      val q = Seq(row.getDouble(2), row.getDouble(3), row.getDouble(4))
+      assert(q(0) <= q(1) && q(1) <= q(2))
     }
   }
 }
@@ -119,6 +119,34 @@ class DedupClustersSpec extends SparkSpec {
       .orderBy($"doc_id").as[(Long, Long)].collect().toSeq
     assert(got === Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 1L),
       (10L, 10L), (11L, 10L)))
+  }
+
+  test("distributed path converges on a deep chain via pointer jumping") {
+    // driverEdgeLimit = 0 forces the iterative path; a 120-node chain has
+    // diameter 119 — plain 1-hop propagation would need 119 rounds, so
+    // finishing inside maxIters=25 proves the label(label) jump works
+    val pairs = (1L until 120L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val got = Dedup.dedupClusters(pairs, driverEdgeLimit = 0L)
+      .as[(Long, Long)].collect().toMap
+    assert(got.size === 120 && got.values.forall(_ == 1L))
+  }
+
+  test("driver union-find and distributed propagation agree") {
+    val rnd = new scala.util.Random(7)
+    val pairs = (1 to 300).map(_ => (rnd.nextInt(80).toLong, rnd.nextInt(80).toLong))
+      .filter(p => p._1 != p._2).toDF("doc_a", "doc_b")
+    val fast = Dedup.dedupClusters(pairs).as[(Long, Long)].collect().toMap
+    val dist = Dedup.dedupClusters(pairs, driverEdgeLimit = 0L)
+      .as[(Long, Long)].collect().toMap
+    assert(fast === dist)
+  }
+
+  test("non-convergence throws instead of returning partial labels") {
+    val pairs = (1L until 40L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val ex = intercept[IllegalStateException] {
+      Dedup.dedupClusters(pairs, maxIters = 2, driverEdgeLimit = 0L).collect()
+    }
+    assert(ex.getMessage.contains("did not converge"))
   }
 
   test("dropNonCanonical keeps cluster minima and untouched singletons") {

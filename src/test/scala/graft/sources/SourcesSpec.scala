@@ -117,6 +117,36 @@ class SourcesSpec extends SparkSpec {
     assert(new java.io.File(path).exists() && !new java.io.File(path + ".old").exists())
   }
 
+  test("read heals a crashed PARTITION-scoped swap (displaced dir outside root)") {
+    val path = Files.createTempDirectory("store_pcrash").toString + "/t"
+    val v1 = Seq(("2024-01-01", "AAA", 1.0, 1), ("2024-01-02", "BBB", 2.0, 1))
+      .toDF("date", "ticker", "price", "ver")
+    KeyedParquetStore.upsert(spark, path, v1, Seq("ticker", "date"), Seq($"ver"),
+      partitionCols = Seq("date"))
+    // simulate a crash between the two renames of ONE partition's swap:
+    // its pre-image sits under path + ".old"/<rel> (never inside the
+    // store root, so partition discovery can't see it), target missing
+    assert(new java.io.File(path + ".old").mkdirs())
+    assert(new java.io.File(s"$path/date=2024-01-02")
+      .renameTo(new java.io.File(s"$path.old/date=2024-01-02")))
+    val got = KeyedParquetStore.read(spark, path).get
+      .select($"ticker", $"price").as[(String, Double)].collect().toSeq.sorted
+    assert(got === Seq(("AAA", 1.0), ("BBB", 2.0))) // partition restored
+    assert(!new java.io.File(path + ".old").exists())
+    // stale case: the swap COMPLETED but the old copy wasn't dropped —
+    // read must prefer the committed target and discard the leftover
+    val v2 = Seq(("2024-01-02", "BBB", 9.0, 2)).toDF("date", "ticker", "price", "ver")
+    KeyedParquetStore.upsert(spark, path, v2, Seq("ticker", "date"), Seq($"ver"),
+      partitionCols = Seq("date"))
+    assert(new java.io.File(s"$path.old/date=2024-01-02").mkdirs())
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$path.old/date=2024-01-02/stale.parquet"), "junk")
+    val after = KeyedParquetStore.read(spark, path).get
+      .filter($"ticker" === "BBB").select($"price").as[Double].collect().toSeq
+    assert(after === Seq(9.0))
+    assert(!new java.io.File(path + ".old").exists())
+  }
+
   test("bucketed tables sort-merge-join with zero exchanges") {
     val wh = Files.createTempDirectory("bkt_wh").toString.replace("\\", "/")
     spark.sql(s"CREATE DATABASE IF NOT EXISTS bkt LOCATION '$wh'")

@@ -114,4 +114,66 @@ class StreamsSpec extends SparkSpec {
     val got = Streams.dedupEvents(events.toDS()).collect().map(_.event_id).toSeq.sorted
     assert(got === Seq(1L, 2L))
   }
+
+  test("dedupEvents evicts expired per-user state once the watermark passes") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val src = MemoryStream[Streams.Event]
+    val checkpoint = Files.createTempDirectory("dedup_evict_ckpt").toString
+    val q = Streams.dedupEvents(src.toDS(),
+        watermark = "10 minutes", stateTtlMs = 10L * 60 * 1000)
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .format("memory").queryName("dedup_evict").start()
+    // batch 1: user 1 sees id 1
+    src.addData(Streams.Event(1L, ts("2024-01-01 00:00:00"), 1L, "click", 1.0))
+    q.processAllAvailable()
+    // batch 2: duplicate id 1 IN-WINDOW -> suppressed (state alive); user
+    // 2's event at 01:00 advances the watermark to 00:50, far past user
+    // 1's timeout (00:05 + 10 min)
+    src.addData(
+      Streams.Event(1L, ts("2024-01-01 00:05:00"), 1L, "click", 1.0),
+      Streams.Event(9L, ts("2024-01-01 01:00:00"), 2L, "view", 2.0))
+    q.processAllAvailable()
+    // batch 3: unrelated event triggers timeout processing -> user 1's
+    // seen-set is removed
+    src.addData(Streams.Event(10L, ts("2024-01-01 01:10:00"), 2L, "view", 3.0))
+    q.processAllAvailable()
+    // batch 4: id 1 reappears AFTER eviction -> re-emitted (state gone)
+    src.addData(Streams.Event(1L, ts("2024-01-01 01:30:00"), 1L, "click", 4.0))
+    q.processAllAvailable(); q.stop()
+    val ids = spark.table("dedup_evict").as[Streams.Event]
+      .collect().map(_.event_id).toSeq
+    // id 1 exactly twice: once pre-eviction (its 00:05 dup was suppressed
+    // in-window), once post-eviction
+    assert(ids.count(_ == 1L) === 2)
+    assert(ids.sorted === Seq(1L, 1L, 9L, 10L))
+  }
+
+  test("runningUserTotals restarts an evicted user from zero (bounded state)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val src = MemoryStream[Streams.Event]
+    val checkpoint = Files.createTempDirectory("running_evict_ckpt").toString
+    val q = Streams.runningUserTotals(src.toDS(),
+        watermark = "10 minutes", stateTtlMs = 10L * 60 * 1000)
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .format("memory").queryName("running_evict").start()
+    src.addData(Streams.Event(1L, ts("2024-01-01 00:00:00"), 1L, "click", 5.0))
+    q.processAllAvailable()
+    // watermark jumps past user 1's ttl; next batch expires their state
+    src.addData(Streams.Event(9L, ts("2024-01-01 01:00:00"), 2L, "view", 2.0))
+    q.processAllAvailable()
+    src.addData(Streams.Event(10L, ts("2024-01-01 01:10:00"), 2L, "view", 3.0))
+    q.processAllAvailable()
+    src.addData(Streams.Event(11L, ts("2024-01-01 01:30:00"), 1L, "click", 7.0))
+    q.processAllAvailable(); q.stop()
+    val user1 = spark.table("running_evict").as[Streams.UserRunning]
+      .collect().filter(_.user_id == 1L).sortBy(_.last_event_id)
+    // first emission counted 1 event (5.0); the post-eviction emission
+    // restarted from zero: 1 event (7.0), not 2 events (12.0)
+    assert(user1.map(r => (r.n_events, r.total_value)).toSeq ===
+      Seq((1L, 5.0), (1L, 7.0)))
+  }
 }
