@@ -462,6 +462,53 @@ object ParityQueries {
         |  max(ts) + INTERVAL 30 MINUTE AS session_end,
         |  count(*) AS n_events,
         |  CAST(SUM(CAST(value AS DECIMAL(30,2))) AS DOUBLE) AS session_value
-        |FROM s GROUP BY user_id, sid""".stripMargin))
+        |FROM s GROUP BY user_id, sid""".stripMargin)),
+
+    // S2 + P4 + P10 in one projection: character-translate normalization
+    // ('/'→'-' in the reference, exercised here on the name's '#'→'-'),
+    // conditional value replace (the 0→1 split fix-up shape), and
+    // unit-scale + round. Round to 5 dp: a 2-decimal acctbal scaled by
+    // 1000 has exactly 5 decimals, so the round is an identity in exact
+    // arithmetic and no representable IEEE value can land on a rounding
+    // tie — Spark's HALF_UP and DuckDB's double rounding agree
+    // bit-for-bit (a 2-dp round here WOULD tie on whole-dollar balances
+    // ending in 5).
+    Q("q44_scalar_normalize",
+      (s, dir) =>
+        Tables.supplier(s, dir).select(
+          col("s_suppkey"),
+          translate(col("s_name"), "#", "-").as("norm_name"),
+          when(col("s_acctbal") < 0, lit(0.0)).otherwise(col("s_acctbal")).as("bal_floor"),
+          round(col("s_acctbal") / 1000, 5).as("bal_k")),
+      Some("""SELECT s_suppkey,
+        |  replace(s_name, '#', '-') AS norm_name,
+        |  CASE WHEN s_acctbal < 0 THEN 0.0 ELSE s_acctbal END AS bal_floor,
+        |  round(s_acctbal / 1000, 5) AS bal_k
+        |FROM supplier""".stripMargin)),
+
+    // S9 export alignment: the xlsx Composition-Changes sheet's diff —
+    // computed on the REVERSED frame by the reference (dashboard.py:372 →
+    // :217), so labels land with +/- inverted against the PREVIOUS date
+    // and the pad '-' on the oldest row (Exports.changesSheet; golden
+    // index_data.xlsx sheet 3). Same plan as q06 with the roles swapped —
+    // the oracle proves the inversion, not just the diff.
+    Q("q45_changes_export",
+      (s, dir) =>
+        CoreOps.lagArrayDiff(dayComposition(s, dir), Nil, Seq(col("d")), col("arr"))
+          .select(col("d"),
+            CoreOps.changeString(col("removed"), col("added")).as("composition_changes")),
+      Some(s"""$dayCompositionSql,
+        |w AS (SELECT d, arr, lag(arr) OVER (ORDER BY d) AS prev FROM comp),
+        |diff AS (
+        |  SELECT d,
+        |    list_filter(prev, x -> NOT list_contains(arr, x)) AS lbl_added,
+        |    list_filter(arr, x -> NOT list_contains(prev, x)) AS lbl_removed
+        |  FROM w)
+        |SELECT d,
+        |  CASE WHEN lbl_added IS NULL OR lbl_removed IS NULL THEN '-'
+        |       WHEN len(lbl_added) = 0 AND len(lbl_removed) = 0 THEN '-'
+        |       ELSE '+(' || array_to_string(lbl_added, ', ') || ') , -(' || array_to_string(lbl_removed, ', ') || ')'
+        |  END AS composition_changes
+        |FROM diff""".stripMargin))
   )
 }
