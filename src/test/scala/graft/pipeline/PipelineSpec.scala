@@ -261,6 +261,36 @@ class SimilaritySpec extends SparkSpec {
       s"training hurt recall: trained=$ivfRecall untrained=$ivfStubRecall")
   }
 
+  test("LSH recall matrix: recall grows with tables, shrinks with bits (tuning surface)") {
+    // The two 100 TB knobs, measured instead of asserted: more TABLES =
+    // more chances to collide (recall up, candidates up); more BITS per
+    // table = finer buckets (candidates down, recall down). This sweep
+    // documents the monotone trends a deployment tunes against.
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val probes = emb.filter($"vec_id" < 10)
+    def top5(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
+      df.select($"probe_id", $"neighbor_id").as[(Long, Long)].collect()
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val exact = top5(Similarity.bruteForceTopK(emb, probes, 5))
+    def recall(bits: Int, tables: Int): Double = {
+      val approx = top5(Similarity.lshTopK(emb, probes, 5, bits, tables, dim = 64))
+      exact.map { case (p, want) =>
+        approx.getOrElse(p, Set.empty).count(want).toDouble / want.size
+      }.sum / exact.size
+    }
+    val byTables = Seq(1, 4, 8).map(t => t -> recall(4, t))
+    val byBits = Seq(2, 4, 8).map(b => b -> recall(b, 4))
+    info(s"recall@5 by tables (bits=4): ${byTables.map { case (t, r) => f"$t->$r%.2f" }.mkString(" ")}")
+    info(s"recall@5 by bits (tables=4): ${byBits.map { case (b, r) => f"$b->$r%.2f" }.mkString(" ")}")
+    // trends must hold loosely (small corpus: allow flat, forbid reversal)
+    assert(byTables(2)._2 >= byTables.head._2,
+      s"recall fell as tables grew: $byTables")
+    assert(byBits.head._2 >= byBits(2)._2,
+      s"recall rose as bits grew: $byBits")
+    // the production-ish corner is usable
+    assert(byTables(2)._2 >= 0.6, s"8-table recall floor: $byTables")
+  }
+
   test("cosinePairsLsh finds exact copies within buckets, never opposites") {
     val got = Similarity.cosinePairsLsh(vectors, 0.999, bits = 6, dim = 4)
       .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
