@@ -121,11 +121,48 @@ object KeyedParquetStore {
     * With `partitionCols`, only partitions present in `incoming` are
     * merged and swapped; everything else is untouched on disk. All writes
     * go through a staging dir then a checked rename swap, so a failed job
-    * never leaves a half-written store. */
+    * never leaves a half-written store.
+    *
+    * Writers are serialized by an ADVISORY lock file (`path + ".lock"`,
+    * atomic create-if-absent): SQLite serialized `INSERT OR REPLACE`
+    * through its connection (`database_manager.py:39`); two interleaving
+    * rename swaps would not be serializable, so a concurrent upsert FAILS
+    * FAST instead. A lock older than `lockTtlMs` is presumed crashed and
+    * taken over (the swap itself stays crash-recoverable via `read`'s
+    * healing, so takeover is safe). Advisory = honest on HDFS/local;
+    * object stores without atomic create downgrade it to best-effort —
+    * there, a Delta-style log is the real answer. */
   def upsert(spark: SparkSession, path: String, incoming: DataFrame,
              keys: Seq[String], version: Seq[Column],
-             partitionCols: Seq[String] = Nil): Unit = {
+             partitionCols: Seq[String] = Nil,
+             lockTtlMs: Long = 10L * 60 * 1000): Unit = {
     val f = fs(spark, path)
+    val lock = new HPath(path + ".lock")
+    acquireLock(f, lock, lockTtlMs)
+    try doUpsert(spark, f, path, incoming, keys, version, partitionCols)
+    finally f.delete(lock, false)
+  }
+
+  private def acquireLock(f: FileSystem, lock: HPath, ttlMs: Long): Unit = {
+    def create(): Boolean =
+      try { f.create(lock, false).close(); true }
+      catch { case _: java.io.IOException => false }
+    if (!create()) {
+      val fresh =
+        try System.currentTimeMillis() - f.getFileStatus(lock).getModificationTime < ttlMs
+        catch { case _: java.io.FileNotFoundException => false } // released just now
+      if (fresh) throw new IllegalStateException(
+        s"concurrent upsert detected: lock $lock is held (younger than ${ttlMs}ms); " +
+          "the keyed store serializes writers")
+      f.delete(lock, false) // stale: presumed crashed writer — take over
+      if (!create()) throw new IllegalStateException(
+        s"concurrent upsert detected: lost the race re-acquiring $lock")
+    }
+  }
+
+  private def doUpsert(spark: SparkSession, f: FileSystem, path: String,
+                       incoming: DataFrame, keys: Seq[String], version: Seq[Column],
+                       partitionCols: Seq[String]): Unit = {
     val existing = read(spark, path)
     val staging = path + ".staging"
     f.delete(new HPath(staging), true)

@@ -147,6 +147,29 @@ class SourcesSpec extends SparkSpec {
     assert(!new java.io.File(path + ".old").exists())
   }
 
+  test("upsert fails fast when another writer holds the lock, takes over stale locks") {
+    val path = Files.createTempDirectory("store_lock").toString + "/t"
+    val v1 = Seq(("AAA", 1.0, 1)).toDF("ticker", "price", "ver")
+    KeyedParquetStore.upsert(spark, path, v1, Seq("ticker"), Seq($"ver"))
+    assert(!new java.io.File(path + ".lock").exists()) // released after success
+    // a FRESH foreign lock -> concurrent writer -> fail fast, store intact
+    assert(new java.io.File(path + ".lock").createNewFile())
+    val ex = intercept[IllegalStateException] {
+      KeyedParquetStore.upsert(spark, path,
+        Seq(("AAA", 9.0, 2)).toDF("ticker", "price", "ver"), Seq("ticker"), Seq($"ver"))
+    }
+    assert(ex.getMessage.contains("concurrent upsert"))
+    assert(KeyedParquetStore.read(spark, path).get
+      .select($"price").as[Double].head() === 1.0)
+    // a STALE lock (older than ttl) is presumed crashed and taken over
+    KeyedParquetStore.upsert(spark, path,
+      Seq(("AAA", 9.0, 2)).toDF("ticker", "price", "ver"), Seq("ticker"), Seq($"ver"),
+      lockTtlMs = 0L)
+    assert(KeyedParquetStore.read(spark, path).get
+      .select($"price").as[Double].head() === 9.0)
+    assert(!new java.io.File(path + ".lock").exists())
+  }
+
   test("bucketed tables sort-merge-join with zero exchanges") {
     val wh = Files.createTempDirectory("bkt_wh").toString.replace("\\", "/")
     spark.sql(s"CREATE DATABASE IF NOT EXISTS bkt LOCATION '$wh'")
