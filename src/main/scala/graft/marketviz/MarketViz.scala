@@ -231,19 +231,27 @@ object Exports {
 }
 
 /** S9 file emission. The reference writes one xlsx with three sheets via
-  * xlsxwriter (`dashboard.py:203-226`); this build has no spreadsheet jar
-  * on the classpath (zero-egress), so the export boundary emits one
-  * headered CSV per sheet — same golden columns and newest-first row
-  * order, re-targetable to a spark-excel `.format("excel")` writer when
-  * that jar is present. `coalesce(1)` is deliberate: a report sheet is
-  * dashboard-sized output (the reference exports 30 rows), not data-plane
-  * output — the upstream plan still computes distributed. */
+  * xlsxwriter (`dashboard.py:203-226`); `writeXlsx` reproduces that as a
+  * real `index_data.xlsx` — same workbook shape (sheet names, header row,
+  * newest-first rows) — via the dependency-free [[XlsxWriter]].
+  * `writeAll` keeps the CSV-per-sheet form for pipelines that want
+  * re-readable plain text. `coalesce(1)` / driver collect is deliberate:
+  * a report sheet is dashboard-sized output (the reference exports 30
+  * rows), not data-plane output — the upstream plan still computes
+  * distributed. */
 object SheetWriter {
-  def writeAll(indexData: DataFrame, dir: String): Unit = {
-    write(Exports.performanceSheet(indexData), s"$dir/Performance")
-    write(Exports.compositionSheet(indexData), s"$dir/Composition")
-    write(Exports.changesSheet(indexData), s"$dir/Composition Changes")
-  }
+  /** The golden workbook's three sheets, by their committed names. */
+  def sheets(indexData: DataFrame): Seq[(String, DataFrame)] = Seq(
+    "Performance" -> Exports.performanceSheet(indexData),
+    "Composition" -> Exports.compositionSheet(indexData),
+    "Composition Changes" -> Exports.changesSheet(indexData))
+
+  /** One `.xlsx` workbook, three sheets — the reference's export file. */
+  def writeXlsx(indexData: DataFrame, file: String): Unit =
+    XlsxWriter.write(indexData.sparkSession, sheets(indexData), file)
+
+  def writeAll(indexData: DataFrame, dir: String): Unit =
+    sheets(indexData).foreach { case (name, df) => write(df, s"$dir/$name") }
 
   private def write(sheet: DataFrame, path: String): Unit =
     sheet.coalesce(1).write.mode(org.apache.spark.sql.SaveMode.Overwrite)

@@ -155,6 +155,41 @@ class MarketVizSpec extends SparkSpec {
       "-"))          // oldest row: the pad
   }
 
+  test("writeXlsx emits a real 3-sheet OOXML workbook (zip + XML parse round-trip, S9)") {
+    val file = java.nio.file.Files.createTempDirectory("xlsx").toString + "/index_data.xlsx"
+    SheetWriter.writeXlsx(index, file)
+    val zf = new java.util.zip.ZipFile(file)
+    try {
+      def parse(entry: String): org.w3c.dom.Document =
+        javax.xml.parsers.DocumentBuilderFactory.newInstance().newDocumentBuilder()
+          .parse(zf.getInputStream(zf.getEntry(entry)))
+      def cellTexts(row: org.w3c.dom.Node): Seq[String] = {
+        val cs = row.asInstanceOf[org.w3c.dom.Element].getElementsByTagName("c")
+        (0 until cs.getLength).map { i =>
+          val e = cs.item(i).asInstanceOf[org.w3c.dom.Element]
+          val t = e.getElementsByTagName("t")
+          if (t.getLength > 0) t.item(0).getTextContent
+          else e.getElementsByTagName("v").item(0).getTextContent
+        }
+      }
+      // workbook structure: the golden file's three sheet names, in order
+      val sheetNodes = parse("xl/workbook.xml").getElementsByTagName("sheet")
+      assert((0 until sheetNodes.getLength).map(i =>
+        sheetNodes.item(i).getAttributes.getNamedItem("name").getNodeValue)
+        === Seq("Performance", "Composition", "Composition Changes"))
+      // Performance: golden header row
+      assert(cellTexts(parse("xl/worksheets/sheet1.xml")
+        .getElementsByTagName("row").item(0))
+        === Seq("Date", "Price", "Daily Return (%)", "Cumulative Return (%)"))
+      // Composition Changes: newest-first inverted diffs, '-' pad on the
+      // OLDEST (= last) row — the golden sheet-3 shape
+      val rows = parse("xl/worksheets/sheet3.xml").getElementsByTagName("row")
+      assert(cellTexts(rows.item(0)) === Seq("Date", "Composition Changes"))
+      assert(cellTexts(rows.item(1)) === Seq("2024-01-05", "+(E) , -(A)"))
+      assert(cellTexts(rows.item(rows.getLength - 1)).last === "-")
+    } finally zf.close()
+  }
+
   test("tailReport keeps the last n dates newest-first (O3/O2)") {
     val got = Analytics.tailReport(index, 2).select($"date").as[java.sql.Date].collect().toSeq
     assert(got === Seq(d("2024-01-05"), d("2024-01-04")))
