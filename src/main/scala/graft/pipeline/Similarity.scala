@@ -142,7 +142,11 @@ object Similarity {
     * out, same as the SQL formulation. */
   def trainCentroids(corpus: DataFrame, numCells: Int,
                      iters: Int): Seq[(Long, Seq[Double])] = {
+    // Cached for the training loop only: every Lloyd iteration re-reads
+    // the (id, vector) relation, and without the cache each one re-scans
+    // and re-casts the source (iters + 1 jobs over the same bytes).
     val c = corpus.select(col("vec_id").as("id"), asDouble(col("embedding")).as("cv"))
+    if (iters > 0) c.cache()
     var cents: Seq[(Long, Seq[Double])] = corpus.filter(col("vec_id") < numCells)
       .select(col("vec_id"), asDouble(col("embedding")))
       .collect().map(r => (r.getLong(0), r.getSeq[Double](1))).sortBy(_._1).toSeq
@@ -158,6 +162,7 @@ object Similarity {
         .agg(graft.operators.CoreOps.orderedCollect(col("pos"), col("m")).as("centroid"))
         .collect().map(r => (r.getLong(0), r.getSeq[Double](1))).sortBy(_._1).toSeq
     }
+    if (iters > 0) c.unpersist()
     cents
   }
 

@@ -190,6 +190,29 @@ class MarketVizSpec extends SparkSpec {
     } finally zf.close()
   }
 
+  test("XlsxWriter column refs and XML escaping cover the A1 grammar") {
+    assert(XlsxWriter.colRef(0) === "A")
+    assert(XlsxWriter.colRef(25) === "Z")
+    assert(XlsxWriter.colRef(26) === "AA")
+    assert(XlsxWriter.colRef(27) === "AB")
+    assert(XlsxWriter.colRef(51) === "AZ")
+    assert(XlsxWriter.colRef(52) === "BA")
+    assert(XlsxWriter.colRef(701) === "ZZ")
+    assert(XlsxWriter.colRef(702) === "AAA")
+    // special characters in cell text survive the zip + DOM round-trip
+    val file = java.nio.file.Files.createTempDirectory("xlsx_esc").toString + "/esc.xlsx"
+    XlsxWriter.write(spark,
+      Seq("S" -> Seq(("a<b&c>d", "\"quoted\"")).toDF("x", "y")), file)
+    val zf = new java.util.zip.ZipFile(file)
+    try {
+      val doc = javax.xml.parsers.DocumentBuilderFactory.newInstance().newDocumentBuilder()
+        .parse(zf.getInputStream(zf.getEntry("xl/worksheets/sheet1.xml")))
+      val ts = doc.getElementsByTagName("t")
+      val texts = (0 until ts.getLength).map(ts.item(_).getTextContent)
+      assert(texts.contains("a<b&c>d") && texts.contains("\"quoted\""))
+    } finally zf.close()
+  }
+
   test("tailReport keeps the last n dates newest-first (O3/O2)") {
     val got = Analytics.tailReport(index, 2).select($"date").as[java.sql.Date].collect().toSeq
     assert(got === Seq(d("2024-01-05"), d("2024-01-04")))
