@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.pipeline.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.pipeline.{Dedup, Multimodal, Sampling, Similarity, TextAnalysis}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
@@ -569,6 +569,40 @@ object PipelineQueries {
         |  n // 100 + 1 AS n_frames,
         |  CAST(COALESCE(list_sum(list_transform(range(0, n),
         |       i -> CAST(('0x' || substr(h, CAST(i * 2 + 1 AS INT), 2)) AS BIGINT))), 0) AS BIGINT) AS checksum
-        |FROM b""".stripMargin))
+        |FROM b""".stripMargin)),
+
+    // Deterministic train/val/test deal: hash-bucket assignment that is
+    // retry-safe and engine-reproducible (rand() is neither) — the oracle
+    // rebuilds the identical buckets from the same md5 arithmetic.
+    Q("q46_split_assign",
+      (s, dir) =>
+        Sampling.assignSplit(
+          Tables.documents(s, dir).select(col("doc_id")),
+          "doc_id", Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+          .select(col("doc_id"), col("bucket"), col("split")),
+      Some("""WITH b AS (
+        |  SELECT doc_id,
+        |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '_split'), 1, 15)) AS BIGINT)
+        |      % 10000 AS bucket
+        |  FROM documents)
+        |SELECT doc_id, bucket,
+        |  CASE WHEN bucket < 8000 THEN 'train'
+        |       WHEN bucket < 9000 THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM b""".stripMargin)),
+
+    // Deterministic 10% sample over the same hash buckets: stable across
+    // runs/partitionings, and nested (the 1% slice is a subset of this
+    // one — asserted in SamplingSpec).
+    Q("q47_deterministic_sample",
+      (s, dir) =>
+        Sampling.deterministicSample(
+          Tables.documents(s, dir).select(col("doc_id"), col("text")),
+          "doc_id", fraction = 0.1)
+          .select(col("doc_id"), length(col("text")).cast("long").as("text_len")),
+      Some("""SELECT doc_id, CAST(length(text) AS BIGINT) AS text_len
+        |FROM documents
+        |WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '_sample'), 1, 15)) AS BIGINT)
+        |      % 10000 < 1000""".stripMargin))
   )
 }

@@ -159,6 +159,47 @@ class DedupClustersSpec extends SparkSpec {
   }
 }
 
+class SamplingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = spark.read
+    .parquet("/root/testdata/sf0.01/documents.parquet").select($"doc_id")
+
+  test("assignSplit is disjoint, exhaustive, and close to the weights") {
+    val got = Sampling.assignSplit(docs, "doc_id",
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+    val n = docs.count().toDouble
+    val byName = got.groupBy($"split").count()
+      .as[(String, Long)].collect().toMap
+    assert(byName.keySet === Set("train", "val", "test")) // exhaustive
+    assert(byName.values.sum === n.toLong)                // disjoint
+    // hash buckets are uniform-ish; 500 docs -> allow generous tolerance
+    assert(math.abs(byName("train") / n - 0.8) < 0.08, byName.toString)
+    assert(math.abs(byName("val") / n - 0.1) < 0.05, byName.toString)
+  }
+
+  test("assignSplit is deterministic and salt re-deals it") {
+    val a = Sampling.assignSplit(docs, "doc_id", Seq("a" -> 0.5, "b" -> 0.5))
+      .select($"doc_id", $"split").as[(Long, String)].collect().toMap
+    val b = Sampling.assignSplit(docs, "doc_id", Seq("a" -> 0.5, "b" -> 0.5))
+      .select($"doc_id", $"split").as[(Long, String)].collect().toMap
+    assert(a === b) // same salt -> identical deal, any run, any partitioning
+    val c = Sampling.assignSplit(docs, "doc_id", Seq("a" -> 0.5, "b" -> 0.5),
+      salt = "deal2").select($"doc_id", $"split").as[(Long, String)].collect().toMap
+    assert(c !== a) // new salt -> a different (still deterministic) deal
+  }
+
+  test("deterministicSample nests: the 1% slice is a subset of the 10% slice") {
+    val p10 = Sampling.deterministicSample(docs, "doc_id", 0.10)
+      .as[Long].collect().toSet
+    val p01 = Sampling.deterministicSample(docs, "doc_id", 0.01)
+      .as[Long].collect().toSet
+    assert(p01.subsetOf(p10))
+    assert(Sampling.deterministicSample(docs, "doc_id", 0.0).count() === 0)
+    assert(Sampling.deterministicSample(docs, "doc_id", 1.0).count() === docs.count())
+  }
+}
+
 class SimilaritySpec extends SparkSpec {
   import spark.implicits._
 
