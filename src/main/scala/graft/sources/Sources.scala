@@ -85,9 +85,26 @@ object KeyedParquetStore {
     *    OUTSIDE the store root precisely so a half-finished swap can
     *    never confuse Spark's partition discovery; here any old subtree
     *    whose target is missing is restored, and any whose target exists
-    *    is stale (its swap completed before the crash) and is dropped. */
-  def read(spark: SparkSession, path: String): Option[DataFrame] = {
+    *    is stale (its swap completed before the crash) and is dropped.
+    *
+    * Healing only engages when no FRESH writer lock is held: a live
+    * writer mid-swap legitimately has displaced dirs, and "recovering"
+    * them under it would make its staging rename fail. A stale lock
+    * means the writer crashed — heal as usual. (`upsert` heals
+    * unconditionally after ACQUIRING the lock — under it, no other
+    * writer can be mid-swap.) */
+  def read(spark: SparkSession, path: String,
+           lockTtlMs: Long = 10L * 60 * 1000): Option[DataFrame] = {
     val f = fs(spark, path)
+    val writerActive =
+      try System.currentTimeMillis() -
+        f.getFileStatus(new HPath(path + ".lock")).getModificationTime < lockTtlMs
+      catch { case _: java.io.FileNotFoundException => false }
+    if (!writerActive) heal(f, path)
+    if (f.exists(new HPath(path))) Some(spark.read.parquet(path)) else None
+  }
+
+  private def heal(f: FileSystem, path: String): Unit = {
     val target = new HPath(path)
     val old = new HPath(path + ".old")
     if (!f.exists(target) && f.exists(old))
@@ -95,8 +112,8 @@ object KeyedParquetStore {
     else if (f.exists(target) && f.exists(old)) {
       healDisplaced(f, old, target)
       f.delete(old, true)
+      ()
     }
-    if (f.exists(target)) Some(spark.read.parquet(path)) else None
   }
 
   /** Restore displaced partition subtrees after a partition-scoped swap
@@ -163,7 +180,12 @@ object KeyedParquetStore {
   private def doUpsert(spark: SparkSession, f: FileSystem, path: String,
                        incoming: DataFrame, keys: Seq[String], version: Seq[Column],
                        partitionCols: Seq[String]): Unit = {
-    val existing = read(spark, path)
+    // We hold the writer lock: no other swap can be in flight, so any
+    // displaced dirs are a crashed predecessor's — heal before merging
+    // (read() alone would skip healing under our own fresh lock).
+    heal(f, path)
+    val existing =
+      if (f.exists(new HPath(path))) Some(spark.read.parquet(path)) else None
     val staging = path + ".staging"
     f.delete(new HPath(staging), true)
 

@@ -170,6 +170,32 @@ class SourcesSpec extends SparkSpec {
     assert(!new java.io.File(path + ".lock").exists())
   }
 
+  test("read leaves a live writer's displaced dirs alone, heals once the lock is gone") {
+    val path = Files.createTempDirectory("store_rw").toString + "/t"
+    val v1 = Seq(("2024-01-01", "AAA", 1.0, 1), ("2024-01-02", "BBB", 2.0, 1))
+      .toDF("date", "ticker", "price", "ver")
+    KeyedParquetStore.upsert(spark, path, v1, Seq("ticker", "date"), Seq($"ver"),
+      partitionCols = Seq("date"))
+    // a LIVE writer mid-swap: fresh lock + one displaced partition
+    assert(new java.io.File(path + ".lock").createNewFile())
+    assert(new java.io.File(path + ".old").mkdirs())
+    assert(new java.io.File(s"$path/date=2024-01-02")
+      .renameTo(new java.io.File(s"$path.old/date=2024-01-02")))
+    // reader must NOT "recover" under the live writer (that would make the
+    // writer's staging rename fail); it sees the store without the
+    // in-flight partition
+    val during = KeyedParquetStore.read(spark, path).get
+      .select($"ticker").as[String].collect().toSeq
+    assert(during === Seq("AAA"))
+    assert(new java.io.File(s"$path.old/date=2024-01-02").exists())
+    // writer died: lock gone -> next read heals
+    assert(new java.io.File(path + ".lock").delete())
+    val after = KeyedParquetStore.read(spark, path).get
+      .select($"ticker").as[String].collect().toSeq.sorted
+    assert(after === Seq("AAA", "BBB"))
+    assert(!new java.io.File(path + ".old").exists())
+  }
+
   test("bucketed tables sort-merge-join with zero exchanges") {
     val wh = Files.createTempDirectory("bkt_wh").toString.replace("\\", "/")
     spark.sql(s"CREATE DATABASE IF NOT EXISTS bkt LOCATION '$wh'")
