@@ -39,38 +39,6 @@ object Dedup {
     * happens here). */
   val P: Long = 2147483647L
 
-  /** Per-seed MinHash values: `(doc_id, seed, minhash)` over a hashed
-    * shingle relation `(doc_id, h)` (`TextAnalysis.hashedShingles`).
-    * One content hash per shingle, then `numHashes` affine permutations
-    * `(2i+1)·h + c_i mod P` — pure codegen'd arithmetic, no per-seed
-    * rehashing, and no row explosion: the 16 mins aggregate in one pass
-    * with map-side partials, then unpack to rows. */
-  def minhashes(sh: DataFrame, numHashes: Int): DataFrame = {
-    val aggs = (0 until numHashes).map { i =>
-      min((lit(2L * i + 1) * (col("h") % P) + lit(i * 12347L + 89L)) % P).as(s"mh$i")
-    }
-    sh.groupBy(col("doc_id"))
-      .agg(aggs.head, aggs.tail: _*)
-      .select(col("doc_id"),
-        posexplode(array((0 until numHashes).map(i => col(s"mh$i")): _*)))
-      .toDF("doc_id", "seed", "mh")
-  }
-
-  /** LSH candidate pairs: docs sharing ANY band (rows of `rowsPerBand`
-    * consecutive minhash values). Returns distinct (doc_a, doc_b),
-    * doc_a < doc_b. */
-  def lshCandidates(mh: DataFrame, rowsPerBand: Int): DataFrame = {
-    val bands = mh
-      .groupBy(col("doc_id"), (col("seed") / rowsPerBand).cast("int").as("band"))
-      .agg(md5(array_join(transform(
-        graft.operators.CoreOps.orderedCollect(col("seed"), col("mh")),
-        m => m.cast("string")), ",")).as("sig"))
-    val a = bands.select(col("band"), col("sig"), col("doc_id").as("doc_a"))
-    val b = bands.select(col("band"), col("sig"), col("doc_id").as("doc_b"))
-    a.join(b, Seq("band", "sig")).filter(col("doc_a") < col("doc_b"))
-      .select("doc_a", "doc_b").distinct()
-  }
-
   /** Exact Jaccard for given (doc_a, doc_b) pairs over the hashed shingle
     * relation `(doc_id, h)` — used to confirm LSH candidates. */
   def exactJaccard(pairs: DataFrame, sh: DataFrame): DataFrame = {
@@ -95,12 +63,23 @@ object Dedup {
     * relation, not the corpus. The confirm re-joins the hashed-shingle
     * relation `(doc_id, h)` (8-byte longs) on the candidate ids; LSH keeps
     * that candidate set tiny, so the quadratic work never materializes.
-    * The shingle relation is recomputed rather than cached: it is one
-    * codegen'd narrow pass over the scan, and measured at sf0.1 the
-    * recompute beats a persist (memory pressure + serialization). */
+    *
+    * The hashed-shingle relation is consumed FOUR times downstream (the
+    * minhash aggregation, the per-doc sizes, and both sides of the
+    * Jaccard-confirm join), so it is materialized ONCE per call via an
+    * eager `localCheckpoint` — recomputing it paid the md5-per-shingle
+    * scan 4× (the round-3 driver bench recorded q37 at 15.7 s, dominated
+    * by exactly that; a builder-side "recompute beats persist" measurement
+    * did not hold at driver config). `localCheckpoint` over `.cache()` is
+    * deliberate: it is scoped to this call (no CacheManager entry for
+    * identical re-plans to silently hit, no leaked pin), and the blocks
+    * are GC'd with the returned plan. Trade-off: checkpoint blocks don't
+    * recompute on executor loss — a cluster deployment that needs that
+    * resilience swaps in `persist(MEMORY_AND_DISK_2)` with an explicit
+    * unpersist after the sink. */
   def minhashLsh(docs: DataFrame, numHashes: Int = 16, rowsPerBand: Int = 4,
                  shingleN: Int = 3, threshold: Double = 0.5): DataFrame = {
-    val sh = TextAnalysis.hashedShingles(docs, shingleN)
+    val sh = TextAnalysis.hashedShingles(docs, shingleN).localCheckpoint()
     // All 16 minhashes in ONE aggregation (codegen'd mins with map-side
     // partials) — single shuffle over the shingle relation.
     val mins = (0 until numHashes).map { i =>
@@ -155,7 +134,16 @@ object Dedup {
     val spark = pairs.sparkSession
     val p = pairs.select(col("doc_a").cast("long").as("src"),
       col("doc_b").cast("long").as("dst")).cache()
-    val nEdges = p.count() // one materialization of the (expensive) pair producer
+    // ONE materialization of the (expensive) pair producer, counting null
+    // casts in the same pass: a non-numeric id column would otherwise
+    // surface as an opaque NPE on the driver path or silently null-keyed
+    // joins on the distributed path.
+    val firstPass = p.agg(count(lit(1)).as("n"),
+      count(when(col("src").isNull || col("dst").isNull, 1)).as("nulls")).head()
+    val nEdges = firstPass.getLong(0)
+    require(firstPass.getLong(1) == 0,
+      s"dedupClusters: ${firstPass.getLong(1)} of $nEdges pairs have doc ids " +
+        "that do not cast to long — pass numeric doc ids (or pre-map them)")
     if (nEdges <= driverEdgeLimit) {
       import spark.implicits._
       val parent = scala.collection.mutable.HashMap.empty[Long, Long]
@@ -235,7 +223,9 @@ object Dedup {
     * sharing a shingle; the small-scale baseline the LSH path is verified
     * against. */
   def allPairsJaccard(docs: DataFrame, shingleN: Int = 3, threshold: Double = 0.1): DataFrame = {
-    val sh = TextAnalysis.hashedShingles(docs, shingleN)
+    // Consumed 5× (pair self-join + the confirm); materialized once, same
+    // rationale as [[minhashLsh]].
+    val sh = TextAnalysis.hashedShingles(docs, shingleN).localCheckpoint()
     val pairs = sh.select(col("doc_id").as("doc_a"), col("h"))
       .join(sh.select(col("doc_id").as("doc_b"), col("h")), Seq("h"))
       .filter(col("doc_a") < col("doc_b"))
