@@ -87,20 +87,23 @@ object KeyedParquetStore {
     *    whose target is missing is restored, and any whose target exists
     *    is stale (its swap completed before the crash) and is dropped.
     *
-    * Healing only engages when no FRESH writer lock is held: a live
-    * writer mid-swap legitimately has displaced dirs, and "recovering"
-    * them under it would make its staging rename fail. A stale lock
-    * means the writer crashed — heal as usual. (`upsert` heals
-    * unconditionally after ACQUIRING the lock — under it, no other
-    * writer can be mid-swap.) */
+    * Healing runs UNDER the writer lock (acquired only when `path +
+    * ".old"` actually exists — the normal read path never touches the
+    * lock): a freshness check followed by unlocked renames was
+    * check-then-act — a writer could acquire between the two and the
+    * reader would "recover" the writer's legitimately displaced
+    * partitions mid-swap. If a live writer holds the lock, the acquire
+    * fails and recovery is simply left to that writer, which heals under
+    * its own lock before merging. */
   def read(spark: SparkSession, path: String,
            lockTtlMs: Long = 10L * 60 * 1000): Option[DataFrame] = {
     val f = fs(spark, path)
-    val writerActive =
-      try System.currentTimeMillis() -
-        f.getFileStatus(new HPath(path + ".lock")).getModificationTime < lockTtlMs
-      catch { case _: java.io.FileNotFoundException => false }
-    if (!writerActive) heal(f, path)
+    if (f.exists(new HPath(path + ".old"))) {
+      try {
+        val h = acquireLock(f, new HPath(path + ".lock"), lockTtlMs)
+        try heal(f, path) finally h.release()
+      } catch { case _: IllegalStateException => () } // live writer: it heals
+    }
     if (f.exists(new HPath(path))) Some(spark.read.parquet(path)) else None
   }
 
@@ -144,37 +147,112 @@ object KeyedParquetStore {
     * atomic create-if-absent): SQLite serialized `INSERT OR REPLACE`
     * through its connection (`database_manager.py:39`); two interleaving
     * rename swaps would not be serializable, so a concurrent upsert FAILS
-    * FAST instead. A lock older than `lockTtlMs` is presumed crashed and
-    * taken over (the swap itself stays crash-recoverable via `read`'s
-    * healing, so takeover is safe). Advisory = honest on HDFS/local;
-    * object stores without atomic create downgrade it to best-effort —
-    * there, a Delta-style log is the real answer. */
+    * FAST instead. The lock carries a per-acquisition UUID token (so only
+    * its owner releases it) and is HEARTBEAT-refreshed while the merge
+    * runs, so `lockTtlMs` means "writer died", not "writer is slow" — a
+    * legitimate merge running past the ttl keeps its lock. A lock whose
+    * mtime stops advancing for `lockTtlMs` is presumed crashed and taken
+    * over by atomic RENAME (never delete-then-create: exactly one
+    * contender wins the rename, and a fresh-after-all lock is renamed
+    * straight back). Advisory = honest on HDFS/local; object stores
+    * without atomic create/rename downgrade it to best-effort — there, a
+    * Delta-style log is the real answer. */
   def upsert(spark: SparkSession, path: String, incoming: DataFrame,
              keys: Seq[String], version: Seq[Column],
              partitionCols: Seq[String] = Nil,
              lockTtlMs: Long = 10L * 60 * 1000): Unit = {
     val f = fs(spark, path)
-    val lock = new HPath(path + ".lock")
-    acquireLock(f, lock, lockTtlMs)
+    val h = acquireLock(f, new HPath(path + ".lock"), lockTtlMs)
     try doUpsert(spark, f, path, incoming, keys, version, partitionCols)
-    finally f.delete(lock, false)
+    finally h.release()
   }
 
-  private def acquireLock(f: FileSystem, lock: HPath, ttlMs: Long): Unit = {
+  private def readToken(f: FileSystem, lock: HPath): Option[String] =
+    try {
+      val in = f.open(lock)
+      try {
+        val buf = new Array[Byte](64)
+        val n = in.read(buf)
+        Some(new String(buf, 0, math.max(n, 0), java.nio.charset.StandardCharsets.UTF_8))
+      } finally in.close()
+    } catch { case _: java.io.IOException => None }
+
+  /** A held writer lock: `release()` deletes it only if the on-disk token
+    * is still ours (a takeover's successor lock survives our finally), and
+    * a daemon heartbeat re-touches the mtime every ttl/3 while the merge
+    * runs so freshness means liveness. The heartbeat re-reads the token
+    * each beat and stops the moment the lock is no longer ours — it never
+    * refreshes (or resurrects) a successor's lock. */
+  private[sources] final class LockHandle(f: FileSystem, lock: HPath,
+                                          token: String, ttlMs: Long) {
+    private val beat = new Thread(() => {
+      var mine = true
+      while (mine && !Thread.currentThread().isInterrupted) {
+        try {
+          Thread.sleep(math.max(ttlMs / 3, 50L))
+          if (readToken(f, lock).contains(token))
+            f.setTimes(lock, System.currentTimeMillis(), -1)
+          else mine = false
+        } catch {
+          case _: InterruptedException => mine = false
+          case _: java.io.IOException => () // transient: retry next beat
+        }
+      }
+    }, s"graft-store-lock-heartbeat")
+    beat.setDaemon(true)
+    beat.start()
+
+    def release(): Unit = {
+      beat.interrupt()
+      if (readToken(f, lock).contains(token)) f.delete(lock, false)
+      ()
+    }
+  }
+
+  private[sources] def acquireLock(f: FileSystem, lock: HPath,
+                                   ttlMs: Long): LockHandle = {
+    val token = java.util.UUID.randomUUID().toString
     def create(): Boolean =
-      try { f.create(lock, false).close(); true }
-      catch { case _: java.io.IOException => false }
+      try {
+        val out = f.create(lock, false)
+        out.write(token.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        out.close()
+        true
+      } catch { case _: java.io.IOException => false }
+    def owned(): Boolean = readToken(f, lock).contains(token)
     if (!create()) {
       val fresh =
         try System.currentTimeMillis() - f.getFileStatus(lock).getModificationTime < ttlMs
         catch { case _: java.io.FileNotFoundException => false } // released just now
       if (fresh) throw new IllegalStateException(
-        s"concurrent upsert detected: lock $lock is held (younger than ${ttlMs}ms); " +
-          "the keyed store serializes writers")
-      f.delete(lock, false) // stale: presumed crashed writer — take over
-      if (!create()) throw new IllegalStateException(
+        s"concurrent upsert detected: lock $lock is held (heartbeat younger " +
+          s"than ${ttlMs}ms); the keyed store serializes writers")
+      // Stale: presumed crashed. Take over by RENAME — atomic, so exactly
+      // one contender gets to inspect and clear it; a delete-then-create
+      // here would let a second contender delete the winner's new lock.
+      val displaced = new HPath(lock.toString + ".stale-" + token)
+      val won = try f.rename(lock, displaced)
+        catch { case _: java.io.IOException => false }
+      if (won) {
+        // Rename preserves mtime: if what we displaced turns out FRESH
+        // (its owner heartbeat between our check and the rename), hand it
+        // straight back and fail — we almost usurped a live writer.
+        val displacedFresh =
+          try System.currentTimeMillis() -
+            f.getFileStatus(displaced).getModificationTime < ttlMs
+          catch { case _: java.io.FileNotFoundException => false }
+        if (displacedFresh) {
+          f.rename(displaced, lock)
+          throw new IllegalStateException(
+            s"concurrent upsert detected: lock $lock was refreshed during takeover")
+        }
+        f.delete(displaced, false)
+      }
+      if (!create() || !owned()) throw new IllegalStateException(
         s"concurrent upsert detected: lost the race re-acquiring $lock")
-    }
+    } else if (!owned()) throw new IllegalStateException(
+      s"concurrent upsert detected: lock $lock changed hands during acquisition")
+    new LockHandle(f, lock, token, ttlMs)
   }
 
   private def doUpsert(spark: SparkSession, f: FileSystem, path: String,

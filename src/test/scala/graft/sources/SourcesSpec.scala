@@ -170,6 +170,54 @@ class SourcesSpec extends SparkSpec {
     assert(!new java.io.File(path + ".lock").exists())
   }
 
+  test("heartbeat keeps a slow writer's lock fresh past the ttl; contender fails fast") {
+    val dir = Files.createTempDirectory("store_hb").toString
+    val lockPath = new org.apache.hadoop.fs.Path(dir + "/t.lock")
+    val hfs = lockPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val ttl = 300L // heartbeat every ~100ms
+    val h = KeyedParquetStore.acquireLock(hfs, lockPath, ttl)
+    try {
+      Thread.sleep(ttl * 3) // a merge running well past the ttl
+      // without the heartbeat this lock would now be "stale" and usurped;
+      // with it, freshness means liveness and the contender fails fast
+      val ex = intercept[IllegalStateException] {
+        KeyedParquetStore.acquireLock(hfs, lockPath, ttl)
+      }
+      assert(ex.getMessage.contains("concurrent upsert"))
+    } finally h.release()
+    assert(!new java.io.File(dir + "/t.lock").exists())
+  }
+
+  test("release leaves a successor's lock in place after a takeover (token mismatch)") {
+    val dir = Files.createTempDirectory("store_tok").toString
+    val lockPath = new org.apache.hadoop.fs.Path(dir + "/t.lock")
+    val hfs = lockPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val h = KeyedParquetStore.acquireLock(hfs, lockPath, 10L * 60 * 1000)
+    // simulate a (stale-presumed) takeover: the lock now carries a
+    // successor's token — the original writer's release must not delete it
+    hfs.delete(lockPath, false)
+    Files.writeString(java.nio.file.Paths.get(dir + "/t.lock"), "successor-token")
+    h.release()
+    assert(Files.readString(java.nio.file.Paths.get(dir + "/t.lock")) === "successor-token")
+  }
+
+  test("stale takeover goes through rename, and a crashed writer's lock is replaced") {
+    val path = Files.createTempDirectory("store_stale").toString + "/t"
+    val v1 = Seq(("AAA", 1.0, 1)).toDF("ticker", "price", "ver")
+    KeyedParquetStore.upsert(spark, path, v1, Seq("ticker"), Seq($"ver"))
+    // a crashed writer's lock: foreign token, mtime far in the past
+    val lockFile = new java.io.File(path + ".lock")
+    Files.writeString(lockFile.toPath, "crashed-writer")
+    assert(lockFile.setLastModified(System.currentTimeMillis() - 3600 * 1000))
+    KeyedParquetStore.upsert(spark, path,
+      Seq(("AAA", 5.0, 2)).toDF("ticker", "price", "ver"), Seq("ticker"), Seq($"ver"))
+    assert(KeyedParquetStore.read(spark, path).get
+      .select($"price").as[Double].head() === 5.0)
+    assert(!lockFile.exists()) // the takeover's own lock was released
+    // the rename-displaced stale lock was cleaned up too
+    assert(!lockFile.getParentFile.listFiles().exists(_.getName.contains(".lock.stale-")))
+  }
+
   test("read leaves a live writer's displaced dirs alone, heals once the lock is gone") {
     val path = Files.createTempDirectory("store_rw").toString + "/t"
     val v1 = Seq(("2024-01-01", "AAA", 1.0, 1), ("2024-01-02", "BBB", 2.0, 1))
