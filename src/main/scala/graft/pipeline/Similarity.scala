@@ -126,10 +126,18 @@ object Similarity {
       .withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
+  /** Salt for the deterministic IVF seed buckets (see [[trainCentroids]]). */
+  val IvfSeedSalt = "ivfseed"
+
   /** K-means centroid training on the driver loop: `iters` Lloyd
-    * iterations seeded by the first `numCells` corpus vectors
-    * (deterministic seed — a production index samples instead; the
-    * iteration is identical). Returns `(cell, centroid)` sorted by cell.
+    * iterations seeded by the `numCells` corpus vectors with the SMALLEST
+    * `(hash-bucket, vec_id)` pair — `Sampling.bucket`'s md5 arithmetic, so
+    * the seed is a deterministic pseudo-random sample that any engine
+    * (and the DuckDB oracle) rebuilds identically from ANY id
+    * distribution; ids need not start at 0 or be contiguous. The pick is
+    * a `TakeOrderedAndProject` (orderBy + limit numCells), not a full
+    * sort. Returns `(cell, centroid)` sorted by cell, where a cell is
+    * labeled by its seed's `vec_id`.
     *
     * Assignment is a NARROW argmax against centroid array literals (the
     * centroid set lives on the driver between iterations, like an MLlib
@@ -147,8 +155,12 @@ object Similarity {
     // and re-casts the source (iters + 1 jobs over the same bytes).
     val c = corpus.select(col("vec_id").as("id"), asDouble(col("embedding")).as("cv"))
     if (iters > 0) c.cache()
-    var cents: Seq[(Long, Seq[Double])] = corpus.filter(col("vec_id") < numCells)
-      .select(col("vec_id"), asDouble(col("embedding")))
+    var cents: Seq[(Long, Seq[Double])] = corpus
+      .select(col("vec_id"), asDouble(col("embedding")).as("e"),
+        Sampling.bucket(col("vec_id"), IvfSeedSalt).as("b"))
+      .orderBy(col("b"), col("vec_id"))
+      .limit(numCells)
+      .select(col("vec_id"), col("e"))
       .collect().map(r => (r.getLong(0), r.getSeq[Double](1))).sortBy(_._1).toSeq
     for (_ <- 0 until iters) {
       cents = c
@@ -183,8 +195,7 @@ object Similarity {
     * thousands-of-cells deployment swaps this for a matrix-multiply
     * expression; the per-row-narrow shape is the point. */
   private def argmaxCell(v: Column, cents: Seq[(Long, Seq[Double])]): Column = {
-    require(cents.nonEmpty,
-      "no centroids: the seed requires corpus vec_ids in [0, numCells)")
+    require(cents.nonEmpty, "no centroids: the corpus is empty")
     val entries = cents.map { case (cell, w) =>
       val normW = math.sqrt(w.map(x => x * x).sum)
       struct(round(dot(v, typedLit(w)) / (norm(v) * lit(normW)), 6).as("s"),
@@ -202,8 +213,34 @@ object Similarity {
     * of the data instead of all of it. Recall vs the brute-force baseline
     * is the tuning knob, measured in SimilaritySpec. */
   def ivfTopK(corpus: DataFrame, probes: DataFrame, k: Int,
-              numCells: Int = 8, nProbe: Int = 2, trainIters: Int = 2): DataFrame = {
-    val cents = trainCentroids(corpus, numCells, trainIters)
+              numCells: Int = 8, nProbe: Int = 2, trainIters: Int = 2): DataFrame =
+    searchIvfCents(corpus, trainCentroids(corpus, numCells, trainIters),
+      probes, k, nProbe)
+
+  /** Train-once face of IVF: build the `(cell, centroid)` index as a
+    * DataFrame a deployment persists, then [[searchIvf]] against it —
+    * [[ivfTopK]] re-trains per call (the correctness-query shape); a
+    * production index pays the Lloyd loop once and amortizes it across
+    * every query. Identity `buildIvfIndex → searchIvf ≡ ivfTopK` is
+    * asserted in SimilaritySpec. */
+  def buildIvfIndex(corpus: DataFrame, numCells: Int = 8,
+                    trainIters: Int = 2): DataFrame =
+    kmeansCentroids(corpus, numCells, trainIters)
+
+  /** Search a prebuilt IVF index (`(cell, centroid)` from
+    * [[buildIvfIndex]]). The index is cells-count-sized — KBs — so it
+    * collects to driver literals exactly like the training loop's model
+    * state (the MLlib pattern); the corpus is scanned narrow, never
+    * shuffled. */
+  def searchIvf(corpus: DataFrame, index: DataFrame, probes: DataFrame,
+                k: Int, nProbe: Int = 2): DataFrame = {
+    val cents = index.select(col("cell").cast("long"), col("centroid"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1))).sortBy(_._1).toSeq
+    searchIvfCents(corpus, cents, probes, k, nProbe)
+  }
+
+  private def searchIvfCents(corpus: DataFrame, cents: Seq[(Long, Seq[Double])],
+                             probes: DataFrame, k: Int, nProbe: Int): DataFrame = {
     val assigned = corpus
       .select(col("vec_id").as("neighbor_id"), asDouble(col("embedding")).as("cv"))
       .withColumn("cell", argmaxCell(col("cv"), cents))

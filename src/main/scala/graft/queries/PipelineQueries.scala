@@ -321,9 +321,11 @@ object PipelineQueries {
         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,2))) AS DOUBLE) AS rev
         |FROM lineitem GROUP BY 1""".stripMargin)),
 
-    // IVF ANN: k-means-trained Voronoi cells (2 Lloyd iterations over the
-    // first-8 seed, reproduced verbatim in the oracle), probe the 2
-    // nearest cells only — the index-build + bounded-search shape.
+    // IVF ANN: k-means-trained Voronoi cells (2 Lloyd iterations over a
+    // deterministic hash-bucket seed — the 8 smallest (bucket, vec_id)
+    // pairs, id-distribution-free — reproduced verbatim in the oracle),
+    // probe the 2 nearest cells only: the index-build + bounded-search
+    // shape.
     Q("q32_ivf_knn",
       (s, dir) => {
         val emb = Tables.embeddings(s, dir)
@@ -333,7 +335,11 @@ object PipelineQueries {
             col("rank").cast("long").as("rank"))
       },
       Some(s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
-        |cents0 AS (SELECT vec_id AS cell, e AS centroid FROM v WHERE vec_id < 8),
+        |cents0 AS (
+        |  SELECT vec_id AS cell, e AS centroid FROM (
+        |    SELECT vec_id, e, row_number() OVER (ORDER BY
+        |      ${h60("CAST(vec_id AS VARCHAR) || '_ivfseed'")} % 10000, vec_id) AS r
+        |    FROM v) WHERE r <= 8),
         |${lloydSql(0, 64)},
         |${lloydSql(1, 64)},
         |asg AS (
