@@ -509,6 +509,36 @@ object ParityQueries {
         |       WHEN len(lbl_added) = 0 AND len(lbl_removed) = 0 THEN '-'
         |       ELSE '+(' || array_to_string(lbl_added, ', ') || ') , -(' || array_to_string(lbl_removed, ', ') || ')'
         |  END AS composition_changes
-        |FROM diff""".stripMargin))
+        |FROM diff""".stripMargin)),
+
+    // S4 drop-mode: the scalar-dim join's DROP semantics — tickers absent
+    // from the shares dim fall out of the result (the inner join inside
+    // Ingest.splitAdjust, mirroring stock_data_fetcher.py:59-62's
+    // per-ticker skip). The dim deliberately misses every third supplier;
+    // stock_splits = 0 keeps the cumulative split factor at exactly 1.0,
+    // so market_cap = price × shares bit-for-bit in both engines. The
+    // RAISE mode of the same operator (requireShares = true) is
+    // assert_true-based and spec-only (MarketVizSpec) — not
+    // oracle-expressible.
+    Q("q48_drop_missing_dim",
+      (s, dir) => {
+        val raw = Tables.lineitem(s, dir).select(
+          col("l_suppkey").as("ticker"),
+          day(col("l_shipdate")).as("date"),
+          col("l_extendedprice").as("close"),
+          lit(0.0).as("stock_splits"))
+        val dim = Tables.supplier(s, dir)
+          .filter(col("s_suppkey") % 3 =!= 0)
+          .select(col("s_suppkey").as("ticker"),
+            col("s_acctbal").as("shares_outstanding"))
+        graft.marketviz.Ingest.splitAdjust(raw, dim)
+      },
+      Some("""SELECT l.l_suppkey AS ticker,
+        |  CAST(l.l_shipdate AS DATE) AS date,
+        |  l.l_extendedprice AS share_price,
+        |  l.l_extendedprice * s.s_acctbal AS market_cap,
+        |  s.s_acctbal AS effective_shares_outstanding
+        |FROM lineitem l
+        |JOIN supplier s ON s.s_suppkey = l.l_suppkey AND s.s_suppkey % 3 <> 0""".stripMargin))
   )
 }
