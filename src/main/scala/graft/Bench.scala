@@ -13,9 +13,17 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // Warm the session (scheduler, parquet reader, codegen) so the first
-    // timed query doesn't absorb ~5s of one-off JVM init.
-    spark.read.parquet(s"$sfDir/nation.parquet").groupBy("n_name").count().count()
+    // Warm the session (scheduler, parquet reader, codegen) AND the OS
+    // page cache for EVERY input table, so the first-in-sort-order queries
+    // don't absorb the cold start for whichever files they happen to touch
+    // first (r3 attributed multi-second cold reads to q37 this way). A
+    // noop write reads every column's data pages; count() would prune to
+    // footer metadata and warm nothing.
+    Seq("region", "nation", "customer", "supplier", "part", "orders",
+      "lineitem", "events", "documents", "embeddings").foreach { t =>
+      spark.read.parquet(s"$sfDir/$t.parquet")
+        .write.format("noop").mode("overwrite").save()
+    }
     // Sorted execution order: Map iteration order would vary with the key
     // set, attributing residual warm-up to different queries each round —
     // sorted order keeps per-query timings comparable across rounds.
@@ -38,9 +46,10 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     // method flags the timing basis: per-query median of N full noop
-    // materializations (count()-based r1 pruned top-level work, and
-    // single-run r2 carried VM variance — neither is comparable 1:1).
-    println(s"""{"metric":"total","value":$total,"unit":"sec","method":"noop-median$runs","queries":$qs,"sf":"$sfDir"}""")
+    // materializations over page-cache-warmed inputs (count()-based r1
+    // pruned top-level work, single-run r2 carried VM variance, unwarmed
+    // r3 charged cold file reads to arbitrary queries — none compare 1:1).
+    println(s"""{"metric":"total","value":$total,"unit":"sec","method":"noop-median$runs-warm","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -14,12 +14,21 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * testdata is an immutable snapshot — mutable stores
   * (KeyedParquetStore) never read through this object. */
 object Tables {
-  // Weak-keyed on the session OBJECT: identity semantics while the session
-  // lives (no cross-session hash collisions handing out DataFrames bound
-  // to a stopped session), and the whole per-session cache is collectable
-  // once the session is — test suites create many sessions.
+  // Weak-keyed on the session OBJECT for identity semantics: no
+  // cross-session hash collisions handing out DataFrames bound to a
+  // stopped session. NOTE the weak key does NOT make entries collectable:
+  // each cached DataFrame strongly references its SparkSession, and
+  // WeakHashMap's documented value→key caveat means a value that reaches
+  // its own key pins the entry forever. The map is bounded by the number
+  // of sessions a process ever builds (a handful in tests, one in
+  // production), so the retention is small and stable; `invalidate`
+  // exists for teardown code that wants the entry gone deterministically.
   private val relations = new java.util.WeakHashMap[
     SparkSession, scala.collection.concurrent.TrieMap[(String, String), DataFrame]]()
+
+  /** Drop a session's memoized relations (e.g. from test teardown). */
+  def invalidate(spark: SparkSession): Unit =
+    relations.synchronized { relations.remove(spark); () }
 
   private def t(spark: SparkSession, dir: String, name: String): DataFrame = {
     val perSession = relations.synchronized {

@@ -80,6 +80,14 @@ object XlsxWriter {
         val ref = colRef(c) + rowIdx
         v match {
           case null => // omitted cell
+          // NaN/Infinity are not valid SpreadsheetML numerics (Excel
+          // reports a corrupt workbook); emit them as inline strings, the
+          // same rendering xlsxwriter's nan_inf_to_errors=False default
+          // avoids by erroring — a report cell reading "NaN" is honest.
+          case n: Double if n.isNaN || n.isInfinite =>
+            sb.append(s"""<c r="$ref" t="inlineStr"><is><t>$n</t></is></c>""")
+          case n: Float if n.isNaN || n.isInfinite =>
+            sb.append(s"""<c r="$ref" t="inlineStr"><is><t>$n</t></is></c>""")
           case n: Double => sb.append(s"""<c r="$ref"><v>$n</v></c>""")
           case n: Float => sb.append(s"""<c r="$ref"><v>$n</v></c>""")
           case n: Long => sb.append(s"""<c r="$ref"><v>$n</v></c>""")
@@ -88,6 +96,10 @@ object XlsxWriter {
           case n: Byte => sb.append(s"""<c r="$ref"><v>$n</v></c>""")
           case n: java.math.BigDecimal => sb.append(s"""<c r="$ref"><v>${n.toPlainString}</v></c>""")
           case b: Boolean => sb.append(s"""<c r="$ref" t="b"><v>${if (b) 1 else 0}</v></c>""")
+          // java.sql.Date/Timestamp deliberately land here as ISO inline
+          // strings (their toString), not Excel date serials — a styles-
+          // free workbook has no number format to make a serial readable,
+          // and the golden-file comparison reads text anyway.
           case other => sb.append(
             s"""<c r="$ref" t="inlineStr"><is><t>${escText(other.toString)}</t></is></c>""")
         }

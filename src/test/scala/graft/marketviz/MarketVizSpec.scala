@@ -213,6 +213,27 @@ class MarketVizSpec extends SparkSpec {
     } finally zf.close()
   }
 
+  test("XlsxWriter emits non-finite doubles as inline strings, not corrupt numerics") {
+    // <v>NaN</v> is not a valid SpreadsheetML numeric and makes Excel
+    // report a corrupt workbook — non-finite values must land as text
+    val file = java.nio.file.Files.createTempDirectory("xlsx_nan").toString + "/nan.xlsx"
+    XlsxWriter.write(spark,
+      Seq("S" -> Seq((Double.NaN, Double.PositiveInfinity, 1.5))
+        .toDF("a", "b", "c")), file)
+    val zf = new java.util.zip.ZipFile(file)
+    try {
+      val doc = javax.xml.parsers.DocumentBuilderFactory.newInstance().newDocumentBuilder()
+        .parse(zf.getInputStream(zf.getEntry("xl/worksheets/sheet1.xml")))
+      val ts = doc.getElementsByTagName("t")
+      val texts = (0 until ts.getLength).map(ts.item(_).getTextContent)
+      assert(texts.contains("NaN") && texts.contains("Infinity"))
+      val vs = doc.getElementsByTagName("v")
+      val nums = (0 until vs.getLength).map(vs.item(_).getTextContent)
+      assert(!nums.exists(v => v == "NaN" || v.contains("Infinity")))
+      assert(nums.contains("1.5")) // finite doubles stay numeric cells
+    } finally zf.close()
+  }
+
   test("tailReport keeps the last n dates newest-first (O3/O2)") {
     val got = Analytics.tailReport(index, 2).select($"date").as[java.sql.Date].collect().toSeq
     assert(got === Seq(d("2024-01-05"), d("2024-01-04")))
