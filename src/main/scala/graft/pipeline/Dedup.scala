@@ -39,6 +39,28 @@ object Dedup {
     * happens here). */
   val P: Long = 2147483647L
 
+  /** Banded LSH signatures `(doc_id, band, sig)` over a hashed shingle
+    * relation `(doc_id, h)` — the SINGLE implementation behind
+    * [[minhashLsh]] and the persisted band index
+    * ([[IncrementalDedup]]). All `numHashes` minhashes compute in ONE
+    * aggregation (codegen'd mins with map-side partials — a single
+    * shuffle over the shingle relation), then each run of `rowsPerBand`
+    * consecutive minhash values collapses to an md5 band signature. */
+  def bandSigs(sh: DataFrame, numHashes: Int, rowsPerBand: Int): DataFrame = {
+    val mins = (0 until numHashes).map { i =>
+      min((lit(2L * i + 1) * (col("h") % P) + lit(i * 12347L + 89L)) % P).as(s"mh$i")
+    }
+    val withMh = sh.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
+    val bandCols = (0 until numHashes / rowsPerBand).map { b =>
+      struct(lit(b).as("band"),
+        md5(concat_ws(",",
+          (b * rowsPerBand until (b + 1) * rowsPerBand).map(i => col(s"mh$i").cast("string")): _*)).as("sig"))
+    }
+    withMh
+      .select(col("doc_id"), explode(array(bandCols: _*)).as("bs"))
+      .select(col("doc_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
+  }
+
   /** Exact Jaccard for given (doc_a, doc_b) pairs over the hashed shingle
     * relation `(doc_id, h)` — used to confirm LSH candidates. */
   def exactJaccard(pairs: DataFrame, sh: DataFrame): DataFrame = {
@@ -80,20 +102,7 @@ object Dedup {
   def minhashLsh(docs: DataFrame, numHashes: Int = 16, rowsPerBand: Int = 4,
                  shingleN: Int = 3, threshold: Double = 0.5): DataFrame = {
     val sh = TextAnalysis.hashedShingles(docs, shingleN).localCheckpoint()
-    // All 16 minhashes in ONE aggregation (codegen'd mins with map-side
-    // partials) — single shuffle over the shingle relation.
-    val mins = (0 until numHashes).map { i =>
-      min((lit(2L * i + 1) * (col("h") % P) + lit(i * 12347L + 89L)) % P).as(s"mh$i")
-    }
-    val withMh = sh.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
-    val bandCols = (0 until numHashes / rowsPerBand).map { b =>
-      struct(lit(b).as("band"),
-        md5(concat_ws(",",
-          (b * rowsPerBand until (b + 1) * rowsPerBand).map(i => col(s"mh$i").cast("string")): _*)).as("sig"))
-    }
-    val sigs = withMh
-      .select(col("doc_id"), explode(array(bandCols: _*)).as("bs"))
-      .select(col("doc_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
+    val sigs = bandSigs(sh, numHashes, rowsPerBand)
     val cands = sigs.select(col("band"), col("sig"), col("doc_id").as("doc_a"))
       .join(sigs.select(col("band"), col("sig"), col("doc_id").as("doc_b")),
         Seq("band", "sig"))

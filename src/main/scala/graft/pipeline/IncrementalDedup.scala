@@ -1,0 +1,125 @@
+package graft.pipeline
+
+import graft.sources.KeyedParquetStore
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Incremental MinHash-LSH dedup against a PERSISTED index — the real
+  * 100 TB ingest shape: each arriving batch dedups against everything
+  * already accepted WITHOUT re-scanning (or re-shingling) the stored
+  * corpus bodies. Batch-mode [[Dedup.minhashLsh]] re-pays the whole
+  * corpus per run; here the corpus-side cost is two keyed stores of
+  * 8-byte-value rows, read pruned to the batch's candidates:
+  *
+  *  - the BAND index `(doc_id, band, sig)` — joined against the batch's
+  *    band signatures to find candidates (id-width exchange, same shape
+  *    as minhashLsh's band self-join);
+  *  - the SHINGLE index `(doc_id, h)` — the exact-Jaccard confirm
+  *    substrate, SEMI-joined down to candidate ids before the confirm so
+  *    only colliding docs' shingles are ever read.
+  *
+  * Both stores go through [[KeyedParquetStore]]: crash-safe swaps, writer
+  * lock, last-wins upsert — an ingest retry re-upserts the same keys
+  * idempotently. Documents too short to shingle (< shingleN tokens)
+  * produce no bands, index nothing, and are always kept — exactly
+  * [[Dedup.minhashLsh]]'s behavior for them (they never pair).
+  */
+object IncrementalDedup {
+
+  /** Dedup `batch` against the stored index and upsert the survivors'
+    * bands + shingles under the batch's own partition (`batch=<batchId>`)
+    * — the index is APPEND-ONLY per ingest, so the partition-scoped
+    * upsert merges exactly one partition per call no matter how large
+    * the accumulated index grows, and a retried ingest re-merges its own
+    * partition idempotently (last-wins on the same keys). Returns the
+    * batch with a `status` column:
+    *
+    *  - `kept` — new content; its signatures are now in the index.
+    *  - `dup_of_stored` — confirmed near-dup (Jaccard ≥ `threshold`) of
+    *    an already-stored document.
+    *  - `dup_in_batch` — non-canonical member of a within-batch
+    *    duplicate cluster ([[Dedup.dedupClusters]] semantics: a cluster
+    *    collapses to its min-id canonical; if the canonical itself is
+    *    `dup_of_stored`, the whole cluster is rejected — the same
+    *    fixpoint batch-mode dedupClusters + dropNonCanonical reaches).
+    *
+    * `dup_of_stored` wins when both labels apply. */
+  def ingestBatch(spark: SparkSession, batch: DataFrame, batchId: String,
+                  bandsPath: String, shinglesPath: String,
+                  numHashes: Int = 16, rowsPerBand: Int = 4,
+                  shingleN: Int = 3, threshold: Double = 0.5): DataFrame = {
+    // Materialized once per call: consumed by the band build, the
+    // vs-store confirm and the in-batch confirm (see minhashLsh's
+    // rationale for localCheckpoint over cache()).
+    val sh = TextAnalysis.hashedShingles(batch, shingleN).localCheckpoint()
+    val bands = Dedup.bandSigs(sh, numHashes, rowsPerBand).localCheckpoint()
+
+    // In-batch candidates + confirm: minhashLsh's own shape.
+    val selfCands = bands.select(col("band"), col("sig"), col("doc_id").as("doc_a"))
+      .join(bands.select(col("band"), col("sig"), col("doc_id").as("doc_b")),
+        Seq("band", "sig"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+    val selfPairs = Dedup.exactJaccard(selfCands, sh)
+      .filter(col("jaccard") >= threshold).select("doc_a", "doc_b")
+
+    // Vs-store candidates + confirm: batch bands against the persisted
+    // band index (doc_a = batch, doc_b = stored); the stored shingles
+    // join SEMI-pruned to the candidate ids — stored text is never read
+    // (the stores don't even carry it).
+    val storedPairs = KeyedParquetStore.read(spark, bandsPath).map { sb =>
+      // doc_a <> doc_b: on an ingest RETRY the batch's own kept docs are
+      // already indexed, and a doc must not read as a duplicate of itself
+      val cands = bands
+        .join(sb.select(col("band"), col("sig"), col("doc_id").as("doc_b")),
+          Seq("band", "sig"))
+        .filter(col("doc_id") =!= col("doc_b"))
+        .select(col("doc_id").as("doc_a"), col("doc_b")).distinct()
+      val storedSh = KeyedParquetStore.read(spark, shinglesPath)
+        .getOrElse(sys.error(s"band index $bandsPath exists without its " +
+          s"shingle index $shinglesPath — the two stores upsert together"))
+        .select(col("doc_id"), col("h"))
+        .join(cands.select(col("doc_b").as("doc_id")).distinct(),
+          Seq("doc_id"), "left_semi")
+      Dedup.exactJaccard(cands, sh.unionByName(storedSh))
+        .filter(col("jaccard") >= threshold).select("doc_a", "doc_b")
+    }
+
+    val dupOfStored = storedPairs
+      .map(_.select(col("doc_a").as("doc_id")).distinct()
+        .withColumn("__stored_dup", lit(true)))
+    // Within-batch clusters over the confirmed pair graph; members whose
+    // id is not the cluster canonical are dropped.
+    val nonCanonical = Dedup.dedupClusters(selfPairs)
+      .filter(col("doc_id") =!= col("label"))
+      .select(col("doc_id")).distinct()
+      .withColumn("__batch_dup", lit(true))
+
+    val marked0 = batch.join(nonCanonical, Seq("doc_id"), "left")
+    val marked = dupOfStored.fold(marked0.withColumn("__stored_dup", lit(null).cast("boolean")))(
+      d => marked0.join(d, Seq("doc_id"), "left"))
+    val labeled = marked
+      .withColumn("status",
+        when(col("__stored_dup"), lit("dup_of_stored"))
+          .when(col("__batch_dup"), lit("dup_in_batch"))
+          .otherwise(lit("kept")))
+      .drop("__stored_dup", "__batch_dup")
+      // the upserts below re-derive from the checkpointed relations; the
+      // caller's view is pinned so its two consumers (return + semi-join)
+      // agree
+      .localCheckpoint()
+
+    val keptIds = labeled.filter(col("status") === "kept").select("doc_id")
+    KeyedParquetStore.upsert(spark, bandsPath,
+      bands.join(keptIds, Seq("doc_id"), "left_semi")
+        .withColumn("batch", lit(batchId)),
+      keys = Seq("doc_id", "band"), version = Seq(lit(1)),
+      partitionCols = Seq("batch"))
+    KeyedParquetStore.upsert(spark, shinglesPath,
+      sh.join(keptIds, Seq("doc_id"), "left_semi")
+        .withColumn("batch", lit(batchId)),
+      keys = Seq("doc_id", "h"), version = Seq(lit(1)),
+      partitionCols = Seq("batch"))
+    labeled
+  }
+}

@@ -47,6 +47,51 @@ class DedupSpec extends SparkSpec {
     assert(banded.nonEmpty) // the exact-dup pair qualifies
   }
 
+  test("incremental dedup: a second batch dedups against the STORED index, " +
+    "bodies unread (r4)") {
+    val dir = java.nio.file.Files.createTempDirectory("inc_dedup").toString
+    val bands = dir + "/bands"
+    val shingles = dir + "/shingles"
+    val batch1 = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+      (2L, "completely different words about spark catalyst optimizer and shuffles here"))
+      .toDF("doc_id", "text")
+    val r1 = IncrementalDedup.ingestBatch(spark, batch1, "b1", bands, shingles)
+      .select($"doc_id", $"status").as[(Long, String)].collect().toMap
+    assert(r1 === Map(1L -> "kept", 2L -> "kept"))
+    // the index stores ONLY signatures — no text column anywhere
+    val bandStore = graft.sources.KeyedParquetStore.read(spark, bands).get
+    assert(!bandStore.columns.contains("text"))
+    // batch 2: 10 duplicates STORED doc 1; 11 is new; 12 duplicates 11
+    // within the batch; 13 is new and independent
+    val batch2 = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+      (11L, "another unrelated snippet mentioning parquet columnar storage formats"),
+      (12L, "another unrelated snippet mentioning parquet columnar storage formats"),
+      (13L, "fresh text about keyed stores advisory locks and partition swaps"))
+      .toDF("doc_id", "text")
+    val r2 = IncrementalDedup.ingestBatch(spark, batch2, "b2", bands, shingles)
+      .select($"doc_id", $"status").as[(Long, String)].collect().toMap
+    assert(r2 === Map(10L -> "dup_of_stored", 11L -> "kept",
+      12L -> "dup_in_batch", 13L -> "kept"))
+    // the index accreted exactly the survivors, append-only per batch
+    val indexed = graft.sources.KeyedParquetStore.read(spark, bands).get
+      .select($"doc_id").distinct().as[Long].collect().toSet
+    assert(indexed === Set(1L, 2L, 11L, 13L))
+    assert(new java.io.File(s"$bands/batch=b1").exists())
+    assert(new java.io.File(s"$bands/batch=b2").exists())
+    // idempotent retry: re-ingesting batch 2 keeps the same KEPT set (a
+    // doc is never a dup of itself, so 11/13 stay kept and re-upsert
+    // their own keys; 12 now reads as dup of the STORED 11 — rejected
+    // either way)
+    val r2retry = IncrementalDedup.ingestBatch(spark, batch2, "b2", bands, shingles)
+      .select($"doc_id", $"status").as[(Long, String)].collect().toMap
+    assert(r2retry === Map(10L -> "dup_of_stored", 11L -> "kept",
+      12L -> "dup_of_stored", 13L -> "kept"))
+    assert(graft.sources.KeyedParquetStore.read(spark, bands).get
+      .select($"doc_id").distinct().as[Long].collect().toSet === Set(1L, 2L, 11L, 13L))
+  }
+
   test("simhash: identical docs share a signature; near dups are close, unrelated far") {
     val sigs = Dedup.simhash(docs).orderBy($"doc_id")
       .select($"simhash").as[Long].collect()
