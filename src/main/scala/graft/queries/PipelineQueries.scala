@@ -55,6 +55,60 @@ object PipelineQueries {
        |  FROM asg$n, range(0, $dim) t(i) GROUP BY 1, 2),
        |cents${n + 1} AS (SELECT cell, list(m ORDER BY i) AS centroid FROM m$n GROUP BY 1)""".stripMargin
 
+  /** SQL fragments for the incremental-dedup oracle (q49): the
+    * shingle→minhash→band chain over a source CTE `b$tag(doc_id, text)`,
+    * producing `h$tag` (hashed shingles), `sizes$tag` and `bands$tag` —
+    * mirrors `TextAnalysis.hashedShingles` + `Dedup.bandSigs`. */
+  private def bandChainSql(tag: String): String =
+    s"""t$tag AS (SELECT doc_id, regexp_split_to_array(text, '\\s+') AS w FROM b$tag),
+       |s$tag AS (
+       |  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+       |  FROM t$tag, UNNEST(range(1, len(w) - 1)) AS t(i)
+       |  WHERE len(w) >= 3),
+       |h$tag AS (SELECT doc_id, ${h60("shingle")} AS h FROM s$tag),
+       |sizes$tag AS (SELECT doc_id, count(*) AS n FROM h$tag GROUP BY 1),
+       |mh$tag AS (
+       |  SELECT doc_id, CAST(seed AS INT) AS seed,
+       |         min(((2*seed + 1) * (h % 2147483647) + (seed*12347 + 89)) % 2147483647) AS mh
+       |  FROM h$tag, UNNEST(range(0, 16)) AS u(seed) GROUP BY 1, 2),
+       |bands$tag AS (
+       |  SELECT doc_id, seed // 4 AS band,
+       |         md5(string_agg(CAST(mh AS VARCHAR), ',' ORDER BY seed)) AS sig
+       |  FROM mh$tag GROUP BY 1, 2)""".stripMargin
+
+  /** SQL fragments for q49: within-batch confirmed pairs (band collision
+    * + Jaccard ≥ 0.5, mirrors `minhashLsh`) and the recursive-closure
+    * min-label rejection set (mirrors `dedupClusters` +
+    * `status = dup_in_batch`): CTEs `pairs$tag` and `noncanon$tag`. */
+  private def selfDedupSql(tag: String): String =
+    s"""cand$tag AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bands$tag a JOIN bands$tag b ON a.band = b.band AND a.sig = b.sig
+       |  WHERE a.doc_id < b.doc_id),
+       |inter$tag AS (
+       |  SELECT p.doc_a, p.doc_b, count(*) AS ni
+       |  FROM cand$tag p
+       |  JOIN h$tag a ON a.doc_id = p.doc_a
+       |  JOIN h$tag b ON b.doc_id = p.doc_b AND b.h = a.h
+       |  GROUP BY 1, 2),
+       |pairs$tag AS (
+       |  SELECT i.doc_a, i.doc_b FROM inter$tag i
+       |  JOIN sizes$tag sa ON i.doc_a = sa.doc_id
+       |  JOIN sizes$tag sb ON i.doc_b = sb.doc_id
+       |  WHERE round(i.ni * 1.0 / (sa.n + sb.n - i.ni), 6) >= 0.5),
+       |edges$tag AS (
+       |  SELECT doc_a AS src, doc_b AS dst FROM pairs$tag
+       |  UNION ALL SELECT doc_b AS src, doc_a AS dst FROM pairs$tag),
+       |reach$tag(a, b) AS (
+       |  SELECT src, dst FROM edges$tag
+       |  UNION
+       |  SELECT r.a, e.dst FROM reach$tag r JOIN edges$tag e ON e.src = r.b),
+       |noncanon$tag AS (
+       |  SELECT n.doc_id
+       |  FROM (SELECT DISTINCT src AS doc_id FROM edges$tag) n
+       |  JOIN reach$tag r ON r.a = n.doc_id
+       |  GROUP BY 1 HAVING min(r.b) < n.doc_id)""".stripMargin
+
   /** SQL fragment: the full MinHash→bands→candidates→exact-Jaccard chain
     * ending in CTE `jac(doc_a, doc_b, jaccard)` (mirrors
     * `Dedup.minhashLsh` before its threshold filter) — shared by the
@@ -576,6 +630,65 @@ object PipelineQueries {
         |  CAST(COALESCE(list_sum(list_transform(range(0, n),
         |       i -> CAST(('0x' || substr(h, CAST(i * 2 + 1 AS INT), 2)) AS BIGINT))), 0) AS BIGINT) AS checksum
         |FROM b""".stripMargin)),
+
+    // Incremental dedup against a PERSISTED band/shingle index — the
+    // 100 TB ingest shape: batch 1 (doc_id < 300) builds the index, then
+    // batch 2 (300-499 plus exact copies of docs < 30 at shifted ids)
+    // dedups against the STORE without re-reading batch-1 bodies. The
+    // oracle replays both stages logically: batch-1 internal LSH dedup →
+    // kept set; batch-2 band collisions vs kept bands + Jaccard confirm →
+    // dup_of_stored; batch-2 internal closure → dup_in_batch (stored
+    // wins). Absolute id bounds keep the work constant across SFs.
+    Q("q49_incremental_dedup",
+      (s, dir) => {
+        val tmp = java.nio.file.Files.createTempDirectory("graft_q49").toString
+        val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+        val batch1 = docs.filter(col("doc_id") < 300)
+        val batch2 = docs.filter(col("doc_id") >= 300 && col("doc_id") < 500)
+          .unionByName(docs.filter(col("doc_id") < 30)
+            .select((col("doc_id") + 200000L).as("doc_id"), col("text")))
+        graft.pipeline.IncrementalDedup.ingestBatch(
+          s, batch1, "b1", s"$tmp/bands", s"$tmp/shingles")
+        graft.pipeline.IncrementalDedup.ingestBatch(
+          s, batch2, "b2", s"$tmp/bands", s"$tmp/shingles")
+          .select(col("doc_id"), col("status"))
+      },
+      Some(s"""WITH RECURSIVE
+        |b1 AS (SELECT doc_id, text FROM documents WHERE doc_id < 300),
+        |b2 AS (SELECT doc_id, text FROM documents WHERE doc_id >= 300 AND doc_id < 500
+        |       UNION ALL
+        |       SELECT doc_id + 200000 AS doc_id, text FROM documents WHERE doc_id < 30),
+        |${bandChainSql("1")},
+        |${selfDedupSql("1")},
+        |kept1 AS (
+        |  SELECT doc_id FROM b1
+        |  WHERE doc_id NOT IN (SELECT doc_id FROM noncanon1)),
+        |${bandChainSql("2")},
+        |${selfDedupSql("2")},
+        |candS AS (
+        |  SELECT DISTINCT n.doc_id AS doc_a, s.doc_id AS doc_b
+        |  FROM bands2 n
+        |  JOIN bands1 s ON n.band = s.band AND n.sig = s.sig
+        |  JOIN kept1 k ON k.doc_id = s.doc_id
+        |  WHERE n.doc_id <> s.doc_id),
+        |interS AS (
+        |  SELECT p.doc_a, p.doc_b, count(*) AS ni
+        |  FROM candS p
+        |  JOIN h2 a ON a.doc_id = p.doc_a
+        |  JOIN h1 b ON b.doc_id = p.doc_b AND b.h = a.h
+        |  GROUP BY 1, 2),
+        |dupstored AS (
+        |  SELECT DISTINCT i.doc_a AS doc_id FROM interS i
+        |  JOIN sizes2 sa ON i.doc_a = sa.doc_id
+        |  JOIN sizes1 sb ON i.doc_b = sb.doc_id
+        |  WHERE round(i.ni * 1.0 / (sa.n + sb.n - i.ni), 6) >= 0.5)
+        |SELECT b2.doc_id,
+        |  CASE WHEN ds.doc_id IS NOT NULL THEN 'dup_of_stored'
+        |       WHEN nc.doc_id IS NOT NULL THEN 'dup_in_batch'
+        |       ELSE 'kept' END AS status
+        |FROM b2
+        |LEFT JOIN dupstored ds ON ds.doc_id = b2.doc_id
+        |LEFT JOIN noncanon2 nc ON nc.doc_id = b2.doc_id""".stripMargin)),
 
     // Deterministic train/val/test deal: hash-bucket assignment that is
     // retry-safe and engine-reproducible (rand() is neither) — the oracle
