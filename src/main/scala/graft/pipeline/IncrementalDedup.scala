@@ -69,19 +69,25 @@ object IncrementalDedup {
     // (the stores don't even carry it).
     val storedPairs = KeyedParquetStore.read(spark, bandsPath).map { sb =>
       // doc_a <> doc_b: on an ingest RETRY the batch's own kept docs are
-      // already indexed, and a doc must not read as a duplicate of itself
+      // already indexed, and a doc must not read as a duplicate of itself.
+      // Checkpointed: the confirm consumes `cands` twice (semi-prune +
+      // inter join) and the combined shingle relation three times (sizes
+      // + both inter sides) — without the pins each consumer re-reads the
+      // store and re-runs the band join (the q37 recompute lesson).
       val cands = bands
         .join(sb.select(col("band"), col("sig"), col("doc_id").as("doc_b")),
           Seq("band", "sig"))
         .filter(col("doc_id") =!= col("doc_b"))
         .select(col("doc_id").as("doc_a"), col("doc_b")).distinct()
+        .localCheckpoint()
       val storedSh = KeyedParquetStore.read(spark, shinglesPath)
         .getOrElse(sys.error(s"band index $bandsPath exists without its " +
           s"shingle index $shinglesPath — the two stores upsert together"))
         .select(col("doc_id"), col("h"))
         .join(cands.select(col("doc_b").as("doc_id")).distinct(),
           Seq("doc_id"), "left_semi")
-      Dedup.exactJaccard(cands, sh.unionByName(storedSh))
+      val shAll = sh.unionByName(storedSh).localCheckpoint()
+      Dedup.exactJaccard(cands, shAll)
         .filter(col("jaccard") >= threshold).select("doc_a", "doc_b")
     }
 

@@ -55,4 +55,45 @@ object Sampling {
     require(fraction >= 0 && fraction <= 1, s"fraction out of range: $fraction")
     df.filter(bucket(col(idCol), salt) < math.round(fraction * Buckets))
   }
+
+  /** Deterministic sequence PACKING: group documents into fixed
+    * token-budget packs — the batch-construction step before training.
+    * Documents are dealt into `packBuckets` hash buckets (so the window
+    * below parallelizes — packs never cross buckets), ordered
+    * deterministically by id within each, and split at cumulative-token
+    * boundaries: `pack_id = bucket·2^40 + floor(start/budget)` where
+    * `start` is the running token count before the document.
+    *
+    * Contract (budget-ALIGNED, not best-fit): packs are contiguous runs
+    * in the deterministic order; a document straddling a boundary belongs
+    * to the pack where it STARTS, so a pack can overflow by at most one
+    * document (the consumer truncates or spills — standard next-fit-style
+    * packing with bounded overflow). Best-fit/first-fit packing is a
+    * sequential recursion neither a window nor a cross-engine oracle can
+    * express; this formulation is one window over the scan, retry-safe,
+    * and reproducible anywhere.
+    *
+    * Shuffle profile: ONE hash exchange on the bucket (the window's
+    * partition key). Bucket count sizes parallelism and bounds per-bucket
+    * skew — at 100 TB use ≥ cluster cores; packs per bucket stay
+    * independent. */
+  def packBudget(df: DataFrame, idCol: String, tokensCol: Column,
+                 budget: Long, packBuckets: Int = 16,
+                 salt: String = "pack"): DataFrame = {
+    require(budget > 0, s"budget must be positive: $budget")
+    val b = pmod(TextAnalysis.md5Hash60(
+      concat_ws("", col(idCol).cast("string"), lit("_" + salt))),
+      lit(packBuckets.toLong))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("pack_bucket")).orderBy(col(idCol))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    df.withColumn("pack_bucket", b)
+      .withColumn("n_tok", tokensCol.cast("long"))
+      .withColumn("__cum", sum(col("n_tok")).over(w))
+      .withColumn("pack_id",
+        col("pack_bucket") * lit(1L << 40)
+          + floor((col("__cum") - col("n_tok")) / budget).cast("long"))
+      .drop("__cum")
+  }
 }

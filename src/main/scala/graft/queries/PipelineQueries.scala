@@ -710,6 +710,37 @@ object PipelineQueries {
         |       ELSE 'test' END AS split
         |FROM b""".stripMargin)),
 
+    // Deterministic sequence packing: documents dealt into 16 hash
+    // buckets, budget-aligned packs of ≤2048 tokens within each (a
+    // straddling doc belongs to the pack where it STARTS — bounded
+    // overflow, window-expressible, cross-engine; true best-fit is a
+    // sequential recursion no engine's declarative layer can express).
+    // One hash exchange total; packs never cross buckets, so the window
+    // parallelizes by construction.
+    Q("q50_sequence_pack",
+      (s, dir) =>
+        Sampling.packBudget(
+          Tables.documents(s, dir).select(col("doc_id"),
+            size(TextAnalysis.tokens(col("text"))).cast("long").as("n_tokens")),
+          "doc_id", col("n_tokens"), budget = 2048, packBuckets = 16)
+          .select(col("doc_id"), col("pack_bucket"), col("n_tokens"),
+            col("pack_id")),
+      Some("""WITH t AS (
+        |  SELECT doc_id,
+        |    CAST(len(regexp_split_to_array(text, '\s+')) AS BIGINT) AS n_tokens,
+        |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '_pack'), 1, 15)) AS BIGINT)
+        |      % 16 AS pack_bucket
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, pack_bucket, n_tokens,
+        |    SUM(n_tokens) OVER (PARTITION BY pack_bucket ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM t)
+        |SELECT doc_id, pack_bucket, n_tokens,
+        |  pack_bucket * (CAST(1 AS BIGINT) << 40)
+        |    + CAST(floor((cum - n_tokens) / 2048.0) AS BIGINT) AS pack_id
+        |FROM c""".stripMargin)),
+
     // Deterministic 10% sample over the same hash buckets: stable across
     // runs/partitionings, and nested (the 1% slice is a subset of this
     // one — asserted in SamplingSpec).

@@ -243,6 +243,30 @@ class SamplingSpec extends SparkSpec {
     assert(Sampling.deterministicSample(docs, "doc_id", 0.0).count() === 0)
     assert(Sampling.deterministicSample(docs, "doc_id", 1.0).count() === docs.count())
   }
+
+  test("packBudget: contiguous budget-aligned packs, ≤ one straddling doc over (r4)") {
+    val withTok = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+      .select($"doc_id", size(split($"text", "\\s+")).cast("long").as("n_tokens"))
+    val budget = 512L
+    val packed = Sampling.packBudget(withTok, "doc_id", $"n_tokens", budget,
+      packBuckets = 4)
+    // every row assigned; deterministic across invocations
+    assert(packed.count() === withTok.count())
+    val again = Sampling.packBudget(withTok, "doc_id", $"n_tokens", budget,
+      packBuckets = 4).select($"doc_id", $"pack_id").as[(Long, Long)].collect().toMap
+    assert(packed.select($"doc_id", $"pack_id").as[(Long, Long)].collect().toMap === again)
+    // pack totals: each pack holds < budget BEFORE its last doc (the
+    // bounded-overflow contract — only a straddling final doc may exceed)
+    val totals = packed.groupBy($"pack_id")
+      .agg(sum($"n_tokens").as("tot"), max($"n_tokens").as("maxdoc"))
+      .select($"tot", $"maxdoc").as[(Long, Long)].collect()
+    assert(totals.forall { case (tot, maxdoc) => tot - maxdoc < budget },
+      "a pack exceeded its budget by more than its final straddling doc")
+    // packs never cross buckets
+    assert(packed.groupBy($"pack_id")
+      .agg(countDistinct($"pack_bucket").as("nb"))
+      .filter($"nb" > 1).isEmpty)
+  }
 }
 
 class SimilaritySpec extends SparkSpec {
