@@ -228,6 +228,27 @@ object Dedup {
       labels.filter(col("doc_id") =!= col("label")).select(col("doc_id").as(idCol)),
       Seq(idCol), "left_anti")
 
+  /** Test-set DECONTAMINATION: drop training documents that share at
+    * least `minOverlap` DISTINCT n-gram shingles with ANY eval document —
+    * the standard guard against benchmark leakage into a training corpus.
+    *
+    * Shuffle profile at 100 TB: the eval side is benchmark-sized (KBs-MBs
+    * of text), so its distinct shingle hashes BROADCAST; the train side
+    * is one narrow shingle scan + broadcast hash-match + a (doc_id)
+    * count agg — the corpus bodies shuffle nowhere, and the final
+    * decision is a broadcast anti join. `minOverlap` > 1 demands a run of
+    * shared content rather than one incidental common phrase. */
+  def decontaminate(train: DataFrame, eval: DataFrame, shingleN: Int = 3,
+                    minOverlap: Long = 1): DataFrame = {
+    val evalH = TextAnalysis.hashedShingles(eval, shingleN)
+      .select(col("h")).distinct()
+    val hits = TextAnalysis.hashedShingles(train, shingleN)
+      .join(broadcast(evalH), Seq("h"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hits"))
+      .filter(col("n_hits") >= minOverlap)
+    train.join(hits.select(col("doc_id")), Seq("doc_id"), "left_anti")
+  }
+
   /** All-pairs n-gram Jaccard via shingle equi-join — QUADRATIC in docs
     * sharing a shingle; the small-scale baseline the LSH path is verified
     * against. */

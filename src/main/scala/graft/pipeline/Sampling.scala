@@ -56,6 +56,29 @@ object Sampling {
     df.filter(bucket(col(idCol), salt) < math.round(fraction * Buckets))
   }
 
+  /** STRATIFIED deterministic sampling — the data-MIXTURE deal: each
+    * stratum (source, language, …) keeps its own fraction of rows, the
+    * way a training corpus mixes domains at target ratios. Same
+    * retry-safe hash buckets as [[deterministicSample]], so a stratum's
+    * sample NESTS across fractions: re-weighting the mixture only moves
+    * each stratum's boundary — rows already in a smaller sample never
+    * re-roll. Strata not named fall to `defaultFraction`. Zero shuffle:
+    * one when-chain over codegen'd bucket arithmetic. */
+  def stratifiedSample(df: DataFrame, idCol: String, strataCol: Column,
+                       fractions: Seq[(String, Double)],
+                       defaultFraction: Double = 0.0,
+                       salt: String = "mix"): DataFrame = {
+    require((defaultFraction +: fractions.map(_._2)).forall(f => f >= 0 && f <= 1),
+      s"fractions out of [0,1]: $fractions / default $defaultFraction")
+    val b = bucket(col(idCol), salt)
+    val threshold = fractions.foldRight(
+      lit(math.round(defaultFraction * Buckets)): Column) {
+      case ((name, f), rest) =>
+        when(strataCol === name, lit(math.round(f * Buckets))).otherwise(rest)
+    }
+    df.filter(b < threshold)
+  }
+
   /** Deterministic sequence PACKING: group documents into fixed
     * token-budget packs — the batch-construction step before training.
     * Documents are dealt into `packBuckets` hash buckets (so the window

@@ -267,6 +267,28 @@ object Similarity {
       .withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
+  /** Symmetric per-vector int8 QUANTIZATION: `scale = max |x_i|`,
+    * `q_i = floor(x_i/scale · 127 + 0.5) ∈ [-127, 127]` — 4× smaller
+    * at-rest embeddings (the storage lever for a 100 TB vector corpus)
+    * at ≈1e-3 cosine error (measured in SimilaritySpec). Returns a
+    * struct `(scale double, q array<int>)`. `floor(v + 0.5)` instead of
+    * `round()`: its half-tie semantics are identical in every engine
+    * (HALF_UP vs banker's rounding would flake the cross-engine oracle).
+    * A zero vector quantizes to zeros with scale 0. Pure codegen'd
+    * array arithmetic — no UDF, no shuffle. */
+  def quantizeInt8(vec: Column): Column = {
+    val s = array_max(transform(vec, x => abs(x)))
+    val q = transform(vec, x =>
+      when(s === 0.0, lit(0))
+        .otherwise(floor(x / s * 127 + lit(0.5)).cast("int")))
+    struct(s.as("scale"), q.as("q"))
+  }
+
+  /** Inverse of [[quantizeInt8]]: `x_i ≈ q_i · scale / 127`. */
+  def dequantizeInt8(qs: Column): Column =
+    transform(qs.getField("q"),
+      q => q.cast("double") * qs.getField("scale") / 127)
+
   /** Embedding near-dup at scale: bucket vectors on their random-
     * hyperplane signature and score cosine only WITHIN buckets — the
     * quadratic work is bounded by bucket occupancy, and exact duplicates

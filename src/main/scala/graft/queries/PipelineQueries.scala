@@ -741,6 +741,92 @@ object PipelineQueries {
         |    + CAST(floor((cum - n_tokens) / 2048.0) AS BIGINT) AS pack_id
         |FROM c""".stripMargin)),
 
+    // Test-set decontamination: drop training docs sharing ≥10 distinct
+    // 3-gram shingles with any "eval" doc (docs 0-19 stand in for a
+    // benchmark) — the guard against eval leakage into a training corpus.
+    // Eval shingles broadcast; the corpus shuffles nowhere.
+    Q("q51_decontaminate",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+        Dedup.decontaminate(
+          docs.filter(col("doc_id") >= 100),
+          docs.filter(col("doc_id") < 20),
+          shingleN = 3, minOverlap = 10)
+          .select(col("doc_id"), length(col("text")).cast("long").as("text_len"))
+      },
+      Some(s"""WITH tw AS (
+        |  SELECT doc_id, regexp_split_to_array(text, '\\s+') AS w
+        |  FROM documents WHERE doc_id >= 100),
+        |tsh AS (
+        |  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+        |  FROM tw, UNNEST(range(1, len(w) - 1)) AS t(i) WHERE len(w) >= 3),
+        |ew AS (
+        |  SELECT doc_id, regexp_split_to_array(text, '\\s+') AS w
+        |  FROM documents WHERE doc_id < 20),
+        |esh AS (
+        |  SELECT DISTINCT ${h60("w[i] || ' ' || w[i+1] || ' ' || w[i+2]")} AS h
+        |  FROM ew, UNNEST(range(1, len(w) - 1)) AS t(i) WHERE len(w) >= 3),
+        |hits AS (
+        |  SELECT t.doc_id, count(*) AS n
+        |  FROM (SELECT doc_id, ${h60("shingle")} AS h FROM tsh) t
+        |  JOIN esh USING (h) GROUP BY 1)
+        |SELECT doc_id, CAST(length(text) AS BIGINT) AS text_len
+        |FROM documents
+        |WHERE doc_id >= 100
+        |  AND doc_id NOT IN (SELECT doc_id FROM hits WHERE n >= 10)""".stripMargin)),
+
+    // Stratified mixture sampling: per-language keep rates (the data-
+    // mixing deal of a training corpus) on the same retry-safe hash
+    // buckets as q47 — re-weighting moves boundaries, never re-rolls.
+    Q("q52_stratified_mixture",
+      (s, dir) =>
+        Sampling.stratifiedSample(
+          Tables.documents(s, dir).select(col("doc_id"), col("lang")),
+          "doc_id", col("lang"),
+          Seq("en" -> 1.0, "de" -> 0.5, "fr" -> 0.25, "es" -> 0.1),
+          defaultFraction = 0.05, salt = "mix"),
+      Some("""SELECT doc_id, lang FROM (
+        |  SELECT doc_id, lang,
+        |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '_mix'), 1, 15)) AS BIGINT)
+        |      % 10000 AS b
+        |  FROM documents)
+        |WHERE b < CASE lang WHEN 'en' THEN 10000 WHEN 'de' THEN 5000
+        |               WHEN 'fr' THEN 2500 WHEN 'es' THEN 1000 ELSE 500 END""".stripMargin)),
+
+    // Symmetric int8 embedding quantization (4× smaller at rest) with
+    // round-trip cosine fidelity — floor(v + 0.5) half-tie semantics so
+    // both engines round identically.
+    Q("q53_quantize_embeddings",
+      (s, dir) => {
+        val v = Tables.embeddings(s, dir)
+          .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+        v.withColumn("qs", Similarity.quantizeInt8(col("e")))
+          .select(col("vec_id"),
+            col("qs.scale").as("scale"),
+            // joined to a string: array-typed outputs don't survive every
+            // row-hash comparator; content equality is what's asserted
+            array_join(transform(col("qs.q"), q => q.cast("string")), ",").as("q8_csv"),
+            round(Similarity.cosine(col("e"), Similarity.dequantizeInt8(col("qs"))), 6)
+              .as("cos_fid"))
+      },
+      Some(s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        |s AS (
+        |  SELECT vec_id, e, list_max(list_transform(e, x -> abs(x))) AS scale
+        |  FROM v),
+        |q AS (
+        |  SELECT vec_id, e, scale,
+        |    list_transform(e, x -> CASE WHEN scale = 0 THEN 0
+        |      ELSE CAST(floor(x / scale * 127 + 0.5) AS INT) END) AS q8
+        |  FROM s),
+        |d AS (
+        |  SELECT vec_id, scale, q8, e,
+        |    list_transform(q8, y -> CAST(y AS DOUBLE) * scale / 127) AS de
+        |  FROM q)
+        |SELECT vec_id, scale,
+        |  array_to_string(list_transform(q8, y -> CAST(y AS VARCHAR)), ',') AS q8_csv,
+        |  ${cosSql("e", "de")} AS cos_fid
+        |FROM d""".stripMargin)),
+
     // Deterministic 10% sample over the same hash buckets: stable across
     // runs/partitionings, and nested (the 1% slice is a subset of this
     // one — asserted in SamplingSpec).

@@ -92,6 +92,18 @@ class DedupSpec extends SparkSpec {
       .select($"doc_id").distinct().as[Long].collect().toSet === Set(1L, 2L, 11L, 13L))
   }
 
+  test("decontaminate drops train docs overlapping the eval set, keeps the rest (r4)") {
+    val eval = docs.filter($"doc_id" === 1) // "benchmark" doc
+    val train = docs.filter($"doc_id" >= 3) // 3 near-dups eval; 4, 5 unrelated
+    val kept = Dedup.decontaminate(train, eval, shingleN = 3, minOverlap = 5)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(kept === Set(4L, 5L))
+    // a stricter overlap demand keeps everything (3 and 1 differ at the tail)
+    val keptStrict = Dedup.decontaminate(train, eval, shingleN = 3, minOverlap = 1000)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(keptStrict === Set(3L, 4L, 5L))
+  }
+
   test("simhash: identical docs share a signature; near dups are close, unrelated far") {
     val sigs = Dedup.simhash(docs).orderBy($"doc_id")
       .select($"simhash").as[Long].collect()
@@ -244,6 +256,26 @@ class SamplingSpec extends SparkSpec {
     assert(Sampling.deterministicSample(docs, "doc_id", 1.0).count() === docs.count())
   }
 
+  test("stratifiedSample: per-stratum rates, nesting across re-weights (r4)") {
+    val withLang = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+      .select($"doc_id", $"lang")
+    val mixed = Sampling.stratifiedSample(withLang, "doc_id", $"lang",
+      Seq("en" -> 1.0, "es" -> 0.5), defaultFraction = 0.0)
+    val byLang = mixed.groupBy($"lang").count().as[(String, Long)].collect().toMap
+    val total = withLang.groupBy($"lang").count().as[(String, Long)].collect().toMap
+    assert(byLang("en") === total("en"))          // fraction 1.0 keeps all
+    assert(!byLang.contains("zh"))                // default 0.0 keeps none
+    assert(byLang("es") > 0 && byLang("es") < total("es"))
+    // nesting: shrinking a stratum's fraction yields a SUBSET (no re-roll)
+    val smaller = Sampling.stratifiedSample(withLang, "doc_id", $"lang",
+      Seq("es" -> 0.1), defaultFraction = 0.0)
+      .select($"doc_id").as[Long].collect().toSet
+    val larger = Sampling.stratifiedSample(withLang, "doc_id", $"lang",
+      Seq("es" -> 0.5), defaultFraction = 0.0)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(smaller.subsetOf(larger))
+  }
+
   test("packBudget: contiguous budget-aligned packs, ≤ one straddling doc over (r4)") {
     val withTok = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
       .select($"doc_id", size(split($"text", "\\s+")).cast("long").as("n_tokens"))
@@ -360,6 +392,20 @@ class SimilaritySpec extends SparkSpec {
       nProbe = 2, trainIters = 2)
       .select($"probe_id", $"neighbor_id", $"cos_sim", $"rank").collect().toSet
     assert(once === perCall)
+  }
+
+  test("int8 quantization round-trips at ≥0.999 cosine fidelity (r4)") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select($"vec_id", $"embedding".cast("array<double>").as("e"))
+    val fid = emb.withColumn("qs", Similarity.quantizeInt8($"e"))
+      .select(Similarity.cosine($"e", Similarity.dequantizeInt8($"qs")).as("c"))
+      .agg(min($"c")).as[Double].head()
+    assert(fid >= 0.999, s"worst round-trip cosine $fid")
+    // zero vector: scale 0, all-zero codes, no division blow-up
+    val z = Seq((0L, Seq(0.0, 0.0, 0.0))).toDF("vec_id", "e")
+      .select(Similarity.quantizeInt8($"e").as("qs"))
+      .select($"qs.scale", $"qs.q").as[(Double, Seq[Int])].head()
+    assert(z === ((0.0, Seq(0, 0, 0))))
   }
 
   test("cosinePairs flags identical pairs at high threshold") {
