@@ -48,6 +48,37 @@ object IncrementalDedup {
                   bandsPath: String, shinglesPath: String,
                   numHashes: Int = 16, rowsPerBand: Int = 4,
                   shingleN: Int = 3, threshold: Double = 0.5): DataFrame = {
+    val (labeled, bands, sh) = labelBatch(spark, batch, bandsPath, shinglesPath,
+      numHashes, rowsPerBand, shingleN, threshold)
+    val keptIds = labeled.filter(col("status") === "kept").select("doc_id")
+    KeyedParquetStore.upsert(spark, bandsPath,
+      bands.join(keptIds, Seq("doc_id"), "left_semi")
+        .withColumn("batch", lit(batchId)),
+      keys = Seq("doc_id", "band"), version = Seq(lit(1)),
+      partitionCols = Seq("batch"))
+    KeyedParquetStore.upsert(spark, shinglesPath,
+      sh.join(keptIds, Seq("doc_id"), "left_semi")
+        .withColumn("batch", lit(batchId)),
+      keys = Seq("doc_id", "h"), version = Seq(lit(1)),
+      partitionCols = Seq("batch"))
+    labeled
+  }
+
+  /** Label `batch` against the stored index WITHOUT mutating it — the
+    * dry-run / query-the-index face of [[ingestBatch]]: identical
+    * statuses, no upsert. */
+  def dedupBatch(spark: SparkSession, batch: DataFrame,
+                 bandsPath: String, shinglesPath: String,
+                 numHashes: Int = 16, rowsPerBand: Int = 4,
+                 shingleN: Int = 3, threshold: Double = 0.5): DataFrame =
+    labelBatch(spark, batch, bandsPath, shinglesPath,
+      numHashes, rowsPerBand, shingleN, threshold)._1
+
+  private def labelBatch(spark: SparkSession, batch: DataFrame,
+                         bandsPath: String, shinglesPath: String,
+                         numHashes: Int, rowsPerBand: Int,
+                         shingleN: Int, threshold: Double)
+      : (DataFrame, DataFrame, DataFrame) = {
     // Materialized once per call: consumed by the band build, the
     // vs-store confirm and the in-batch confirm (see minhashLsh's
     // rationale for localCheckpoint over cache()).
@@ -110,22 +141,9 @@ object IncrementalDedup {
           .when(col("__batch_dup"), lit("dup_in_batch"))
           .otherwise(lit("kept")))
       .drop("__stored_dup", "__batch_dup")
-      // the upserts below re-derive from the checkpointed relations; the
-      // caller's view is pinned so its two consumers (return + semi-join)
-      // agree
+      // ingestBatch's upserts re-derive from the checkpointed relations;
+      // the caller's view is pinned so all consumers agree
       .localCheckpoint()
-
-    val keptIds = labeled.filter(col("status") === "kept").select("doc_id")
-    KeyedParquetStore.upsert(spark, bandsPath,
-      bands.join(keptIds, Seq("doc_id"), "left_semi")
-        .withColumn("batch", lit(batchId)),
-      keys = Seq("doc_id", "band"), version = Seq(lit(1)),
-      partitionCols = Seq("batch"))
-    KeyedParquetStore.upsert(spark, shinglesPath,
-      sh.join(keptIds, Seq("doc_id"), "left_semi")
-        .withColumn("batch", lit(batchId)),
-      keys = Seq("doc_id", "h"), version = Seq(lit(1)),
-      partitionCols = Seq("batch"))
-    labeled
+    (labeled, bands, sh)
   }
 }

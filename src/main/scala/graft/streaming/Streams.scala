@@ -125,6 +125,29 @@ object Streams {
       }
       .start()
 
+  /** Streaming INCREMENTAL near-dup ingest: each micro-batch of
+    * documents dedups against the persisted band/shingle index and
+    * appends only its survivors
+    * ([[graft.pipeline.IncrementalDedup.ingestBatch]]) — the streaming
+    * face of the corpus-ingest shape, composing the two stateful pieces
+    * (Structured Streaming delivery + the keyed store's crash-safe
+    * partition merge). The epoch id names the batch's store partition,
+    * so a replayed micro-batch re-merges its OWN partition with
+    * last-wins keys: at-least-once delivery + idempotent merge =
+    * effectively-once index contents. Caller owns the returned query's
+    * lifecycle. */
+  def dedupIngestStream(docs: DataFrame, bandsPath: String,
+                        shinglesPath: String, checkpoint: String): StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: Dataset[Row], epoch: Long) =>
+        graft.pipeline.IncrementalDedup.ingestBatch(
+          batch.sparkSession, batch.toDF(), s"e$epoch", bandsPath, shinglesPath)
+        ()
+      }
+      .start()
+
   /** Streaming exact dedup: drop events whose `event_id` was already seen
     * for the key — the streaming face of `Dedup.exact`.
     *

@@ -176,4 +176,35 @@ class StreamsSpec extends SparkSpec {
     assert(user1.map(r => (r.n_events, r.total_value)).toSeq ===
       Seq((1L, 5.0), (1L, 7.0)))
   }
+
+  test("dedupIngestStream: micro-batches accrete only survivors into the index (r4)") {
+    val dir = Files.createTempDirectory("docs_stream").toFile
+    val ckpt = Files.createTempDirectory("dedup_ckpt").toString
+    val store = Files.createTempDirectory("dedup_store").toString
+    val t1 = "the quick brown fox jumps over the lazy dog near the river bank today"
+    val t2 = "completely different words about spark catalyst optimizer and shuffles here"
+    val t3 = "another unrelated snippet mentioning parquet columnar storage formats"
+    val b1 = Seq((1L, t1), (2L, t2)).toDF("doc_id", "text")
+    b1.coalesce(1).write.mode("overwrite").parquet(dir.toString)
+    val stream = spark.readStream.schema(b1.schema).parquet(dir.toString)
+    val q = Streams.dedupIngestStream(stream, s"$store/bands", s"$store/shingles", ckpt)
+    q.processAllAvailable()
+    // micro-batch 2: a near-dup of STORED doc 1 plus genuinely new content
+    Seq((10L, t1), (11L, t3)).toDF("doc_id", "text")
+      .coalesce(1).write.mode("append").parquet(dir.toString)
+    q.processAllAvailable(); q.stop()
+    val indexed = graft.sources.KeyedParquetStore.read(spark, s"$store/bands").get
+      .select($"doc_id").distinct().as[Long].collect().toSet
+    assert(indexed === Set(1L, 2L, 11L)) // 10 rejected against the stored index
+    // the read-only face labels without mutating the index
+    val labeled = graft.pipeline.IncrementalDedup.dedupBatch(spark,
+      Seq((20L, t2), (21L, "wholly new sentence about advisory locks and swaps today"))
+        .toDF("doc_id", "text"),
+      s"$store/bands", s"$store/shingles")
+      .select($"doc_id", $"status").as[(Long, String)].collect().toMap
+    assert(labeled === Map(20L -> "dup_of_stored", 21L -> "kept"))
+    val after = graft.sources.KeyedParquetStore.read(spark, s"$store/bands").get
+      .select($"doc_id").distinct().as[Long].collect().toSet
+    assert(after === indexed) // dry run: index untouched
+  }
 }
