@@ -63,18 +63,21 @@ class DedupSpec extends SparkSpec {
     val bandStore = graft.sources.KeyedParquetStore.read(spark, bands).get
     assert(!bandStore.columns.contains("text"))
     // batch 2: 10 duplicates STORED doc 1; 11 is new; 12 duplicates 11
-    // within the batch; 13 is new and independent
+    // within the batch; 13 is new and independent; 14 is too short to
+    // shingle (< shingleN tokens) — always kept, never indexed
     val batch2 = Seq(
       (10L, "the quick brown fox jumps over the lazy dog near the river bank today"),
       (11L, "another unrelated snippet mentioning parquet columnar storage formats"),
       (12L, "another unrelated snippet mentioning parquet columnar storage formats"),
-      (13L, "fresh text about keyed stores advisory locks and partition swaps"))
+      (13L, "fresh text about keyed stores advisory locks and partition swaps"),
+      (14L, "too short"))
       .toDF("doc_id", "text")
     val r2 = IncrementalDedup.ingestBatch(spark, batch2, "b2", bands, shingles)
       .select($"doc_id", $"status").as[(Long, String)].collect().toMap
     assert(r2 === Map(10L -> "dup_of_stored", 11L -> "kept",
-      12L -> "dup_in_batch", 13L -> "kept"))
-    // the index accreted exactly the survivors, append-only per batch
+      12L -> "dup_in_batch", 13L -> "kept", 14L -> "kept"))
+    // the index accreted exactly the shingle-bearing survivors,
+    // append-only per batch (14 kept but produced nothing to index)
     val indexed = graft.sources.KeyedParquetStore.read(spark, bands).get
       .select($"doc_id").distinct().as[Long].collect().toSet
     assert(indexed === Set(1L, 2L, 11L, 13L))
@@ -87,7 +90,7 @@ class DedupSpec extends SparkSpec {
     val r2retry = IncrementalDedup.ingestBatch(spark, batch2, "b2", bands, shingles)
       .select($"doc_id", $"status").as[(Long, String)].collect().toMap
     assert(r2retry === Map(10L -> "dup_of_stored", 11L -> "kept",
-      12L -> "dup_of_stored", 13L -> "kept"))
+      12L -> "dup_of_stored", 13L -> "kept", 14L -> "kept"))
     assert(graft.sources.KeyedParquetStore.read(spark, bands).get
       .select($"doc_id").distinct().as[Long].collect().toSet === Set(1L, 2L, 11L, 13L))
   }
