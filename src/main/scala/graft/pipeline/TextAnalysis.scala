@@ -166,6 +166,42 @@ object TextAnalysis {
         col("tfidf"), col("rn").cast("long").as("rank"))
   }
 
+  /** BM25 keyword search: rank documents for a bag-of-words query by
+    * `Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl))` with
+    * `idf = ln(1 + (N−df+0.5)/(df+0.5))` — the retrieval face of the
+    * text-analysis surface (corpus curation: "find documents about X").
+    *
+    * Shuffle profile at 100 TB: tokens are FILTERED to the query's terms
+    * inside the scan stage, so the (doc, term) aggregation exchanges only
+    * matching postings; df and the corpus scalars (N, avg length) are
+    * KB-sized broadcasts; the final top-k is a TakeOrderedAndProject.
+    * Per-term scores round to 6 dp and sum through DECIMAL so the
+    * cross-engine ranking is bit-stable — a raw double sum would depend
+    * on term arrival order. */
+  def bm25Search(docs: DataFrame, query: Seq[String], k: Int,
+                 k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val lens = docs.select(col("doc_id"), size(tokens(col("text"))).cast("long").as("dl"))
+    val stats = lens.agg(count(lit(1)).as("n_docs"),
+      (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
+    val tf = docs.select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+      .filter(col("term").isin(query: _*))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val scored = tf
+      .join(broadcast(df), Seq("term"))
+      .join(lens, Seq("doc_id"))
+      .crossJoin(broadcast(stats))
+      .withColumn("score",
+        round(log(lit(1) + (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+          * col("tf") * lit(k1 + 1)
+          / (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * col("dl") / col("avgdl"))), 6))
+    scored.groupBy(col("doc_id"))
+      .agg(sum(col("score").cast(org.apache.spark.sql.types.DecimalType(30, 6)))
+        .cast("double").as("bm25"))
+      .orderBy(col("bm25").desc, col("doc_id"))
+      .limit(k)
+  }
+
   /** Rolling-hash document fingerprint: min / max / count over the shingle
     * hashes — a compact signature for shard-level pre-clustering. Runs on
     * `hashedShingles` so the hash is computed once per shingle (separate

@@ -690,6 +690,39 @@ object PipelineQueries {
         |LEFT JOIN dupstored ds ON ds.doc_id = b2.doc_id
         |LEFT JOIN noncanon2 nc ON nc.doc_id = b2.doc_id""".stripMargin)),
 
+    // BM25 keyword search: top-25 documents for a 3-term query — the
+    // retrieval face of the text surface. Query-term filter inside the
+    // scan, broadcast df/corpus-scalars, DECIMAL-routed score sum (a raw
+    // double Σ would depend on term order), TakeOrderedAndProject top-k.
+    Q("q54_bm25_search",
+      (s, dir) =>
+        TextAnalysis.bm25Search(
+          Tables.documents(s, dir).select(col("doc_id"), col("text")),
+          query = Seq("spark", "window", "merge"), k = 25),
+      Some("""WITH lens AS (
+        |  SELECT doc_id, CAST(len(regexp_split_to_array(text, '\s+')) AS BIGINT) AS dl
+        |  FROM documents),
+        |stats AS (
+        |  SELECT count(*) AS n_docs, CAST(SUM(dl) AS DOUBLE) / count(*) AS avgdl
+        |  FROM lens),
+        |tok AS (
+        |  SELECT doc_id, unnest(regexp_split_to_array(text, '\s+')) AS term
+        |  FROM documents),
+        |tf AS (
+        |  SELECT doc_id, term, count(*) AS tf FROM tok
+        |  WHERE term IN ('spark', 'window', 'merge') GROUP BY 1, 2),
+        |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |s AS (
+        |  SELECT tf.doc_id,
+        |    round(ln(1 + (n.n_docs - df.df + 0.5) / (df.df + 0.5))
+        |          * tf.tf * (1.2 + 1)
+        |          / (tf.tf + 1.2 * (0.25 + 0.75 * l.dl / n.avgdl)), 6) AS score
+        |  FROM tf JOIN df USING (term) JOIN lens l USING (doc_id), stats n)
+        |SELECT doc_id, CAST(SUM(CAST(score AS DECIMAL(30,6))) AS DOUBLE) AS bm25
+        |FROM s GROUP BY 1
+        |ORDER BY bm25 DESC, doc_id
+        |LIMIT 25""".stripMargin)),
+
     // Deterministic train/val/test deal: hash-bucket assignment that is
     // retry-safe and engine-reproducible (rand() is neither) — the oracle
     // rebuilds the identical buckets from the same md5 arithmetic.

@@ -545,6 +545,24 @@ class TextAnalysisSpec extends SparkSpec {
       .orderBy($"doc_id").select($"p").as[String].collect()
     assert(got.toSeq === Seq("de", "und"))
   }
+
+  test("bm25Search ranks higher tf above lower, rarer terms above common (r4)") {
+    val docs = Seq(
+      (1L, "spark spark spark runs fast today and tomorrow morning"), // tf=3
+      (2L, "spark runs somewhere else entirely with other words here"), // tf=1
+      (3L, "rocket launch rocket window pad countdown ignition lift off"), // rare term
+      (4L, "nothing relevant in this particular document at all maybe"),
+      (5L, "spark spark appears twice in this one document right here")) // tf=2
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.bm25Search(docs, Seq("spark", "window"), k = 4)
+      .select($"doc_id").as[Long].collect().toSeq
+    // doc 4 never matches; within the 'spark' docs, tf orders 1 > 5 > 2;
+    // 'window' appears in 1 of 5 docs (rarer than 'spark' in 3 of 5), so
+    // doc 3 outscores every single-term 'spark' doc except the tf-3 one
+    assert(got.length === 4 && !got.contains(4L))
+    assert(got.indexOf(1L) < got.indexOf(5L) && got.indexOf(5L) < got.indexOf(2L))
+    assert(got.indexOf(3L) < got.indexOf(2L))
+  }
 }
 
 class MultimodalSpec extends SparkSpec {
