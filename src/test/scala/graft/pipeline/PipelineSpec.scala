@@ -411,6 +411,19 @@ class SimilaritySpec extends SparkSpec {
     assert(z === ((0.0, Seq(0, 0, 0))))
   }
 
+  test("quantizedTopK matches the exact top-5 almost everywhere (r4)") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val probes = emb.filter($"vec_id" < 20)
+    val exact = Similarity.bruteForceTopK(emb, probes, 5)
+      .select($"probe_id", $"neighbor_id").as[(Long, Long)].collect().toSet
+    val quant = Similarity.quantizedTopK(emb, probes, 5)
+      .select($"probe_id", $"neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (exact & quant).size.toDouble / exact.size
+    // int8 round-trip moves cosines by ~1e-3; only genuinely tied
+    // neighbors can swap in/out of the top-5
+    assert(recall >= 0.9, s"quantized recall@5 $recall")
+  }
+
   test("cosinePairs flags identical pairs at high threshold") {
     // cos(v0, v1) = 0.9/sqrt(0.82) ≈ 0.9939, so 0.999 isolates the exact copy
     val got = Similarity.cosinePairs(vectors, 0.999)
@@ -544,6 +557,20 @@ class TextAnalysisSpec extends SparkSpec {
       col("c_en"), col("c_de"), col("c_fr"), col("c_es")))
       .orderBy($"doc_id").select($"p").as[String].collect()
     assert(got.toSeq === Seq("de", "und"))
+  }
+
+  test("repetitionSignals computes dup-token/dup-bigram/top-bigram fractions (r4)") {
+    val docs = Seq(
+      (1L, "a b a b c"), // 5 toks, 3 distinct; bigrams [a b, b a, a b, b c]
+      (2L, "x"),         // single token: no bigrams -> NULL bigram fracs
+      (3L, "w w w w"))   // degenerate repetition: top bigram covers all
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.repetitionSignals(docs).orderBy($"doc_id")
+      .select($"n_tokens", $"dup_token_frac", $"dup_bigram_frac", $"top_bigram_frac")
+      .as[(Long, Double, Option[Double], Option[Double])].collect().toSeq
+    assert(got(0) === ((5L, 0.4, Some(0.25), Some(0.5))))
+    assert(got(1) === ((1L, 0.0, None, None)))
+    assert(got(2) === ((4L, 0.75, Some(2.0 / 3), Some(1.0))))
   }
 
   test("bm25Search ranks higher tf above lower, rarer terms above common (r4)") {

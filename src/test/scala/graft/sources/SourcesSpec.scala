@@ -270,6 +270,57 @@ class SourcesSpec extends SparkSpec {
     }
   }
 
+  test("compact coalesces only fragmented partitions, preserving content (r4)") {
+    val path = Files.createTempDirectory("store_compact").toString + "/docs"
+    // append-only ingest shape (the incremental-dedup band index): each
+    // write task leaves its own file, fragmenting every partition
+    val rows = (1 to 40).map(i => (i.toLong, s"b${i % 2}", i * 1.0, 1))
+      .toDF("id", "batch", "v", "ver")
+    rows.repartition(4).write.partitionBy("batch").parquet(path)
+    def dataFiles(p: String) = new java.io.File(p).listFiles()
+      .filter(f => f.isFile && !f.getName.startsWith("_") && !f.getName.startsWith("."))
+    assert(dataFiles(s"$path/batch=b0").length > 1, "setup should fragment")
+    val before = spark.read.parquet(path)
+      .select($"id", $"batch", $"v").as[(Long, String, Double)].collect().toSet
+    assert(KeyedParquetStore.compact(spark, path) === 2)
+    assert(dataFiles(s"$path/batch=b0").length === 1)
+    assert(dataFiles(s"$path/batch=b1").length === 1)
+    val after = spark.read.parquet(path)
+      .select($"id", $"batch", $"v").as[(Long, String, Double)].collect().toSet
+    assert(after === before, "compaction must be a pure layout change")
+    // partition pruning still works on the compacted layout
+    val q = spark.read.parquet(path).filter($"batch" === "b0")
+    assert(q.count() === 20)
+    assert(q.queryExecution.executedPlan.toString.contains("PartitionFilters: [isnotnull(batch"))
+    // second pass: everything already at target -> zero rewrites
+    assert(KeyedParquetStore.compact(spark, path) === 0)
+    // the lock was released: a subsequent upsert acquires it normally
+    KeyedParquetStore.upsert(spark, path,
+      Seq((99L, "b0", 9.9, 1)).toDF("id", "batch", "v", "ver"),
+      Seq("id"), Seq($"ver"), partitionCols = Seq("batch"))
+    assert(spark.read.parquet(path).count() === 41)
+  }
+
+  test("compact handles unpartitioned stores and fails fast under a live lock (r4)") {
+    val path = Files.createTempDirectory("store_compact_flat").toString + "/dim"
+    (1 to 30).map(i => (i.toLong, i * 2.0)).toDF("id", "v")
+      .repartition(3).write.parquet(path)
+    def dataFiles() = new java.io.File(path).listFiles()
+      .filter(f => f.isFile && !f.getName.startsWith("_") && !f.getName.startsWith("."))
+    assert(dataFiles().length > 1)
+    val before = spark.read.parquet(path).select($"id", $"v")
+      .as[(Long, Double)].collect().toSet
+    assert(KeyedParquetStore.compact(spark, path) === 1)
+    assert(dataFiles().length === 1)
+    assert(spark.read.parquet(path).select($"id", $"v")
+      .as[(Long, Double)].collect().toSet === before)
+    // a live writer's fresh lock makes compaction fail fast, files untouched
+    Files.writeString(java.nio.file.Paths.get(path + ".lock"), "someone-else")
+    intercept[IllegalStateException] { KeyedParquetStore.compact(spark, path) }
+    assert(dataFiles().length === 1)
+    new java.io.File(path + ".lock").delete()
+  }
+
   test("partitioned store prunes partitions on date filters") {
     val path = Files.createTempDirectory("store_part").toString + "/stocks"
     val rows = (1 to 10).flatMap(day => Seq(("AAA", f"2024-01-$day%02d", day * 1.0, 1)))
