@@ -209,34 +209,75 @@ object TextAnalysis {
     * filters for boilerplate / degenerate-generation text in a training
     * corpus (Rae et al. 2021, "Scaling Language Models", table A1).
     *
-    * The array-local fractions (dup_token / dup_bigram) are computed
-    * inside the row with `array_distinct` — zero shuffle; only the
-    * top-bigram count needs a (doc_id, bigram) aggregation, and that
-    * exchange carries one row per DISTINCT bigram occurrence class, not
-    * the text. Fractions are int/int IEEE divisions — bit-identical
+    * Shape: ONE explode per grain (token, bigram) feeding a two-level
+    * aggregation — `(doc_id, term) → count` then `doc_id → (Σc, #rows,
+    * max c)` — so every exchange carries narrow count rows with map-side
+    * partial aggregation, never token arrays or text, and the final join
+    * stitches two per-doc scalar relations. (A first cut computed the
+    * fractions array-locally with `array_distinct` and joined the
+    * array-carrying relation against the top-bigram agg: re-evaluating
+    * the bigram-construction lambda across project/join boundaries made
+    * it the bench's worst query at 13 s on 50k docs — this shape is ~10×
+    * cheaper and is also the one that survives docs too long for one
+    * row's array.) Fractions are int/int IEEE divisions — bit-identical
     * across engines, no rounding needed. Documents shorter than two
     * tokens get NULL bigram fractions. */
   def repetitionSignals(docs: DataFrame): DataFrame = {
-    val base = docs
-      .withColumn("t", tokens(col("text")))
-      .withColumn("bg", when(size(col("t")) >= 2,
-        expr("transform(sequence(1, size(t) - 1), " +
-          "i -> concat(element_at(t, i), ' ', element_at(t, i + 1)))"))
-        .otherwise(array().cast("array<string>")))
-    val top = base.select(col("doc_id"), explode(col("bg")).as("b"))
-      .groupBy(col("doc_id"), col("b")).agg(count(lit(1)).as("c"))
-      .groupBy(col("doc_id")).agg(max(col("c")).as("top_c"))
-    base.join(top, Seq("doc_id"), "left")
+    def stats(exploded: DataFrame, p: String): DataFrame =
+      exploded.groupBy(col("doc_id"), col("x")).agg(count(lit(1)).as("c"))
+        .groupBy(col("doc_id")).agg(
+          sum(col("c")).as(s"${p}_n"),     // total occurrences
+          count(lit(1)).as(s"${p}_d"),     // distinct terms
+          max(col("c")).as(s"${p}_top"))   // top term multiplicity
+    val tok = stats(
+      docs.select(col("doc_id"), explode(tokens(col("text"))).as("x")), "tok")
+    val bg = stats(
+      docs.withColumn("t", tokens(col("text")))
+        .filter(size(col("t")) >= 2)
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(1, size(t) - 1), " +
+            "i -> concat(element_at(t, i), ' ', element_at(t, i + 1)))")).as("x")),
+      "bg")
+    tok.join(bg, Seq("doc_id"), "left")
       .select(col("doc_id"),
-        size(col("t")).cast("long").as("n_tokens"),
-        when(size(col("t")) > 0,
-          (size(col("t")) - size(array_distinct(col("t")))).cast("double")
-            / size(col("t"))).as("dup_token_frac"),
-        when(size(col("bg")) > 0,
-          (size(col("bg")) - size(array_distinct(col("bg")))).cast("double")
-            / size(col("bg"))).as("dup_bigram_frac"),
-        when(size(col("bg")) > 0, col("top_c").cast("double") / size(col("bg")))
-          .as("top_bigram_frac"))
+        col("tok_n").cast("long").as("n_tokens"),
+        ((col("tok_n") - col("tok_d")).cast("double") / col("tok_n"))
+          .as("dup_token_frac"),
+        ((col("bg_n") - col("bg_d")).cast("double") / col("bg_n"))
+          .as("dup_bigram_frac"),
+        (col("bg_top").cast("double") / col("bg_n")).as("top_bigram_frac"))
+  }
+
+  /** Split documents into fixed-size token windows with overlap — the
+    * context-window chunking step between curation and training (and the
+    * unit RAG retrieval indexes). Chunk k of a doc covers tokens
+    * `[k·stride, k·stride + maxTokens)` with `stride = maxTokens −
+    * overlap`; the last chunk may be shorter, and a tail already fully
+    * contained in the previous chunk is not emitted
+    * (`nChunks = max(1, ceil((n − overlap) / stride))`). Blank documents
+    * produce no chunks (filtered on trimmed text, not token count —
+    * `split` returns `[""]` for an empty string in Spark AND DuckDB, so a
+    * token-count filter would silently keep them).
+    *
+    * Pure per-row compute: tokenize → `sequence` → `posexplode` → `slice`,
+    * all codegen'd built-ins — no shuffle at any point, so it scales as a
+    * map over the corpus. Emitted (doc_id, chunk_id) pairs are
+    * deterministic, so downstream splits/packs key on them stably. */
+  def chunkDocuments(docs: DataFrame, maxTokens: Int, overlap: Int): DataFrame = {
+    require(overlap >= 0 && maxTokens > overlap, "need maxTokens > overlap >= 0")
+    val stride = maxTokens - overlap
+    def chunk(t: Column, k: Column): Column =
+      slice(t, k.cast("int") * stride + 1, lit(maxTokens))
+    docs
+      .filter(trim(col("text")) =!= "")
+      .withColumn("t", tokens(col("text")))
+      .withColumn("nc", greatest(lit(1L),
+        ceil((size(col("t")) - lit(overlap)).cast("double") / stride).cast("long")))
+      .select(col("doc_id"), col("t"),
+        posexplode(expr("sequence(0L, nc - 1)")).as(Seq("pos", "k")))
+      .select(col("doc_id"), col("k").as("chunk_id"),
+        array_join(chunk(col("t"), col("k")), " ").as("chunk_text"),
+        size(chunk(col("t"), col("k"))).cast("long").as("n_chunk_tokens"))
   }
 
   /** Rolling-hash document fingerprint: min / max / count over the shingle

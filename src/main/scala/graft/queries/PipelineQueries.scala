@@ -789,6 +789,30 @@ object PipelineQueries {
         |        ORDER BY cos_sim DESC, neighbor_id) AS rank FROM sc)
         |SELECT probe_id, neighbor_id, cos_sim, rank FROM r WHERE rank <= 5""".stripMargin)),
 
+    // Context-window chunking: fixed 32-token windows with 8-token
+    // overlap — the step between curation and training (and the RAG index
+    // unit). Pure per-row codegen'd compute (sequence → posexplode →
+    // slice): zero shuffle, scales as a map over the corpus.
+    Q("q57_chunk_documents",
+      (s, dir) =>
+        TextAnalysis.chunkDocuments(
+          Tables.documents(s, dir).select(col("doc_id"), col("text")),
+          maxTokens = 32, overlap = 8),
+      Some("""WITH t AS (
+        |  SELECT doc_id, regexp_split_to_array(text, '\s+') AS t
+        |  FROM documents WHERE trim(text) <> ''),
+        |n AS (
+        |  SELECT doc_id, t, len(t) AS n,
+        |    GREATEST(1, CAST(ceil((len(t) - 8) * 1.0 / 24) AS BIGINT)) AS nc
+        |  FROM t),
+        |c AS (SELECT doc_id, t, n, unnest(generate_series(0, nc - 1)) AS k FROM n)
+        |SELECT doc_id, k AS chunk_id,
+        |  array_to_string(list_slice(t, k*24 + 1, LEAST(k*24 + 32, n)), ' ')
+        |    AS chunk_text,
+        |  CAST(len(list_slice(t, k*24 + 1, LEAST(k*24 + 32, n))) AS BIGINT)
+        |    AS n_chunk_tokens
+        |FROM c""".stripMargin)),
+
     // Deterministic train/val/test deal: hash-bucket assignment that is
     // retry-safe and engine-reproducible (rand() is neither) — the oracle
     // rebuilds the identical buckets from the same md5 arithmetic.

@@ -573,6 +573,25 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got(2) === ((4L, 0.75, Some(2.0 / 3), Some(1.0))))
   }
 
+  test("chunkDocuments windows tokens with overlap; contained tail not emitted (r4)") {
+    val docs = Seq(
+      (1L, (1 to 10).map(i => s"t$i").mkString(" ")), // 10 toks
+      (2L, "a b c"),                                  // shorter than a window
+      (3L, ""))                                       // empty: no chunks
+      .toDF("doc_id", "text")
+    // maxTokens=4, overlap=1, stride=3: starts 0,3,6 -> ceil((10-1)/3)=3
+    // chunks; start 9 would be fully inside [6,10) and must NOT appear
+    val got = TextAnalysis.chunkDocuments(docs, maxTokens = 4, overlap = 1)
+      .orderBy($"doc_id", $"chunk_id")
+      .select($"doc_id", $"chunk_id", $"chunk_text", $"n_chunk_tokens")
+      .as[(Long, Long, String, Long)].collect().toSeq
+    assert(got === Seq(
+      (1L, 0L, "t1 t2 t3 t4", 4L),
+      (1L, 1L, "t4 t5 t6 t7", 4L),
+      (1L, 2L, "t7 t8 t9 t10", 4L),
+      (2L, 0L, "a b c", 3L)))
+  }
+
   test("bm25Search ranks higher tf above lower, rarer terms above common (r4)") {
     val docs = Seq(
       (1L, "spark spark spark runs fast today and tomorrow morning"), // tf=3
