@@ -93,6 +93,14 @@ class DedupSpec extends SparkSpec {
       12L -> "dup_of_stored", 13L -> "kept", 14L -> "kept"))
     assert(graft.sources.KeyedParquetStore.read(spark, bands).get
       .select($"doc_id").distinct().as[Long].collect().toSet === Set(1L, 2L, 11L, 13L))
+    // compacting the accreted per-batch partitions is a pure layout
+    // change: the read-only labeling face answers identically after
+    val preCompact = IncrementalDedup.dedupBatch(spark, batch2, bands, shingles)
+      .select($"doc_id", $"status").as[(Long, String)].collect().toMap
+    graft.sources.KeyedParquetStore.compact(spark, bands)
+    graft.sources.KeyedParquetStore.compact(spark, shingles)
+    assert(IncrementalDedup.dedupBatch(spark, batch2, bands, shingles)
+      .select($"doc_id", $"status").as[(Long, String)].collect().toMap === preCompact)
   }
 
   test("decontaminate drops train docs overlapping the eval set, keeps the rest (r4)") {
