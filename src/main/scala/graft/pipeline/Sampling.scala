@@ -79,6 +79,20 @@ object Sampling {
     df.filter(b < threshold)
   }
 
+  /** WEIGHTED deterministic sampling: each row carries its own keep
+    * probability in [0, 1] (typically a quality score) — the curation
+    * move that up-samples good data and down-samples boilerplate without
+    * a shuffle. Keep iff `bucket < weight · 10000`, no quantization: the
+    * kept set is MONOTONE in the weight (raising a row's weight can only
+    * add it, never re-roll it — [[deterministicSample]]'s nesting
+    * property, per-row), and a weight of 1 keeps everything, 0 nothing.
+    * Weights are clamped to [0, 1]; same retry-safe hash buckets as the
+    * other deals, so task retries and engine re-runs agree row-for-row. */
+  def weightedSample(df: DataFrame, idCol: String, weight: Column,
+                     salt: String = "wsample"): DataFrame =
+    df.filter(bucket(col(idCol), salt) <
+      least(greatest(weight, lit(0.0)), lit(1.0)) * Buckets)
+
   /** Deterministic sequence PACKING: group documents into fixed
     * token-budget packs — the batch-construction step before training.
     * Documents are dealt into `packBuckets` hash buckets (so the window

@@ -962,6 +962,26 @@ object PipelineQueries {
       Some("""SELECT doc_id, CAST(length(text) AS BIGINT) AS text_len
         |FROM documents
         |WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '_sample'), 1, 15)) AS BIGINT)
-        |      % 10000 < 1000""".stripMargin))
+        |      % 10000 < 1000""".stripMargin)),
+
+    // Quality-WEIGHTED sampling: per-row keep probability (here a
+    // length-derived quality proxy, min(n_tokens/150, 1)) against the
+    // same retry-safe hash buckets — longer docs survive at higher
+    // rates. No quantization: bucket < w·10000 compares the identical
+    // IEEE doubles in both engines.
+    Q("q58_weighted_sample",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+        Sampling.weightedSample(docs, "doc_id",
+          least(size(TextAnalysis.tokens(col("text"))).cast("double") / 150.0,
+            lit(1.0)))
+          .select(col("doc_id"), length(col("text")).cast("long").as("text_len"))
+      },
+      Some("""SELECT doc_id, CAST(length(text) AS BIGINT) AS text_len
+        |FROM documents
+        |WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '_wsample'), 1, 15)) AS BIGINT)
+        |      % 10000
+        |      < LEAST(CAST(len(regexp_split_to_array(text, '\s+')) AS DOUBLE) / 150.0,
+        |              1.0) * 10000""".stripMargin))
   )
 }

@@ -287,6 +287,26 @@ class SamplingSpec extends SparkSpec {
     assert(smaller.subsetOf(larger))
   }
 
+  test("weightedSample: monotone in weight, exact at extremes, clamped (r4)") {
+    val df = (1L to 1000L).toDF("doc_id")
+      .withColumn("w", (col("doc_id") % 10).cast("double") / 10)
+    assert(Sampling.weightedSample(df, "doc_id", lit(1.0)).count() === 1000)
+    assert(Sampling.weightedSample(df, "doc_id", lit(0.0)).count() === 0)
+    // monotone: a lower uniform weight keeps a SUBSET (no re-roll)
+    val half = Sampling.weightedSample(df, "doc_id", lit(0.5))
+      .select($"doc_id").as[Long].collect().toSet
+    val quarter = Sampling.weightedSample(df, "doc_id", lit(0.25))
+      .select($"doc_id").as[Long].collect().toSet
+    assert(quarter.subsetOf(half))
+    assert(math.abs(half.size - 500) < 75)
+    // per-row weights: E[kept] = Σw = 1000 · mean(0.0 … 0.9) = 450
+    val kept = Sampling.weightedSample(df, "doc_id", $"w").count()
+    assert(math.abs(kept - 450) < 75)
+    // out-of-range weights behave as the clamped extremes
+    assert(Sampling.weightedSample(df, "doc_id", lit(5.0)).count() === 1000)
+    assert(Sampling.weightedSample(df, "doc_id", lit(-1.0)).count() === 0)
+  }
+
   test("packBudget: contiguous budget-aligned packs, ≤ one straddling doc over (r4)") {
     val withTok = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
       .select($"doc_id", size(split($"text", "\\s+")).cast("long").as("n_tokens"))
