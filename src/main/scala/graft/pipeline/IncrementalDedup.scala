@@ -51,16 +51,18 @@ object IncrementalDedup {
     val (labeled, bands, sh) = labelBatch(spark, batch, bandsPath, shinglesPath,
       numHashes, rowsPerBand, shingleN, threshold)
     val keptIds = labeled.filter(col("status") === "kept").select("doc_id")
+    // The batch IS the partition: pass the tuple statically so neither
+    // upsert runs a discovery job over the semi-joined relation.
     KeyedParquetStore.upsert(spark, bandsPath,
       bands.join(keptIds, Seq("doc_id"), "left_semi")
         .withColumn("batch", lit(batchId)),
       keys = Seq("doc_id", "band"), version = Seq(lit(1)),
-      partitionCols = Seq("batch"))
+      partitionCols = Seq("batch"), partitionValues = Seq(Seq(batchId)))
     KeyedParquetStore.upsert(spark, shinglesPath,
       sh.join(keptIds, Seq("doc_id"), "left_semi")
         .withColumn("batch", lit(batchId)),
       keys = Seq("doc_id", "h"), version = Seq(lit(1)),
-      partitionCols = Seq("batch"))
+      partitionCols = Seq("batch"), partitionValues = Seq(Seq(batchId)))
     labeled
   }
 

@@ -157,13 +157,29 @@ object KeyedParquetStore {
     * straight back). Advisory = honest on HDFS/local; object stores
     * without atomic create/rename downgrade it to best-effort — there, a
     * Delta-style log is the real answer. */
+  /** `partitionValues`: optional hint — the partition-value tuples
+    * (aligned to `partitionCols`) that `incoming` is known to contain.
+    * A daily ingest knows its date and a batch ingest its batch id
+    * statically; passing them skips the `distinct().collect()` job the
+    * merge otherwise runs to discover them. The staged write still only
+    * swaps the partition directories it actually produced, so an
+    * over-broad hint costs a wasted read of the named partitions, never
+    * corruption; a hint that MISSES a partition present in `incoming`
+    * would leave that partition's old rows unmerged — the hint must
+    * cover incoming, which is trivially true for the
+    * one-batch-per-partition ingest shape it exists for. */
   def upsert(spark: SparkSession, path: String, incoming: DataFrame,
              keys: Seq[String], version: Seq[Column],
              partitionCols: Seq[String] = Nil,
-             lockTtlMs: Long = 10L * 60 * 1000): Unit = {
+             lockTtlMs: Long = 10L * 60 * 1000,
+             partitionValues: Seq[Seq[Any]] = Nil): Unit = {
+    require(partitionValues.isEmpty ||
+      partitionValues.forall(_.length == partitionCols.length),
+      "each partitionValues tuple must align with partitionCols")
     val f = fs(spark, path)
     val h = acquireLock(f, new HPath(path + ".lock"), lockTtlMs)
-    try doUpsert(spark, f, path, incoming, keys, version, partitionCols)
+    try doUpsert(spark, f, path, incoming, keys, version, partitionCols,
+      partitionValues)
     finally h.release()
   }
 
@@ -257,7 +273,8 @@ object KeyedParquetStore {
 
   private def doUpsert(spark: SparkSession, f: FileSystem, path: String,
                        incoming: DataFrame, keys: Seq[String], version: Seq[Column],
-                       partitionCols: Seq[String]): Unit = {
+                       partitionCols: Seq[String],
+                       partitionValues: Seq[Seq[Any]] = Nil): Unit = {
     // We hold the writer lock: no other swap can be in flight, so any
     // displaced dirs are a crashed predecessor's — heal before merging
     // (read() alone would skip healing under our own fresh lock).
@@ -279,15 +296,20 @@ object KeyedParquetStore {
       swap(f, new HPath(staging), new HPath(path), new HPath(path + ".old"))
     } else {
       // Partition-scoped merge: only partitions present in `incoming` are
-      // read back, merged, and rewritten. The collected partition tuple
-      // set is bounded by the ingest batch (e.g. one date), not the store.
-      val tuples = incoming.select(partitionCols.map(col): _*).distinct().collect()
+      // read back, merged, and rewritten. The tuple set comes from the
+      // caller's hint when it has one (the ingest shape knows its batch/
+      // date statically — no discovery job), else from a distinct-collect
+      // bounded by the ingest batch (e.g. one date), not the store.
+      val tuples: Seq[Seq[Any]] =
+        if (partitionValues.nonEmpty) partitionValues
+        else incoming.select(partitionCols.map(col): _*).distinct().collect()
+          .toSeq.map(r => (0 until r.length).map(r.get))
       if (tuples.isEmpty) return // empty batch (e.g. an idle stream trigger): no-op
-      require(tuples.forall(r => (0 until r.length).forall(!r.isNullAt(_))),
+      require(tuples.forall(_.forall(_ != null)),
         "null partition values are not supported by the partition-scoped upsert")
-      val pred = tuples.map { r =>
-        partitionCols.zipWithIndex
-          .map { case (c, i) => col(c) === lit(r.get(i)) }
+      val pred = tuples.map { t =>
+        partitionCols.zip(t)
+          .map { case (c, v) => col(c) === lit(v) }
           .reduce(_ && _)
       }.reduce(_ || _)
       // Partition-value directory names round-trip through type inference

@@ -270,6 +270,29 @@ class SourcesSpec extends SparkSpec {
     }
   }
 
+  test("upsert partitionValues hint: no discovery job, over-broad is harmless (r4)") {
+    val path = Files.createTempDirectory("store_hint").toString + "/t"
+    val v1 = Seq(("2024-01-01", "AAA", 1.0, 1), ("2024-01-02", "BBB", 3.0, 1))
+      .toDF("date", "ticker", "price", "ver")
+    KeyedParquetStore.upsert(spark, path, v1, Seq("ticker", "date"), Seq($"ver"),
+      partitionCols = Seq("date"))
+    val v2 = Seq(("2024-01-01", "AAA", 2.0, 2)).toDF("date", "ticker", "price", "ver")
+    // hint names the touched partition plus one incoming never touches:
+    // the swap only moves directories the staged write produced
+    KeyedParquetStore.upsert(spark, path, v2, Seq("ticker", "date"), Seq($"ver"),
+      partitionCols = Seq("date"),
+      partitionValues = Seq(Seq("2024-01-01"), Seq("2024-02-01")))
+    val got = KeyedParquetStore.read(spark, path).get
+      .select($"ticker", $"price").as[(String, Double)].collect().toSeq.sorted
+    assert(got === Seq(("AAA", 2.0), ("BBB", 3.0)))
+    assert(!new java.io.File(s"$path/date=2024-02-01").exists())
+    // a tuple not aligned to partitionCols is rejected up front
+    intercept[IllegalArgumentException] {
+      KeyedParquetStore.upsert(spark, path, v2, Seq("ticker", "date"), Seq($"ver"),
+        partitionCols = Seq("date"), partitionValues = Seq(Seq("x", "y")))
+    }
+  }
+
   test("compact coalesces only fragmented partitions, preserving content (r4)") {
     val path = Files.createTempDirectory("store_compact").toString + "/docs"
     // append-only ingest shape (the incremental-dedup band index): each
