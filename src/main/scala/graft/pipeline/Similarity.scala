@@ -276,18 +276,32 @@ object Similarity {
     * (HALF_UP vs banker's rounding would flake the cross-engine oracle).
     * A zero vector quantizes to zeros with scale 0. Pure codegen'd
     * array arithmetic — no UDF, no shuffle. */
-  def quantizeInt8(vec: Column): Column = {
-    val s = array_max(transform(vec, x => abs(x)))
-    val q = transform(vec, x =>
-      when(s === 0.0, lit(0))
-        .otherwise(floor(x / s * 127 + lit(0.5)).cast("int")))
-    struct(s.as("scale"), q.as("q"))
-  }
+  /** Let-binding for the expression language: evaluate `bound` ONCE per
+    * row and hand it to `body` as a lambda variable. Column expressions
+    * have no `let`, so a sub-expression referenced inside a `transform`
+    * lambda is otherwise re-evaluated PER ELEMENT — quantization's scale
+    * (itself an O(d) array_max) inlined into the per-element lambda made
+    * the whole row O(d²); the one-element-transform binding restores
+    * O(d). */
+  private def bindOnce(bound: Column, body: Column => Column): Column =
+    element_at(transform(array(bound), body), 1)
 
-  /** Inverse of [[quantizeInt8]]: `x_i ≈ q_i · scale / 127`. */
+  def quantizeInt8(vec: Column): Column =
+    bindOnce(struct(vec.as("v"),
+      array_max(transform(vec, x => abs(x))).as("s")), p =>
+      struct(p.getField("s").as("scale"),
+        transform(p.getField("v"), x =>
+          when(p.getField("s") === 0.0, lit(0))
+            .otherwise(floor(x / p.getField("s") * 127 + lit(0.5)).cast("int")))
+          .as("q")))
+
+  /** Inverse of [[quantizeInt8]]: `x_i ≈ q_i · scale / 127`. The input
+    * struct is bound once per row, so composing `dequantize(quantize(v))`
+    * evaluates the quantization once, not per element. */
   def dequantizeInt8(qs: Column): Column =
-    transform(qs.getField("q"),
-      q => q.cast("double") * qs.getField("scale") / 127)
+    bindOnce(qs, p =>
+      transform(p.getField("q"),
+        q => q.cast("double") * p.getField("scale") / 127))
 
   /** Exact top-k search over the int8-QUANTIZED corpus: the memory-bound
     * scale path — at 100 TB of fp32 embeddings the resident corpus drops
