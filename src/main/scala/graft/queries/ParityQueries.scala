@@ -464,6 +464,21 @@ object ParityQueries {
         |  CAST(SUM(CAST(value AS DECIMAL(30,2))) AS DOUBLE) AS session_value
         |FROM s GROUP BY user_id, sid""".stripMargin)),
 
+    // The tumbling-window face of the streaming surface (one code path
+    // for stream and batch — StreamsSpec proves stream ≡ batch; this is
+    // the batch face under the oracle). Epoch-aligned 1-hour windows =
+    // date_trunc; the value sum routes through DECIMAL so aggregation
+    // order can't move the result.
+    Q("q59_windowed_counts",
+      (s, dir) =>
+        graft.streaming.Streams.windowedTypeCounts(Tables.events(s, dir)),
+      Some("""WITH e AS (
+        |  SELECT CAST(ts AS TIMESTAMP) AS ts, event_type, value FROM events)
+        |SELECT date_trunc('hour', ts) AS window_start, event_type,
+        |  count(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(30,2))) AS DOUBLE) AS total_value
+        |FROM e GROUP BY 1, 2""".stripMargin)),
+
     // S2 + P4 + P10 in one projection: character-translate normalization
     // ('/'→'-' in the reference, exercised here on the name's '#'→'-'),
     // conditional value replace (the 0→1 split fix-up shape), and

@@ -33,14 +33,19 @@ object Streams {
 
   /** Tumbling-window counts + sums per event type with a watermark for
     * bounded state and late-data tolerance. Works identically on batch
-    * input (the unit-test / backfill path — one code path for both). */
+    * input (the unit-test / backfill path — one code path for both; the
+    * batch face is oracle-checked as q59). The value sum routes through
+    * DECIMAL (`CoreOps.exactSum`) so the result is independent of
+    * aggregation order — a raw double Σ differs run-to-run and
+    * engine-to-engine. */
   def windowedTypeCounts(events: DataFrame,
                          windowLen: String = "1 hour",
                          watermark: String = "2 hours"): DataFrame =
     events
       .withWatermark("ts", watermark)
       .groupBy(window(col("ts"), windowLen).as("w"), col("event_type"))
-      .agg(count(lit(1)).as("n"), sum(col("value")).as("total_value"))
+      .agg(count(lit(1)).as("n"),
+        graft.operators.CoreOps.exactSum(col("value"), 2).as("total_value"))
       .select(col("w.start").as("window_start"), col("event_type"),
         col("n"), col("total_value"))
 
