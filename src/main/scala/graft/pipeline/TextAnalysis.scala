@@ -178,28 +178,64 @@ object TextAnalysis {
     * Per-term scores round to 6 dp and sum through DECIMAL so the
     * cross-engine ranking is bit-stable — a raw double sum would depend
     * on term arrival order. */
-  def bm25Search(docs: DataFrame, query: Seq[String], k: Int,
-                 k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+  /** The BM25 per-(doc, term) score — shared by the single-query and
+    * batch retrieval faces so the formula can't drift between them.
+    * Expects columns `tf`, `df`, `dl`, `n_docs`, `avgdl`; rounds to 6 dp
+    * so the downstream DECIMAL sum is order-stable cross-engine. */
+  private def bm25ScoreExpr(k1: Double, b: Double): Column =
+    round(log(lit(1) + (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+      * col("tf") * lit(k1 + 1)
+      / (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * col("dl") / col("avgdl"))), 6)
+
+  /** Per-(doc, term) BM25 scores for every term the `keep` filter admits —
+    * the shared body of [[bm25Search]] and [[bm25SearchMany]]. */
+  private def bm25Scored(docs: DataFrame, keep: DataFrame => DataFrame,
+                         k1: Double, b: Double): DataFrame = {
     val lens = docs.select(col("doc_id"), size(tokens(col("text"))).cast("long").as("dl"))
     val stats = lens.agg(count(lit(1)).as("n_docs"),
       (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
-    val tf = docs.select(col("doc_id"), explode(tokens(col("text"))).as("term"))
-      .filter(col("term").isin(query: _*))
+    val tf = keep(docs.select(col("doc_id"), explode(tokens(col("text"))).as("term")))
       .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
     val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
-    val scored = tf
-      .join(broadcast(df), Seq("term"))
+    tf.join(broadcast(df), Seq("term"))
       .join(lens, Seq("doc_id"))
       .crossJoin(broadcast(stats))
-      .withColumn("score",
-        round(log(lit(1) + (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
-          * col("tf") * lit(k1 + 1)
-          / (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * col("dl") / col("avgdl"))), 6))
-    scored.groupBy(col("doc_id"))
+      .withColumn("score", bm25ScoreExpr(k1, b))
+  }
+
+  def bm25Search(docs: DataFrame, query: Seq[String], k: Int,
+                 k1: Double = 1.2, b: Double = 0.75): DataFrame =
+    bm25Scored(docs, _.filter(col("term").isin(query: _*)), k1, b)
+      .groupBy(col("doc_id"))
       .agg(sum(col("score").cast(org.apache.spark.sql.types.DecimalType(30, 6)))
         .cast("double").as("bm25"))
       .orderBy(col("bm25").desc, col("doc_id"))
       .limit(k)
+
+  /** BATCH retrieval: score MANY bag-of-words queries in one pass —
+    * `queries` is a `(query_id, term)` relation (the real retrieval
+    * workload: a benchmark's question set, a dedup probe list), and the
+    * result is each query's top-k documents with a rank.
+    *
+    * One corpus scan serves every query: the token explode is semi-joined
+    * against the broadcast term VOCABULARY of all queries (only matching
+    * postings ever aggregate), scores compute once per (doc, term), and
+    * the per-query fan-out joins the KB-sized query relation afterwards —
+    * adding a query adds one broadcast row, not a corpus scan. Top-k per
+    * query rides the rank-limit window ([[graft.operators.CoreOps
+    * .topKPerGroup]] — WindowGroupLimit prunes map-side). */
+  def bm25SearchMany(docs: DataFrame, queries: DataFrame, k: Int,
+                     k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val vocab = queries.select(col("term")).distinct()
+    val perQuery = bm25Scored(docs, _.join(broadcast(vocab), Seq("term"), "left_semi"), k1, b)
+      .join(broadcast(queries.select(col("query_id"), col("term"))), Seq("term"))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(col("score").cast(org.apache.spark.sql.types.DecimalType(30, 6)))
+        .cast("double").as("bm25"))
+    graft.operators.CoreOps.topKPerGroup(perQuery,
+        Seq(col("query_id")), Seq(col("bm25").desc, col("doc_id")), k)
+      .select(col("query_id"), col("doc_id"), col("bm25"),
+        col("rn").cast("long").as("rank"))
   }
 
   /** Gopher-style repetition signals per document: duplicate-token

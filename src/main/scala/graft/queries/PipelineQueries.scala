@@ -723,6 +723,50 @@ object PipelineQueries {
         |ORDER BY bm25 DESC, doc_id
         |LIMIT 25""".stripMargin)),
 
+    // BATCH BM25 retrieval: two queries scored in ONE corpus pass — the
+    // token explode semi-joins the broadcast union vocabulary, scores
+    // compute once per (doc, term), and the per-query fan-out joins the
+    // KB-sized query relation afterwards. Rank-limit window per query.
+    Q("q60_bm25_batch",
+      (s, dir) => {
+        import s.implicits._
+        val queries = Seq(
+          ("q1", "spark"), ("q1", "window"), ("q1", "merge"),
+          ("q2", "hash"), ("q2", "table")).toDF("query_id", "term")
+        TextAnalysis.bm25SearchMany(
+          Tables.documents(s, dir).select(col("doc_id"), col("text")),
+          queries, k = 10)
+      },
+      Some("""WITH q(query_id, term) AS (VALUES
+        |    ('q1', 'spark'), ('q1', 'window'), ('q1', 'merge'),
+        |    ('q2', 'hash'), ('q2', 'table')),
+        |lens AS (
+        |  SELECT doc_id, CAST(len(regexp_split_to_array(text, '\s+')) AS BIGINT) AS dl
+        |  FROM documents),
+        |stats AS (
+        |  SELECT count(*) AS n_docs, CAST(SUM(dl) AS DOUBLE) / count(*) AS avgdl
+        |  FROM lens),
+        |tok AS (
+        |  SELECT doc_id, unnest(regexp_split_to_array(text, '\s+')) AS term
+        |  FROM documents),
+        |tf AS (
+        |  SELECT doc_id, term, count(*) AS tf FROM tok
+        |  WHERE term IN (SELECT term FROM q) GROUP BY 1, 2),
+        |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |sc AS (
+        |  SELECT tf.doc_id, tf.term,
+        |    round(ln(1 + (n.n_docs - df.df + 0.5) / (df.df + 0.5))
+        |          * tf.tf * (1.2 + 1)
+        |          / (tf.tf + 1.2 * (0.25 + 0.75 * l.dl / n.avgdl)), 6) AS score
+        |  FROM tf JOIN df USING (term) JOIN lens l USING (doc_id), stats n),
+        |g AS (
+        |  SELECT q.query_id, sc.doc_id,
+        |    CAST(SUM(CAST(sc.score AS DECIMAL(30,6))) AS DOUBLE) AS bm25
+        |  FROM sc JOIN q ON q.term = sc.term GROUP BY 1, 2),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+        |        ORDER BY bm25 DESC, doc_id) AS rank FROM g)
+        |SELECT query_id, doc_id, bm25, rank FROM r WHERE rank <= 10""".stripMargin)),
+
     // Gopher-style repetition signals: duplicate-token / duplicate-bigram /
     // top-bigram fractions per document — the standard boilerplate and
     // degenerate-generation filters for a training corpus. Array-local

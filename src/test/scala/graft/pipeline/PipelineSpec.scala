@@ -601,6 +601,21 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got(2) === ((4L, 0.75, Some(2.0 / 3), Some(1.0))))
   }
 
+  test("bm25SearchMany agrees with bm25Search per query in one corpus pass (r4)") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select($"doc_id", $"text")
+    val queries = Seq(("a", "spark"), ("a", "merge"), ("b", "hash"), ("b", "scan"))
+      .toDF("query_id", "term")
+    val many = TextAnalysis.bm25SearchMany(docs, queries, k = 5)
+      .select($"query_id", $"doc_id", $"bm25").as[(String, Long, Double)]
+      .collect().groupBy(_._1).view.mapValues(_.map(r => (r._2, r._3)).toSet).toMap
+    val a = TextAnalysis.bm25Search(docs, Seq("spark", "merge"), k = 5)
+      .as[(Long, Double)].collect().toSet
+    val b = TextAnalysis.bm25Search(docs, Seq("hash", "scan"), k = 5)
+      .as[(Long, Double)].collect().toSet
+    assert(many("a") === a && many("b") === b)
+  }
+
   test("chunkDocuments windows tokens with overlap; contained tail not emitted (r4)") {
     val docs = Seq(
       (1L, (1 to 10).map(i => s"t$i").mkString(" ")), // 10 toks
