@@ -452,6 +452,24 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.9, s"quantized recall@5 $recall")
   }
 
+  test("IVF index composes with int8 quantization (full memory-bound stack, r4)") {
+    // the 100 TB ANN deployment shape: train once on the fp corpus,
+    // store the corpus quantized, search the quantized corpus through
+    // the prebuilt index — faces compose with no special-case code
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val probes = emb.filter($"vec_id" < 10)
+    val index = Similarity.buildIvfIndex(emb, numCells = 8, trainIters = 2)
+    val quantCorpus = emb.select($"vec_id",
+      Similarity.dequantizeInt8(Similarity.quantizeInt8($"embedding".cast("array<double>")))
+        .as("embedding"))
+    val quant = Similarity.searchIvf(quantCorpus, index, probes, k = 5, nProbe = 2)
+      .select($"probe_id", $"neighbor_id").as[(Long, Long)].collect().toSet
+    val full = Similarity.searchIvf(emb, index, probes, k = 5, nProbe = 2)
+      .select($"probe_id", $"neighbor_id").as[(Long, Long)].collect().toSet
+    val agree = (quant & full).size.toDouble / full.size
+    assert(agree >= 0.85, s"quantized-IVF agreement with fp-IVF: $agree")
+  }
+
   test("cosinePairs flags identical pairs at high threshold") {
     // cos(v0, v1) = 0.9/sqrt(0.82) ≈ 0.9939, so 0.999 isolates the exact copy
     val got = Similarity.cosinePairs(vectors, 0.999)
