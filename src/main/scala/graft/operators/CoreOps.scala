@@ -39,12 +39,19 @@ object CoreOps {
     * (`database_manager.py:39`): union old+new, keep the newest row per key
     * by `version` (descending total order). On a version TIE the incoming
     * row wins — `INSERT OR REPLACE` always replaces, so re-ingesting the
-    * same version must surface the fresh row, deterministically. */
+    * same version must surface the fresh row, deterministically.
+    *
+    * The union tolerates ADDITIVE schema evolution (`allowMissingColumns`):
+    * an incoming batch with a new column back-fills null on surviving old
+    * rows, and an old-writer batch missing a column surfaces null on its
+    * replaced rows — exactly `INSERT OR REPLACE`'s whole-row-replace
+    * semantics after an `ALTER TABLE ADD COLUMN`. */
   def upsertLastWins(existing: DataFrame, incoming: DataFrame,
                      keys: Seq[String], version: Seq[Column]): DataFrame =
     latestPerGroup(
       existing.withColumn("__incoming", lit(0))
-        .unionByName(incoming.withColumn("__incoming", lit(1))),
+        .unionByName(incoming.withColumn("__incoming", lit(1)),
+          allowMissingColumns = true),
       keys.map(col), version.map(_.desc) :+ col("__incoming").desc)
       .drop("__incoming")
 

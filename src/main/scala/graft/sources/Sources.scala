@@ -104,7 +104,9 @@ object KeyedParquetStore {
         try heal(f, path) finally h.release()
       } catch { case _: IllegalStateException => () } // live writer: it heals
     }
-    if (f.exists(new HPath(path))) Some(spark.read.parquet(path)) else None
+    if (f.exists(new HPath(path)))
+      Some(spark.read.option("mergeSchema", "true").parquet(path))
+    else None
   }
 
   private def heal(f: FileSystem, path: String): Unit = {
@@ -280,7 +282,12 @@ object KeyedParquetStore {
     // (read() alone would skip healing under our own fresh lock).
     heal(f, path)
     val existing =
-      if (f.exists(new HPath(path))) Some(spark.read.parquet(path)) else None
+      if (f.exists(new HPath(path)))
+        // mergeSchema: after additive evolution, partitions written before
+        // the new column lack it in their footers — a single-footer sample
+        // would silently drop the column from the merge
+        Some(spark.read.option("mergeSchema", "true").parquet(path))
+      else None
     val staging = path + ".staging"
     f.delete(new HPath(staging), true)
 
@@ -376,7 +383,8 @@ object KeyedParquetStore {
           val rel = f.makeQualified(dir).toString.stripPrefix(pathQ).stripPrefix("/")
           require(!rel.contains(":"), s"unexpected partition dir $dir under $pathQ")
           val stagingDir = if (rel.isEmpty) staging else s"$staging/$rel"
-          spark.read.parquet(dir.toString).coalesce(targetFiles)
+          spark.read.option("mergeSchema", "true").parquet(dir.toString)
+            .coalesce(targetFiles)
             .write.mode(SaveMode.Overwrite).parquet(stagingDir)
           val target = if (rel.isEmpty) new HPath(path) else new HPath(s"$pathQ/$rel")
           val old =

@@ -270,6 +270,34 @@ class SourcesSpec extends SparkSpec {
     }
   }
 
+  test("store tolerates additive schema evolution across upserts (r4)") {
+    val path = Files.createTempDirectory("store_evolve").toString + "/t"
+    val v1 = Seq(("AAA", "2024-01-01", 1.0, 1), ("BBB", "2024-01-02", 2.0, 1))
+      .toDF("ticker", "date", "price", "ver")
+    KeyedParquetStore.upsert(spark, path, v1, Seq("ticker", "date"), Seq($"ver"),
+      partitionCols = Seq("date"))
+    // an evolved writer adds a column and touches only Jan 2: the Jan 1
+    // partition's footers never learn about it — mergeSchema on read is
+    // what keeps the store's schema deterministic afterwards
+    val v2 = Seq(("BBB", "2024-01-02", 2.5, 2, 9L))
+      .toDF("ticker", "date", "price", "ver", "volume")
+    KeyedParquetStore.upsert(spark, path, v2, Seq("ticker", "date"), Seq($"ver"),
+      partitionCols = Seq("date"))
+    val got = KeyedParquetStore.read(spark, path).get
+      .select($"ticker", $"price", $"volume").as[(String, Double, Option[Long])]
+      .collect().toSeq.sorted
+    assert(got === Seq(("AAA", 1.0, None), ("BBB", 2.5, Some(9L))))
+    // a NOT-yet-evolved writer replacing the row nulls the column back —
+    // whole-row INSERT OR REPLACE semantics, deterministically
+    val v3 = Seq(("BBB", "2024-01-02", 3.0, 3)).toDF("ticker", "date", "price", "ver")
+    KeyedParquetStore.upsert(spark, path, v3, Seq("ticker", "date"), Seq($"ver"),
+      partitionCols = Seq("date"))
+    val after = KeyedParquetStore.read(spark, path).get
+      .select($"ticker", $"price", $"volume").as[(String, Double, Option[Long])]
+      .collect().toSeq.sorted
+    assert(after === Seq(("AAA", 1.0, None), ("BBB", 3.0, None)))
+  }
+
   test("upsert partitionValues hint: no discovery job, over-broad is harmless (r4)") {
     val path = Files.createTempDirectory("store_hint").toString + "/t"
     val v1 = Seq(("2024-01-01", "AAA", 1.0, 1), ("2024-01-02", "BBB", 3.0, 1))
