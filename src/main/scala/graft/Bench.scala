@@ -27,7 +27,14 @@ object Bench {
     // Sorted execution order: Map iteration order would vary with the key
     // set, attributing residual warm-up to different queries each round —
     // sorted order keeps per-query timings comparable across rounds.
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // Optional comma-separated query filter for local iteration (e.g.
+    // SPARK_GRAFT_BENCH_ONLY=q37_dedup_clusters,q49_incremental_dedup);
+    // unset — the driver's invocation — benches the whole registry.
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .map { case (name, fn) =>
       // Median of `runs` timings per query: single-shot numbers on a
       // shared VM carry ±50% variance (observed round-over-round), which
       // the median absorbs without averaging in a cold outlier.

@@ -163,9 +163,12 @@ object Dedup {
         while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }
         r
       }
-      val it = p.as[(Long, Long)].toLocalIterator()
-      while (it.hasNext) {
-        val (a, b) = it.next()
+      // ONE collect job, not toLocalIterator: the iterator launches a
+      // separate job PER PARTITION (sequentially, each a driver round
+      // trip) — ~30 extra job schedulings per call for an edge list the
+      // ≤ driverEdgeLimit bound already guarantees fits on the driver
+      // (1M (long, long) rows ≈ tens of MB).
+      p.as[(Long, Long)].collect().foreach { case (a, b) =>
         parent.getOrElseUpdate(a, a)
         parent.getOrElseUpdate(b, b)
         val ra = find(a); val rb = find(b)

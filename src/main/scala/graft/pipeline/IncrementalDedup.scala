@@ -52,17 +52,26 @@ object IncrementalDedup {
       numHashes, rowsPerBand, shingleN, threshold)
     val keptIds = labeled.filter(col("status") === "kept").select("doc_id")
     // The batch IS the partition: pass the tuple statically so neither
-    // upsert runs a discovery job over the semi-joined relation.
+    // upsert runs a discovery job over the semi-joined relation. Both
+    // relations are unique per key BY CONSTRUCTION (bandSigs emits one
+    // row per (doc_id, band); hashedShingles is per-doc distinct), so
+    // `incomingUnique` skips the last-wins window — with the store's
+    // append fast path, a first-time batch ingest is one write job per
+    // store. A RETRY of the same batchId finds its partition on disk and
+    // takes the merge path, which stays idempotent (last-wins on the
+    // same keys).
     KeyedParquetStore.upsert(spark, bandsPath,
       bands.join(keptIds, Seq("doc_id"), "left_semi")
         .withColumn("batch", lit(batchId)),
       keys = Seq("doc_id", "band"), version = Seq(lit(1)),
-      partitionCols = Seq("batch"), partitionValues = Seq(Seq(batchId)))
+      partitionCols = Seq("batch"), partitionValues = Seq(Seq(batchId)),
+      incomingUnique = true)
     KeyedParquetStore.upsert(spark, shinglesPath,
       sh.join(keptIds, Seq("doc_id"), "left_semi")
         .withColumn("batch", lit(batchId)),
       keys = Seq("doc_id", "h"), version = Seq(lit(1)),
-      partitionCols = Seq("batch"), partitionValues = Seq(Seq(batchId)))
+      partitionCols = Seq("batch"), partitionValues = Seq(Seq(batchId)),
+      incomingUnique = true)
     labeled
   }
 

@@ -170,18 +170,26 @@ object KeyedParquetStore {
     * would leave that partition's old rows unmerged — the hint must
     * cover incoming, which is trivially true for the
     * one-batch-per-partition ingest shape it exists for. */
+  /** `incomingUnique`: caller vouches `incoming` already holds AT MOST ONE
+    * row per `keys` tuple (true by construction for derived relations like
+    * band/shingle indexes — a minhash aggregation emits one row per
+    * (doc, band)). The merge then skips the latest-per-key window over
+    * `incoming` — one whole shuffle stage per upsert on the ingest hot
+    * path. A false vouch stores duplicate keys; the contract is the
+    * caller's to honor, exactly like `partitionValues`. */
   def upsert(spark: SparkSession, path: String, incoming: DataFrame,
              keys: Seq[String], version: Seq[Column],
              partitionCols: Seq[String] = Nil,
              lockTtlMs: Long = 10L * 60 * 1000,
-             partitionValues: Seq[Seq[Any]] = Nil): Unit = {
+             partitionValues: Seq[Seq[Any]] = Nil,
+             incomingUnique: Boolean = false): Unit = {
     require(partitionValues.isEmpty ||
       partitionValues.forall(_.length == partitionCols.length),
       "each partitionValues tuple must align with partitionCols")
     val f = fs(spark, path)
     val h = acquireLock(f, new HPath(path + ".lock"), lockTtlMs)
     try doUpsert(spark, f, path, incoming, keys, version, partitionCols,
-      partitionValues)
+      partitionValues, incomingUnique)
     finally h.release()
   }
 
@@ -276,7 +284,11 @@ object KeyedParquetStore {
   private def doUpsert(spark: SparkSession, f: FileSystem, path: String,
                        incoming: DataFrame, keys: Seq[String], version: Seq[Column],
                        partitionCols: Seq[String],
-                       partitionValues: Seq[Seq[Any]] = Nil): Unit = {
+                       partitionValues: Seq[Seq[Any]] = Nil,
+                       incomingUnique: Boolean = false): Unit = {
+    def dedupIncoming(df: DataFrame): DataFrame =
+      if (incomingUnique) df
+      else CoreOps.latestPerGroup(df, keys.map(col), version.map(_.desc))
     // We hold the writer lock: no other swap can be in flight, so any
     // displaced dirs are a crashed predecessor's — heal before merging
     // (read() alone would skip healing under our own fresh lock).
@@ -295,7 +307,7 @@ object KeyedParquetStore {
       // Full write: first load, or an unpartitioned store (small dims).
       val merged = existing match {
         case Some(ex) => CoreOps.upsertLastWins(ex, incoming, keys, version)
-        case None => CoreOps.latestPerGroup(incoming, keys.map(col), version.map(_.desc))
+        case None => dedupIncoming(incoming)
       }
       val writer = merged.write.mode(SaveMode.Overwrite)
       (if (partitionCols.nonEmpty) writer.partitionBy(partitionCols: _*) else writer)
@@ -314,6 +326,32 @@ object KeyedParquetStore {
       if (tuples.isEmpty) return // empty batch (e.g. an idle stream trigger): no-op
       require(tuples.forall(_.forall(_ != null)),
         "null partition values are not supported by the partition-scoped upsert")
+      // APPEND FAST PATH: when every affected partition directory is NEW,
+      // there is nothing to merge — skip the store read-back (and its
+      // mergeSchema footer pass) entirely and stage `incoming` directly.
+      // This is the append-only ingest shape (one fresh batch/date
+      // partition per call): at scale it turns each ingest upsert into
+      // ONE write job plus renames, no matter how large the store grows.
+      // Partition directory names are only predictable when the value's
+      // string form needs none of Spark's path escaping, so anything
+      // outside [A-Za-z0-9._-] conservatively falls back to the merge
+      // path — a false "exists" is never possible from that guard alone;
+      // a missed existing dir would silently drop its rows, so the guard
+      // errs toward merging.
+      val plainForm = tuples.forall(_.forall { v =>
+        val s = v.toString
+        s.nonEmpty && s.forall(c => c.isLetterOrDigit && c < 128 || "-_.".contains(c))
+      })
+      val allNew = plainForm && tuples.forall { t =>
+        val rel = partitionCols.zip(t).map { case (c, v) => s"$c=$v" }.mkString("/")
+        !f.exists(new HPath(s"$path/$rel"))
+      }
+      if (allNew) {
+        dedupIncoming(incoming)
+          .write.mode(SaveMode.Overwrite).partitionBy(partitionCols: _*).parquet(staging)
+        swapStagedPartitions(spark, f, path, staging, partitionCols.length)
+        return
+      }
       val pred = tuples.map { t =>
         partitionCols.zip(t)
           .map { case (c, v) => col(c) === lit(v) }
@@ -327,27 +365,34 @@ object KeyedParquetStore {
       }
       val merged = CoreOps.upsertLastWins(affected, incoming, keys, version)
       merged.write.mode(SaveMode.Overwrite).partitionBy(partitionCols: _*).parquet(staging)
-      // Swap exactly the partition directories the staging write produced
-      // (its output contains only affected partitions) — names are taken
-      // from the listing, so value escaping never needs re-deriving.
-      // Qualify both roots: listStatus returns fully-qualified URIs.
-      // Displaced pre-images go under `path + ".old"/<rel>` — OUTSIDE the
-      // store root, so a crash mid-swap can never leave a `date=X.old`
-      // directory where Spark's partition discovery would choke on it;
-      // `read` restores or drops them (see healDisplaced).
-      val stagingQ = f.makeQualified(new HPath(staging)).toString
-      val pathQ = f.makeQualified(new HPath(path)).toString
-      partitionDirs(f, new HPath(staging), partitionCols.length).foreach { dir =>
-        val rel = f.makeQualified(dir).toString.stripPrefix(stagingQ).stripPrefix("/")
-        require(rel.nonEmpty && !rel.contains(":"),
-          s"unexpected staging partition dir $dir under $stagingQ")
-        val target = new HPath(s"$pathQ/$rel")
-        f.mkdirs(target.getParent)
-        swap(f, dir, target, new HPath(s"$pathQ.old/$rel"))
-      }
-      f.delete(new HPath(staging), true)
-      f.delete(new HPath(path + ".old"), true)
+      swapStagedPartitions(spark, f, path, staging, partitionCols.length)
     }
+  }
+
+  /** Swap exactly the partition directories the staging write produced
+    * (its output contains only affected partitions) — names are taken
+    * from the listing, so value escaping never needs re-deriving.
+    * Qualify both roots: listStatus returns fully-qualified URIs.
+    * Displaced pre-images go under `path + ".old"/<rel>` — OUTSIDE the
+    * store root, so a crash mid-swap can never leave a `date=X.old`
+    * directory where Spark's partition discovery would choke on it;
+    * `read` restores or drops them (see healDisplaced). */
+  private def swapStagedPartitions(spark: SparkSession, f: FileSystem,
+                                   path: String, staging: String,
+                                   depth: Int): Unit = {
+    val stagingQ = f.makeQualified(new HPath(staging)).toString
+    val pathQ = f.makeQualified(new HPath(path)).toString
+    partitionDirs(f, new HPath(staging), depth).foreach { dir =>
+      val rel = f.makeQualified(dir).toString.stripPrefix(stagingQ).stripPrefix("/")
+      require(rel.nonEmpty && !rel.contains(":"),
+        s"unexpected staging partition dir $dir under $stagingQ")
+      val target = new HPath(s"$pathQ/$rel")
+      f.mkdirs(target.getParent)
+      swap(f, dir, target, new HPath(s"$pathQ.old/$rel"))
+    }
+    f.delete(new HPath(staging), true)
+    f.delete(new HPath(path + ".old"), true)
+    ()
   }
 
   /** Compact fragmented partitions: every merge leaves up to one file per
