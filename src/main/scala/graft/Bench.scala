@@ -32,6 +32,13 @@ object Bench {
     // unset — the driver's invocation — benches the whole registry.
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    // A typo'd name would silently bench nothing; fail loudly instead.
+    only.foreach { names =>
+      val unknown = names.diff(SparkEntry.queries.keySet)
+      require(unknown.isEmpty,
+        s"SPARK_GRAFT_BENCH_ONLY names unknown queries: ${unknown.toSeq.sorted.mkString(", ")} " +
+          s"(known: ${SparkEntry.queries.keySet.toSeq.sorted.mkString(", ")})")
+    }
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
@@ -47,6 +54,17 @@ object Bench {
         catch { case _: Throwable => () }
         (System.nanoTime() - t0) / 1e9
       }
+      // Attribute cleanup to its OWNER, not its successor: queries that
+      // cache/localCheckpoint (q37's edge list, q49's pinned shingles)
+      // release their blocks asynchronously via the ContextCleaner, and
+      // that release was landing inside the NEXT query's timed runs (r4→r6
+      // driver benches show q38 — which runs right after q37 in sorted
+      // order — creeping 0.30→1.88 s on an untouched plan). Synchronously
+      // unpersist any leftover blocks, then give the cleaner a GC cycle to
+      // drain broadcast/shuffle references, all OUTSIDE the next timer.
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+      System.gc()
+      Thread.sleep(200)
       name -> times.sorted.apply(runs / 2)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }

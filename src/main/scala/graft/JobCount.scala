@@ -1,10 +1,19 @@
 package graft
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.scheduler._
+
+/** Scheduler-overhead diagnostic: run ONE registry query and report how
+  * many Spark jobs/tasks it launched and how long it took — separates
+  * "the plan is heavy" from "the query is many small actions" when a
+  * bench number looks off. Parameterized like [[Bench]]:
+  * `SPARK_GRAFT_SF_DIR` (data dir), `SPARK_GRAFT_CPUS` (local threads),
+  * `JC_QUERY` (registry key to measure). See README § tooling. */
 object JobCount {
   def main(args: Array[String]): Unit = {
-    val spark = SparkSession.builder().master("local[32]")
-      .config("spark.sql.shuffle.partitions", "32")
+    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
@@ -16,7 +25,6 @@ object JobCount {
       override def onJobEnd(e: SparkListenerJobEnd): Unit = jobs += 1
       override def onTaskEnd(e: SparkListenerTaskEnd): Unit = tasks += 1
     })
-    val dir = "/root/testdata/sf0.1"
     // warm
     SparkEntry.queries("q01_index_daily")(spark, dir).write.format("noop").mode("overwrite").save()
     Thread.sleep(500); jobs = 0; tasks = 0

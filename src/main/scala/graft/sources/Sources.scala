@@ -281,6 +281,42 @@ object KeyedParquetStore {
     new LockHandle(f, lock, token, ttlMs)
   }
 
+  /** Opt-in verification of the two caller-vouched contracts on the
+    * ingest hot path — enable with `spark.graft.store.debugChecks=true`
+    * (session conf). OFF (the default) costs zero extra Spark jobs; ON it
+    * spends one bounded job per vouch to turn a silent contract violation
+    * (duplicate keys stored / old partition rows dropped unmerged) into a
+    * fail-fast at the offending call site. Meant for specs and staging
+    * runs, not the production ingest loop. */
+  private def verifyVouches(incoming: DataFrame, keys: Seq[String],
+                            partitionCols: Seq[String],
+                            partitionValues: Seq[Seq[Any]],
+                            incomingUnique: Boolean): Unit = {
+    val on = incoming.sparkSession.conf
+      .getOption("spark.graft.store.debugChecks").contains("true")
+    if (!on) return
+    if (incomingUnique) {
+      val dup = incoming.groupBy(keys.map(col): _*)
+        .agg(count(lit(1)).as("__n")).filter(col("__n") > 1).limit(1).collect()
+      require(dup.isEmpty,
+        s"incomingUnique vouch is FALSE: key ${dup.head.toSeq.init.mkString("(", ",", ")")} " +
+          s"appears ${dup.head.getLong(dup.head.length - 1)} times in incoming — " +
+          "the merge would silently store duplicate keys")
+    }
+    if (partitionValues.nonEmpty && partitionCols.nonEmpty) {
+      // String-form comparison: the hint's values reach directory probing
+      // via toString anyway, so this matches the rendering that matters.
+      val hinted = partitionValues.map(_.map(String.valueOf).mkString("/")).toSet
+      val present = incoming.select(partitionCols.map(col): _*).distinct().collect()
+        .map(r => (0 until r.length).map(i => String.valueOf(r.get(i))).mkString("/"))
+      val missed = present.filterNot(hinted.contains)
+      require(missed.isEmpty,
+        s"partitionValues hint misses partition(s) present in incoming: " +
+          s"${missed.mkString(", ")} (hinted: ${hinted.mkString(", ")}) — " +
+          "their old rows would be left unmerged")
+    }
+  }
+
   private def doUpsert(spark: SparkSession, f: FileSystem, path: String,
                        incoming: DataFrame, keys: Seq[String], version: Seq[Column],
                        partitionCols: Seq[String],
@@ -293,22 +329,23 @@ object KeyedParquetStore {
     // displaced dirs are a crashed predecessor's — heal before merging
     // (read() alone would skip healing under our own fresh lock).
     heal(f, path)
-    val existing =
-      if (f.exists(new HPath(path)))
-        // mergeSchema: after additive evolution, partitions written before
-        // the new column lack it in their footers — a single-footer sample
-        // would silently drop the column from the merge
-        Some(spark.read.option("mergeSchema", "true").parquet(path))
-      else None
+    verifyVouches(incoming, keys, partitionCols, partitionValues, incomingUnique)
+    val storeExists = f.exists(new HPath(path))
+    // LAZY on purpose: building this DataFrame runs mergeSchema's
+    // distributed footer job over EVERY file in the store (needed after
+    // additive evolution — partitions written before a new column lack it
+    // in their footers, and a single-footer sample would silently drop the
+    // column from the merge). The append fast path below must not pay
+    // that store-sized cost, so the read only happens on paths that merge.
+    lazy val existing = spark.read.option("mergeSchema", "true").parquet(path)
     val staging = path + ".staging"
     f.delete(new HPath(staging), true)
 
-    if (partitionCols.isEmpty || existing.isEmpty) {
+    if (partitionCols.isEmpty || !storeExists) {
       // Full write: first load, or an unpartitioned store (small dims).
-      val merged = existing match {
-        case Some(ex) => CoreOps.upsertLastWins(ex, incoming, keys, version)
-        case None => dedupIncoming(incoming)
-      }
+      val merged =
+        if (storeExists) CoreOps.upsertLastWins(existing, incoming, keys, version)
+        else dedupIncoming(incoming)
       val writer = merged.write.mode(SaveMode.Overwrite)
       (if (partitionCols.nonEmpty) writer.partitionBy(partitionCols: _*) else writer)
         .parquet(staging)
@@ -342,16 +379,35 @@ object KeyedParquetStore {
         val s = v.toString
         s.nonEmpty && s.forall(c => c.isLetterOrDigit && c < 128 || "-_.".contains(c))
       })
-      val allNew = plainForm && tuples.forall { t =>
-        val rel = partitionCols.zip(t).map { case (c, v) => s"$c=$v" }.mkString("/")
-        !f.exists(new HPath(s"$path/$rel"))
+      val probedRels = tuples.map { t =>
+        partitionCols.zip(t).map { case (c, v) => s"$c=$v" }.mkString("/")
       }
-      if (allNew) {
+      val allNew = plainForm &&
+        probedRels.forall(rel => !f.exists(new HPath(s"$path/$rel")))
+      val fastPathDone = allNew && {
         dedupIncoming(incoming)
           .write.mode(SaveMode.Overwrite).partitionBy(partitionCols: _*).parquet(staging)
-        swapStagedPartitions(spark, f, path, staging, partitionCols.length)
-        return
+        // RENDERING GUARD: the probe above used the hint values' string
+        // form; if Spark's writer rendered any partition differently
+        // (e.g. an Int 1 hint against a column whose values print "01"),
+        // the "new" verdict is unsound — that directory may exist under
+        // its true name and a swap would displace it UNMERGED. Compare
+        // the staged directory names (ground truth) against the probed
+        // set; on any mismatch abandon the staging and fall back to the
+        // merge path, which reads and merges by VALUE, not by rendering.
+        val stagingQ = f.makeQualified(new HPath(staging)).toString
+        val stagedRels = partitionDirs(f, new HPath(staging), partitionCols.length)
+          .map(d => f.makeQualified(d).toString.stripPrefix(stagingQ).stripPrefix("/"))
+        val probed = probedRels.toSet
+        if (stagedRels.forall(probed.contains)) {
+          swapStagedPartitions(spark, f, path, staging, partitionCols.length)
+          true
+        } else {
+          f.delete(new HPath(staging), true)
+          false
+        }
       }
+      if (fastPathDone) return
       val pred = tuples.map { t =>
         partitionCols.zip(t)
           .map { case (c, v) => col(c) === lit(v) }
@@ -360,7 +416,7 @@ object KeyedParquetStore {
       // Partition-value directory names round-trip through type inference
       // on read (e.g. '2024-01-03' comes back as DATE); align the read
       // side to incoming's dtypes so the union resolves.
-      val affected = partitionCols.foldLeft(existing.get.filter(pred)) { (df, c) =>
+      val affected = partitionCols.foldLeft(existing.filter(pred)) { (df, c) =>
         df.withColumn(c, col(c).cast(incoming.schema(c).dataType))
       }
       val merged = CoreOps.upsertLastWins(affected, incoming, keys, version)

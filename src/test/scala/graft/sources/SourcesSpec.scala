@@ -372,6 +372,86 @@ class SourcesSpec extends SparkSpec {
     new java.io.File(path + ".lock").delete()
   }
 
+  test("debugChecks: false incomingUnique vouch fails fast ON, zero extra jobs OFF (r7)") {
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerJobEnd}
+    val dup = Seq(("AAA", 1.0, 1), ("AAA", 2.0, 1)).toDF("ticker", "price", "ver")
+    @volatile var jobs = 0
+    val listener = new SparkListener {
+      override def onJobEnd(e: SparkListenerJobEnd): Unit = jobs += 1
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      // OFF (the default): the vouch is trusted — duplicates stored, the
+      // documented caller-contract trade-off — and the check adds no jobs.
+      val pOff = Files.createTempDirectory("store_vouch_off").toString + "/t"
+      jobs = 0
+      KeyedParquetStore.upsert(spark, pOff, dup, Seq("ticker"), Seq($"ver"),
+        incomingUnique = true)
+      Thread.sleep(500) // listener bus drains asynchronously
+      val jOff = jobs
+      assert(KeyedParquetStore.read(spark, pOff).get.count() === 2)
+      // ON: the same call is caught BEFORE anything lands on disk.
+      val pOn = Files.createTempDirectory("store_vouch_on").toString + "/t"
+      spark.conf.set("spark.graft.store.debugChecks", "true")
+      try {
+        jobs = 0
+        val ex = intercept[IllegalArgumentException] {
+          KeyedParquetStore.upsert(spark, pOn, dup, Seq("ticker"), Seq($"ver"),
+            incomingUnique = true)
+        }
+        assert(ex.getMessage.contains("incomingUnique"))
+        assert(KeyedParquetStore.read(spark, pOn).isEmpty)
+        Thread.sleep(500) // listener bus drains asynchronously
+        // the verification is what spent jobs; OFF ran none of them
+        assert(jobs > 0 && jOff > 0)
+        // a TRUE vouch passes with the flag on and costs only the check
+        val ok = Seq(("AAA", 1.0, 1), ("BBB", 2.0, 1)).toDF("ticker", "price", "ver")
+        KeyedParquetStore.upsert(spark, pOn, ok, Seq("ticker"), Seq($"ver"),
+          incomingUnique = true)
+        assert(KeyedParquetStore.read(spark, pOn).get.count() === 2)
+      } finally spark.conf.unset("spark.graft.store.debugChecks")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
+  test("debugChecks: partitionValues hint missing an incoming partition fails fast (r7)") {
+    val path = Files.createTempDirectory("store_hintchk").toString + "/t"
+    val v = Seq(("2024-01-01", "AAA", 1.0, 1), ("2024-01-02", "BBB", 2.0, 1))
+      .toDF("date", "ticker", "price", "ver")
+    spark.conf.set("spark.graft.store.debugChecks", "true")
+    try {
+      val ex = intercept[IllegalArgumentException] {
+        KeyedParquetStore.upsert(spark, path, v, Seq("ticker", "date"), Seq($"ver"),
+          partitionCols = Seq("date"), partitionValues = Seq(Seq("2024-01-01")))
+      }
+      assert(ex.getMessage.contains("2024-01-02"))
+      // a COVERING hint passes (over-broad remains fine)
+      KeyedParquetStore.upsert(spark, path, v, Seq("ticker", "date"), Seq($"ver"),
+        partitionCols = Seq("date"),
+        partitionValues = Seq(Seq("2024-01-01"), Seq("2024-01-02"), Seq("2024-03-01")))
+      assert(KeyedParquetStore.read(spark, path).get.count() === 2)
+    } finally spark.conf.unset("spark.graft.store.debugChecks")
+  }
+
+  test("append fast path rendering guard: mismatched hint rendering loses no rows (r7)") {
+    val path = Files.createTempDirectory("store_render").toString + "/t"
+    // string partition values with a leading zero: directory is batch=07
+    val v1 = Seq(("A1", "07", 1.0, 1)).toDF("id", "batch", "price", "ver")
+    KeyedParquetStore.upsert(spark, path, v1, Seq("id"), Seq($"ver"),
+      partitionCols = Seq("batch"))
+    assert(new java.io.File(s"$path/batch=07").exists())
+    // hint renders Int 7 -> probes batch=7, misses the existing batch=07:
+    // without the staged-name guard the fast path would judge the
+    // partition NEW and swap over it, displacing A1 unmerged. The guard
+    // compares staged directory names against the probed set and falls
+    // back to the by-VALUE merge path instead.
+    val v2 = Seq(("A2", "07", 2.0, 1)).toDF("id", "batch", "price", "ver")
+    KeyedParquetStore.upsert(spark, path, v2, Seq("id"), Seq($"ver"),
+      partitionCols = Seq("batch"), partitionValues = Seq(Seq(7)))
+    val ids = KeyedParquetStore.read(spark, path).get
+      .select($"id").as[String].collect().toSet
+    assert(ids === Set("A1", "A2"), "existing rows must survive a mis-rendered hint")
+  }
+
   test("partitioned store prunes partitions on date filters") {
     val path = Files.createTempDirectory("store_part").toString + "/stocks"
     val rows = (1 to 10).flatMap(day => Seq(("AAA", f"2024-01-$day%02d", day * 1.0, 1)))
