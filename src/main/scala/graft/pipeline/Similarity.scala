@@ -233,31 +233,44 @@ object Similarity {
     * state (the MLlib pattern); the corpus is scanned narrow, never
     * shuffled. */
   def searchIvf(corpus: DataFrame, index: DataFrame, probes: DataFrame,
-                k: Int, nProbe: Int = 2): DataFrame = {
-    val cents = index.select(col("cell").cast("long"), col("centroid"))
-      .collect().map(r => (r.getLong(0), r.getSeq[Double](1))).sortBy(_._1).toSeq
-    searchIvfCents(corpus, cents, probes, k, nProbe)
-  }
+                k: Int, nProbe: Int = 2): DataFrame =
+    searchIvfCents(corpus, collectCents(index), probes, k, nProbe)
 
-  private def searchIvfCents(corpus: DataFrame, cents: Seq[(Long, Seq[Double])],
-                             probes: DataFrame, k: Int, nProbe: Int): DataFrame = {
-    val assigned = corpus
+  private def collectCents(index: DataFrame): Seq[(Long, Seq[Double])] =
+    index.select(col("cell").cast("long"), col("centroid"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1))).sortBy(_._1).toSeq
+
+  /** The IVF build's corpus half: assign every corpus vector its Voronoi
+    * cell — one narrow argmax pass, `(neighbor_id, cv, cell)`. A
+    * deployment PERSISTS this partitioned by `cell` (one directory per
+    * cell), which is what makes [[searchIvfAssigned]]'s scan prune to the
+    * probed cells at the file-listing level. */
+  def assignIvfCells(corpus: DataFrame, index: DataFrame): DataFrame = {
+    val cents = collectCents(index)
+    corpus
       .select(col("vec_id").as("neighbor_id"), asDouble(col("embedding")).as("cv"))
       .withColumn("cell", argmaxCell(col("cv"), cents))
-    // probe side: nProbe CLOSEST cells per probe — probes are few, so the
-    // tiny probes×cells expansion + window is the right tool here
+  }
+
+  /** nProbe CLOSEST cells per probe `(probe_id, pv, cell)` — probes are
+    * few, so the tiny probes×cells expansion + window is the right tool. */
+  private def probeCellsOf(probes: DataFrame, cents: Seq[(Long, Seq[Double])],
+                           nProbe: Int): DataFrame = {
     val p = probes.select(col("vec_id").as("probe_id"), asDouble(col("embedding")).as("pv"))
     val centRows = cents.map { case (cell, w) =>
       struct(lit(cell).as("cell"), typedLit(w).as("centroid"))
     }
     val wProbe = Window.partitionBy(col("probe_id"))
       .orderBy(col("cent_sim").desc, col("cell"))
-    val probeCells = p
-      .select(col("probe_id"), col("pv"), explode(array(centRows: _*)).as("c"))
+    p.select(col("probe_id"), col("pv"), explode(array(centRows: _*)).as("c"))
       .select(col("probe_id"), col("pv"), col("c.cell").as("cell"),
         round(cosine(col("pv"), col("c.centroid")), 6).as("cent_sim"))
       .withColumn("r", row_number().over(wProbe)).filter(col("r") <= nProbe)
       .select(col("probe_id"), col("pv"), col("cell"))
+  }
+
+  private def scoreCells(assigned: DataFrame, probeCells: DataFrame,
+                         k: Int): DataFrame = {
     val w = Window.partitionBy(col("probe_id"))
       .orderBy(col("cos_sim").desc, col("neighbor_id"))
     assigned.join(broadcast(probeCells), Seq("cell"))
@@ -265,6 +278,33 @@ object Similarity {
       .select(col("probe_id"), col("neighbor_id"),
         round(cosine(col("pv"), col("cv")), 6).as("cos_sim"))
       .withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
+  private def searchIvfCents(corpus: DataFrame, cents: Seq[(Long, Seq[Double])],
+                             probes: DataFrame, k: Int, nProbe: Int): DataFrame = {
+    val assigned = corpus
+      .select(col("vec_id").as("neighbor_id"), asDouble(col("embedding")).as("cv"))
+      .withColumn("cell", argmaxCell(col("cv"), cents))
+    scoreCells(assigned, probeCellsOf(probes, cents, nProbe), k)
+  }
+
+  /** Search a PERSISTED IVF layout: `assigned` is the stored output of
+    * [[assignIvfCells]] (partitioned by `cell` at rest). The probed cell
+    * set — at most probes × nProbe ids — is collected and applied as a
+    * LITERAL `cell IN (…)` filter BEFORE scoring, so a cell-partitioned
+    * store prunes the scan to `nProbe/numCells` of the corpus at the
+    * file-listing level: the per-query cost of IVF at 100 TB is the
+    * probed cells' bytes, not the corpus's. No per-call argmax, no
+    * training — those were paid once at build time. */
+  def searchIvfAssigned(assigned: DataFrame, index: DataFrame,
+                        probes: DataFrame, k: Int, nProbe: Int = 2): DataFrame = {
+    val cents = collectCents(index)
+    val pc = probeCellsOf(probes, cents, nProbe)
+    val cells = pc.select(col("cell")).distinct().collect().map(_.getLong(0))
+    val pruned = assigned
+      .filter(col("cell").isin(cells: _*))
+      .select(col("neighbor_id"), col("cv"), col("cell").cast("long").as("cell"))
+    scoreCells(pruned, pc, k)
   }
 
   /** Symmetric per-vector int8 QUANTIZATION: `scale = max |x_i|`,

@@ -425,6 +425,28 @@ class SimilaritySpec extends SparkSpec {
     assert(once === perCall)
   }
 
+  test("persisted cell-partitioned IVF layout searches identically and prunes the scan (r7)") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val probes = emb.filter($"vec_id" < 5)
+    val index = Similarity.buildIvfIndex(emb, numCells = 8, trainIters = 2)
+    // the production at-rest layout: assignment persisted partitioned by cell
+    val store = java.nio.file.Files.createTempDirectory("ivf_assigned").toString + "/assigned"
+    Similarity.assignIvfCells(emb, index)
+      .write.partitionBy("cell").parquet(store)
+    val assigned = spark.read.parquet(store)
+    val stored = Similarity.searchIvfAssigned(assigned, index, probes, k = 5, nProbe = 2)
+    val perCall = Similarity.ivfTopK(emb, probes, k = 5, numCells = 8,
+      nProbe = 2, trainIters = 2)
+      .select($"probe_id", $"neighbor_id", $"cos_sim", $"rank").collect().toSet
+    assert(stored.select($"probe_id", $"neighbor_id", $"cos_sim", $"rank")
+      .collect().toSet === perCall)
+    // the point of the layout: the probed `cell IN (…)` literal reaches the
+    // file listing, so only the probed cells' directories are read
+    val plan = stored.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [cell"),
+      s"expected partition pruning on the cell directories:\n$plan")
+  }
+
   test("int8 quantization round-trips at ≥0.999 cosine fidelity (r4)") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
       .select($"vec_id", $"embedding".cast("array<double>").as("e"))
