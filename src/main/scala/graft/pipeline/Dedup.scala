@@ -62,19 +62,40 @@ object Dedup {
   }
 
   /** Exact Jaccard for given (doc_a, doc_b) pairs over the hashed shingle
-    * relation `(doc_id, h)` — used to confirm LSH candidates. */
-  def exactJaccard(pairs: DataFrame, sh: DataFrame): DataFrame = {
-    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val inter = pairs
-      .join(sh.select(col("doc_id").as("doc_a"), col("h")), Seq("doc_a"))
-      .join(sh.select(col("doc_id").as("doc_b"), col("h")), Seq("doc_b", "h"))
-      .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("n_inter"))
-    inter
-      .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("n_a")), Seq("doc_a"))
-      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("n_b")), Seq("doc_b"))
+    * relation `(doc_id, h)` — used to confirm LSH candidates.
+    *
+    * ONE consumption of `sh`, ONE join: each pair explodes to its two
+    * member ids and joins `sh` once on `doc_id`, then everything —
+    * intersection AND both set sizes — falls out of one two-level
+    * aggregation. Per (pair, h), `in_a`/`in_b` flag which members
+    * contributed the shingle (`sh` is distinct per (doc_id, h), and a
+    * max-of-flags stays correct even for a degenerate doc_a == doc_b
+    * pair); per pair, Σ in_a = |shingles(a)|, Σ in_a·in_b = the
+    * intersection. The previous formulation joined `sh` THREE times
+    * (both intersection sides + the sizes relation), and its second
+    * join's probe side was the pairs × |shingles(doc_a)| expansion —
+    * the largest relation in the dedup pipeline — shuffled a second
+    * time on (doc_b, h). Here that expansion is born on the (pair, h)
+    * grain and partially aggregates map-side before its only exchange:
+    * 3 exchanges total instead of 5, and callers' checkpointed shingle
+    * relations are consumed once, not three times.
+    *
+    * Contract nuance vs the old shape: a candidate pair sharing NO
+    * shingle now surfaces with `jaccard` 0 (one shared exchange can't
+    * inner-join it away); every caller filters `jaccard >= threshold`
+    * with a positive threshold, so downstream results are identical. */
+  def exactJaccard(pairs: DataFrame, sh: DataFrame): DataFrame =
+    pairs.select(col("doc_a"), col("doc_b"),
+      explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
+      .join(sh, Seq("doc_id"))
+      .groupBy(col("doc_a"), col("doc_b"), col("h"))
+      .agg(max(when(col("doc_id") === col("doc_a"), 1).otherwise(0)).as("in_a"),
+        max(when(col("doc_id") === col("doc_b"), 1).otherwise(0)).as("in_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(sum(col("in_a") * col("in_b")).as("n_inter"),
+        sum(col("in_a")).as("n_a"), sum(col("in_b")).as("n_b"))
       .select(col("doc_a"), col("doc_b"),
         round(col("n_inter") / (col("n_a") + col("n_b") - col("n_inter")), 6).as("jaccard"))
-  }
 
   /** MinHash-LSH near-dup detection end to end: shingle → minhash → banded
     * candidates → exact-Jaccard confirm at `threshold`.
@@ -86,9 +107,10 @@ object Dedup {
     * relation `(doc_id, h)` (8-byte longs) on the candidate ids; LSH keeps
     * that candidate set tiny, so the quadratic work never materializes.
     *
-    * The hashed-shingle relation is consumed FOUR times downstream (the
-    * minhash aggregation, the per-doc sizes, and both sides of the
-    * Jaccard-confirm join), so it is materialized ONCE per call via an
+    * The hashed-shingle relation is consumed TWICE downstream (the
+    * minhash aggregation and the Jaccard confirm's single join — r7
+    * collapsed the confirm's three consumptions into one), so it is
+    * materialized ONCE per call via an
     * eager `localCheckpoint` — recomputing it paid the md5-per-shingle
     * scan 4× (the round-3 driver bench recorded q37 at 15.7 s, dominated
     * by exactly that; a builder-side "recompute beats persist" measurement
@@ -256,8 +278,8 @@ object Dedup {
     * sharing a shingle; the small-scale baseline the LSH path is verified
     * against. */
   def allPairsJaccard(docs: DataFrame, shingleN: Int = 3, threshold: Double = 0.1): DataFrame = {
-    // Consumed 5× (pair self-join + the confirm); materialized once, same
-    // rationale as [[minhashLsh]].
+    // Consumed 3× (both sides of the pair self-join + the confirm);
+    // materialized once, same rationale as [[minhashLsh]].
     val sh = TextAnalysis.hashedShingles(docs, shingleN).localCheckpoint()
     val pairs = sh.select(col("doc_id").as("doc_a"), col("h"))
       .join(sh.select(col("doc_id").as("doc_b"), col("h")), Seq("h"))

@@ -113,9 +113,10 @@ object IncrementalDedup {
       // doc_a <> doc_b: on an ingest RETRY the batch's own kept docs are
       // already indexed, and a doc must not read as a duplicate of itself.
       // Checkpointed: the confirm consumes `cands` twice (semi-prune +
-      // inter join) and the combined shingle relation three times (sizes
-      // + both inter sides) — without the pins each consumer re-reads the
-      // store and re-runs the band join (the q37 recompute lesson).
+      // the exactJaccard pair explode) — without the pin each consumer
+      // re-reads the store and re-runs the band join (the q37 recompute
+      // lesson). The combined shingle relation is consumed ONCE since
+      // r7's single-join exactJaccard, so it is no longer checkpointed.
       val cands = bands
         .join(sb.select(col("band"), col("sig"), col("doc_id").as("doc_b")),
           Seq("band", "sig"))
@@ -128,7 +129,7 @@ object IncrementalDedup {
         .select(col("doc_id"), col("h"))
         .join(cands.select(col("doc_b").as("doc_id")).distinct(),
           Seq("doc_id"), "left_semi")
-      val shAll = sh.unionByName(storedSh).localCheckpoint()
+      val shAll = sh.unionByName(storedSh)
       Dedup.exactJaccard(cands, shAll)
         .filter(col("jaccard") >= threshold).select("doc_a", "doc_b")
     }
