@@ -140,16 +140,38 @@ object Streams {
     * so a replayed micro-batch re-merges its OWN partition with
     * last-wins keys: at-least-once delivery + idempotent merge =
     * effectively-once index contents. Caller owns the returned query's
-    * lifecycle. */
+    * lifecycle.
+    *
+    * SELF-HEALING LAYOUT: the index is append-only — every epoch adds a
+    * `batch=eN` partition with one file per write task — so left alone
+    * its small-file population grows with stream lifetime, degrading
+    * listing and scan planning long before data volume does. Every
+    * `compactEvery` epochs the sink runs
+    * [[graft.sources.KeyedParquetStore.compact]] over both stores: only
+    * fragmented partition directories rewrite (already-compact ones cost
+    * a listing), content is bit-identical, and the same writer lock +
+    * staged swap keep it crash-safe against the ingest itself. File
+    * counts stay bounded by cadence, not by how long the stream has run.
+    * `compactEvery` ≤ 0 disables. The cadence keys off the epoch id, so
+    * a replayed epoch re-compacts harmlessly (a no-op on an
+    * already-compact layout). */
   def dedupIngestStream(docs: DataFrame, bandsPath: String,
-                        shinglesPath: String, checkpoint: String): StreamingQuery =
+                        shinglesPath: String, checkpoint: String,
+                        compactEvery: Int = 8,
+                        compactTargetFiles: Int = 1): StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpoint)
       .outputMode(OutputMode.Append)
       .foreachBatch { (batch: Dataset[Row], epoch: Long) =>
         graft.pipeline.IncrementalDedup.ingestBatch(
           batch.sparkSession, batch.toDF(), s"e$epoch", bandsPath, shinglesPath)
-        ()
+        if (compactEvery > 0 && epoch > 0 && epoch % compactEvery == 0) {
+          graft.sources.KeyedParquetStore.compact(
+            batch.sparkSession, bandsPath, compactTargetFiles)
+          graft.sources.KeyedParquetStore.compact(
+            batch.sparkSession, shinglesPath, compactTargetFiles)
+          ()
+        }
       }
       .start()
 

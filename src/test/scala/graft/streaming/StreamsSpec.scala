@@ -177,6 +177,56 @@ class StreamsSpec extends SparkSpec {
       Seq((1L, 5.0), (1L, 7.0)))
   }
 
+  test("dedupIngestStream self-compacts the index on its epoch cadence (r7)") {
+    val dir = Files.createTempDirectory("docs_compact_stream").toFile
+    val ckpt = Files.createTempDirectory("compact_ckpt").toString
+    val store = Files.createTempDirectory("compact_store").toString
+    // ten epochs of mutually-unrelated docs: every one survives and is
+    // indexed under its own batch=eN partition
+    val texts = (0 until 10).map(i =>
+      s"epoch $i talks about subject$i topic$i detail$i matter$i angle$i facet$i")
+    def schema = Seq((0L, "")).toDF("doc_id", "text").schema
+    Seq((0L, texts(0))).toDF("doc_id", "text")
+      .coalesce(1).write.mode("overwrite").parquet(dir.toString)
+    val stream = spark.readStream.schema(schema).parquet(dir.toString)
+    val q = Streams.dedupIngestStream(stream, s"$store/bands", s"$store/shingles",
+      ckpt, compactEvery = 3)
+    q.processAllAvailable()
+    (1 until 10).foreach { i =>
+      Seq((i.toLong, texts(i))).toDF("doc_id", "text")
+        .coalesce(1).write.mode("append").parquet(dir.toString)
+      q.processAllAvailable() // one file per micro-batch -> epoch i
+    }
+    q.stop()
+    // survivors: every doc indexed, none lost by the interleaved compactions
+    val indexed = graft.sources.KeyedParquetStore.read(spark, s"$store/bands").get
+      .select($"doc_id").distinct().as[Long].collect().toSet
+    assert(indexed === (0L until 10L).toSet)
+    // layout: the epoch-9 compaction rewrote every fragmented partition, so
+    // no leaf dir in either store holds more than one data file — bounded
+    // by cadence, not by stream lifetime (the shuffle writes up to 4 files
+    // per partition per epoch without it)
+    def leafFileCounts(root: String): Seq[Int] = {
+      def walk(f: java.io.File): Seq[java.io.File] = {
+        val dirs = f.listFiles().filter(_.isDirectory)
+          .filterNot(d => d.getName.startsWith("_") || d.getName.startsWith("."))
+        if (dirs.isEmpty) Seq(f) else dirs.toSeq.flatMap(walk)
+      }
+      walk(new java.io.File(root)).map(_.listFiles().count(c =>
+        c.isFile && !c.getName.startsWith("_") && !c.getName.startsWith(".")))
+    }
+    assert(leafFileCounts(s"$store/bands").forall(_ <= 1))
+    assert(leafFileCounts(s"$store/shingles").forall(_ <= 1))
+    // the compacted index still answers: a near-dup of epoch 4's doc is
+    // rejected against the store, fresh content is kept
+    val labeled = graft.pipeline.IncrementalDedup.dedupBatch(spark,
+      Seq((40L, texts(4)), (41L, "wholly new sentence that matches nothing above"))
+        .toDF("doc_id", "text"),
+      s"$store/bands", s"$store/shingles")
+      .select($"doc_id", $"status").as[(Long, String)].collect().toMap
+    assert(labeled === Map(40L -> "dup_of_stored", 41L -> "kept"))
+  }
+
   test("dedupIngestStream: micro-batches accrete only survivors into the index (r4)") {
     val dir = Files.createTempDirectory("docs_stream").toFile
     val ckpt = Files.createTempDirectory("dedup_ckpt").toString
