@@ -284,6 +284,44 @@ object TextAnalysis {
         (col("bg_top").cast("double") / col("bg_n")).as("top_bigram_frac"))
   }
 
+  /** CCNet-style unigram language-model quality score per document: the
+    * corpus's OWN unigram distribution scores each document by its mean
+    * per-token negative log-probability — low = ordinary fluent text,
+    * high = rare-token soup (noise, mojibake, degenerate generations).
+    * The standard corpus-statistical quality filter (Wenzek et al. 2020,
+    * "CCNet: Extracting High Quality Monolingual Datasets"),
+    * complementing [[qualityFeatures]]' per-document heuristics with a
+    * signal computed FROM the corpus itself. Returns
+    * `(doc_id, n_tokens, avg_neg_logp)`.
+    *
+    * Shape at 100 TB: a two-level token aggregation — (doc, term) counts
+    * first, with map-side combine collapsing each doc's repeats, then the
+    * (term, tf) vocabulary — so every exchange carries narrow count rows,
+    * never text. The corpus total is a scalar broadcast (q10's
+    * ratio-to-total shape) and the per-term log-probability table
+    * BROADCASTS back onto the (doc, term) relation: a Zipf vocabulary is
+    * MBs where its corpus is TBs (a deployment caps it with a min-count
+    * cutoff + an OOV floor probability, same contract), and the broadcast
+    * sidesteps the stopword skew a shuffle join on term would hit —
+    * every document contains "the". Per-term contributions round to 6 dp
+    * and sum through DECIMAL (order-insensitive — the q54 trick), so the
+    * score is bit-identical across engines and partitionings. */
+  def unigramLogProb(docs: DataFrame): DataFrame = {
+    val tf = docs.select(col("doc_id"), explode(tokens(col("text"))).as("t"))
+      .groupBy(col("doc_id"), col("t")).agg(count(lit(1)).as("c"))
+    val vocab = tf.groupBy(col("t")).agg(sum(col("c")).as("tf"))
+    val total = vocab.agg(sum(col("tf")).as("n"))
+    val lp = vocab.crossJoin(broadcast(total))
+      .select(col("t"), round(-log(col("tf") / col("n")), 6).as("neg_logp"))
+    tf.join(broadcast(lp), Seq("t"))
+      .groupBy(col("doc_id"))
+      .agg(graft.operators.CoreOps.exactSum(
+        round(col("c") * col("neg_logp"), 6), 6).as("s"),
+        sum(col("c")).as("n_tokens"))
+      .select(col("doc_id"), col("n_tokens"),
+        round(col("s") / col("n_tokens"), 6).as("avg_neg_logp"))
+  }
+
   /** Split documents into fixed-size token windows with overlap — the
     * context-window chunking step between curation and training (and the
     * unit RAG retrieval indexes). Chunk k of a doc covers tokens

@@ -1066,6 +1066,31 @@ object PipelineQueries {
         |WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '_sample'), 1, 15)) AS BIGINT)
         |      % 10000 < 1000""".stripMargin)),
 
+    // CCNet-style unigram-LM quality score: the corpus's own unigram
+    // distribution scores each doc by mean per-token negative log-prob —
+    // the corpus-statistical quality filter beside q21's per-doc
+    // heuristics. Vocabulary + corpus total broadcast; per-term
+    // contributions round(6) then DECIMAL-sum so the score is
+    // order-insensitive (the q54 trick).
+    Q("q62_unigram_logprob",
+      (s, dir) =>
+        TextAnalysis.unigramLogProb(
+          Tables.documents(s, dir).select(col("doc_id"), col("text"))),
+      Some("""WITH tok AS (
+        |  SELECT doc_id, unnest(regexp_split_to_array(text, '\s+')) AS t
+        |  FROM documents),
+        |tf AS (SELECT doc_id, t, count(*) AS c FROM tok GROUP BY 1, 2),
+        |vocab AS (SELECT t, sum(c) AS tf FROM tf GROUP BY 1),
+        |tot AS (SELECT sum(tf) AS n FROM vocab),
+        |lp AS (SELECT t, round(-ln(tf * 1.0 / n), 6) AS neg_logp FROM vocab, tot),
+        |ds AS (
+        |  SELECT tf.doc_id,
+        |    CAST(sum(CAST(round(tf.c * lp.neg_logp, 6) AS DECIMAL(30,6))) AS DOUBLE) AS s,
+        |    CAST(sum(tf.c) AS BIGINT) AS n_tokens
+        |  FROM tf JOIN lp USING (t) GROUP BY 1)
+        |SELECT doc_id, n_tokens, round(s / n_tokens, 6) AS avg_neg_logp
+        |FROM ds""".stripMargin)),
+
     // Quality-WEIGHTED sampling: per-row keep probability (here a
     // length-derived quality proxy, min(n_tokens/150, 1)) against the
     // same retry-safe hash buckets — longer docs survive at higher

@@ -580,6 +580,25 @@ class SimilaritySpec extends SparkSpec {
 class TextAnalysisSpec extends SparkSpec {
   import spark.implicits._
 
+  test("unigramLogProb: common-token docs score low, rare-token docs high (r7)") {
+    val docs = Seq(
+      (1L, "the the the the"),     // only the corpus-dominant token
+      (2L, "the zzyzx qwfp vexq"), // mostly hapax tokens
+      (3L, "the the qwfp the")     // in between
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.unigramLogProb(docs)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(got(1L)._1 === 4L) // repeated tokens each count
+    // the quality ordering the CCNet filter relies on
+    assert(got(1L)._2 < got(3L)._2 && got(3L)._2 < got(2L)._2)
+    // hand-checked: doc 1 is pure p=8/12 tokens -> -ln(2/3)
+    assert(math.abs(got(1L)._2 - (-math.log(8.0 / 12.0))) < 1e-6)
+    // partition-order insensitive: the DECIMAL-routed per-doc sum
+    val re = TextAnalysis.unigramLogProb(docs.repartition(7))
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(re === got.map { case (k, v) => k -> v._2 })
+  }
+
   test("quality features compute exact token stats") {
     val df = Seq((1L, "the cat sat on a mat")).toDF("doc_id", "text")
     val row = TextAnalysis.qualityFeatures(col("text"))
