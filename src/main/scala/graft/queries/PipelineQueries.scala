@@ -1066,6 +1066,37 @@ object PipelineQueries {
         |WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '_sample'), 1, 15)) AS BIGINT)
         |      % 10000 < 1000""".stripMargin)),
 
+    // Corpus MIXTURE accounting: docs/tokens per (lang, source) with
+    // ROLLUP subtotals — the planning table behind every data-mixture
+    // decision, and the engine's multi-level-aggregation surface
+    // (ROLLUP/GROUPING SETS): all three grains compute in ONE pass over
+    // the corpus (Spark expands the grouping sets inside the aggregate —
+    // no three-scan self-union), with narrow count rows in every
+    // exchange. avg_tokens is a long/long IEEE division — bit-identical
+    // across engines without rounding (the q55 lesson). lang/source are
+    // non-null in the corpus, so the '<all>' coalesce labels are
+    // unambiguous rollup markers.
+    Q("q63_mixture_rollup",
+      (s, dir) =>
+        Tables.documents(s, dir)
+          .select(col("lang"), col("source"),
+            size(TextAnalysis.tokens(col("text"))).cast("long").as("ntok"))
+          .rollup(col("lang"), col("source"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("ntok")).as("n_tokens"))
+          .select(coalesce(col("lang"), lit("<all>")).as("lang"),
+            coalesce(col("source"), lit("<all>")).as("source"),
+            col("n_docs"), col("n_tokens"),
+            (col("n_tokens") / col("n_docs")).as("avg_tokens")),
+      Some("""WITH d AS (
+        |  SELECT lang, source,
+        |    CAST(len(regexp_split_to_array(text, '\s+')) AS BIGINT) AS ntok
+        |  FROM documents)
+        |SELECT COALESCE(lang, '<all>') AS lang,
+        |  COALESCE(source, '<all>') AS source,
+        |  count(*) AS n_docs, CAST(sum(ntok) AS BIGINT) AS n_tokens,
+        |  sum(ntok) * 1.0 / count(*) AS avg_tokens
+        |FROM d GROUP BY ROLLUP(lang, source)""".stripMargin)),
+
     // CCNet-style unigram-LM quality score: the corpus's own unigram
     // distribution scores each doc by mean per-token negative log-prob —
     // the corpus-statistical quality filter beside q21's per-doc

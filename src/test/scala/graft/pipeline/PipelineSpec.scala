@@ -580,6 +580,29 @@ class SimilaritySpec extends SparkSpec {
 class TextAnalysisSpec extends SparkSpec {
   import spark.implicits._
 
+  test("mixture rollup emits every grain with consistent subtotals (r7)") {
+    val docs = Seq(
+      (1L, "en", "s0", "one two three"), (2L, "en", "s0", "four five"),
+      (3L, "en", "s1", "six"), (4L, "de", "s0", "sieben acht"))
+      .toDF("doc_id", "lang", "source", "text")
+    val got = docs
+      .select(col("lang"), col("source"),
+        size(TextAnalysis.tokens(col("text"))).cast("long").as("ntok"))
+      .rollup(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("ntok")).as("n_tokens"))
+      .select(coalesce(col("lang"), lit("<all>")).as("lang"),
+        coalesce(col("source"), lit("<all>")).as("source"),
+        col("n_docs"), col("n_tokens"))
+      .as[(String, String, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
+    // grains: 3 (lang, source) pairs + 2 lang subtotals + 1 grand total
+    assert(got.size === 6)
+    assert(got(("en", "s0")) === ((2L, 5L)))
+    assert(got(("en", "<all>")) === ((3L, 6L)))   // s0 + s1
+    assert(got(("de", "<all>")) === got(("de", "s0")))
+    assert(got(("<all>", "<all>")) === ((4L, 8L)))
+  }
+
   test("unigramLogProb: common-token docs score low, rare-token docs high (r7)") {
     val docs = Seq(
       (1L, "the the the the"),     // only the corpus-dominant token
