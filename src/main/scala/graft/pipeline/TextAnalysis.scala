@@ -95,6 +95,31 @@ object TextAnalysis {
         lit("[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"), lit(" ")),
       lit("\\s+"), lit(" ")))
 
+  /** PII redaction for training corpora: replace emails, IPv4 addresses
+    * and long digit runs (phone/account-number shaped) with TYPED
+    * placeholder tokens — a training pipeline wants `<EMAIL>` markers
+    * that preserve sentence structure, where [[scrub]] deletes — plus
+    * per-document match counts for the privacy audit trail (counted on
+    * the ORIGINAL text, so counts and redactions always agree). Email
+    * runs first; its domain needs an alphabetic TLD, so it can never
+    * consume an IP, and the placeholders contain no digits for later
+    * patterns to re-match. Pure per-row codegen'd regex work, zero
+    * shuffle; the patterns are RE2-compatible so an oracle applies them
+    * verbatim. */
+  def redactPii(text: Column): Seq[(String, Column)] = {
+    val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val ipv4 = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+    val longNum = "\\b\\d{7,}\\b"
+    Seq(
+      "redacted" -> regexp_replace(regexp_replace(regexp_replace(text,
+        lit(email), lit("<EMAIL>")),
+        lit(ipv4), lit("<IP>")),
+        lit(longNum), lit("<NUM>")),
+      "n_emails" -> regexp_count(text, lit(email)).cast("long"),
+      "n_ips" -> regexp_count(text, lit(ipv4)).cast("long"),
+      "n_long_nums" -> regexp_count(text, lit(longNum)).cast("long"))
+  }
+
   /** Composite quality gate: keep documents whose features clear the
     * given thresholds — the filter stage of a cleaning pipeline. */
   def qualityFilter(docs: DataFrame, minTokens: Long = 20,

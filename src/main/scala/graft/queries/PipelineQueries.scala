@@ -1066,6 +1066,41 @@ object PipelineQueries {
         |WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '_sample'), 1, 15)) AS BIGINT)
         |      % 10000 < 1000""".stripMargin)),
 
+    // PII redaction: typed placeholders (<EMAIL>/<IP>/<NUM>) + per-doc
+    // audit counts. The corpus carries no natural PII, so the query
+    // INJECTS deterministic synthetic PII per doc (the q36/q49 pattern:
+    // the operator is the subject, the injection is the harness) — every
+    // doc then has exactly one email, one IP and one long digit run on
+    // top of whatever its text contributes.
+    Q("q64_pii_redact",
+      (s, dir) => {
+        val injected = Tables.documents(s, dir).select(col("doc_id"),
+          concat(col("text"),
+            lit(" contact user"), col("doc_id").cast("string"),
+            lit("@example.com at 10.0."), (col("doc_id") % 256).cast("string"),
+            lit(".7 ref 99887766"), col("doc_id").cast("string")).as("text"))
+        TextAnalysis.redactPii(col("text"))
+          .foldLeft(injected) { case (acc, (n, c)) => acc.withColumn(n, c) }
+          .drop("text")
+      },
+      Some("""WITH w AS (
+        |  SELECT doc_id,
+        |    text || ' contact user' || CAST(doc_id AS VARCHAR) ||
+        |    '@example.com at 10.0.' || CAST(doc_id % 256 AS VARCHAR) ||
+        |    '.7 ref 99887766' || CAST(doc_id AS VARCHAR) AS text
+        |  FROM documents)
+        |SELECT doc_id,
+        |  regexp_replace(regexp_replace(regexp_replace(text,
+        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+        |    '\b\d{7,}\b', '<NUM>', 'g') AS redacted,
+        |  CAST(len(regexp_extract_all(text,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+        |  CAST(len(regexp_extract_all(text,
+        |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ips,
+        |  CAST(len(regexp_extract_all(text, '\b\d{7,}\b')) AS BIGINT) AS n_long_nums
+        |FROM w""".stripMargin)),
+
     // Corpus MIXTURE accounting: docs/tokens per (lang, source) with
     // ROLLUP subtotals — the planning table behind every data-mixture
     // decision, and the engine's multi-level-aggregation surface

@@ -580,6 +580,25 @@ class SimilaritySpec extends SparkSpec {
 class TextAnalysisSpec extends SparkSpec {
   import spark.implicits._
 
+  test("redactPii replaces typed PII with placeholders and counts it (r7)") {
+    val df = Seq(
+      (1L, "mail a.b@ex.org or c@d.co, ip 192.168.0.1, acct 12345678 ok"),
+      (2L, "no pii here, short num 123, version 1.2.3.x"),
+      (3L, "")).toDF("doc_id", "text")
+    val got = TextAnalysis.redactPii(col("text"))
+      .foldLeft(df) { case (acc, (n, c)) => acc.withColumn(n, c) }
+      .select(col("doc_id"), col("redacted"), col("n_emails"), col("n_ips"),
+        col("n_long_nums"))
+      .as[(Long, String, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(got(1L)._2 === "mail <EMAIL> or <EMAIL>, ip <IP>, acct <NUM> ok")
+    assert((got(1L)._3, got(1L)._4, got(1L)._5) === ((2L, 1L, 1L)))
+    // structure preserved, nothing false-positive: dotted versions with a
+    // non-digit segment and short numbers survive
+    assert(got(2L)._2 === "no pii here, short num 123, version 1.2.3.x")
+    assert((got(2L)._3, got(2L)._4, got(2L)._5) === ((0L, 0L, 0L)))
+    assert(got(3L)._2 === "")
+  }
+
   test("mixture rollup emits every grain with consistent subtotals (r7)") {
     val docs = Seq(
       (1L, "en", "s0", "one two three"), (2L, "en", "s0", "four five"),
