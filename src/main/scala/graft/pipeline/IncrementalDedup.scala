@@ -3,6 +3,7 @@ package graft.pipeline
 import graft.sources.KeyedParquetStore
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{IntegerType, LongType, StringType, StructField, StructType}
 
 /** Incremental MinHash-LSH dedup against a PERSISTED index — the real
   * 100 TB ingest shape: each arriving batch dedups against everything
@@ -25,6 +26,19 @@ import org.apache.spark.sql.functions._
   * [[Dedup.minhashLsh]]'s behavior for them (they never pair).
   */
 object IncrementalDedup {
+
+  /** The two index stores' FIXED schemas, passed to every read so the
+    * hot path skips mergeSchema's per-file footer inference (a job whose
+    * cost grows with accumulated store size — the one remaining
+    * store-sized cost per ingest after the append fast path). The
+    * explicit schema stays evolution-safe: files written before a column
+    * existed null-fill under it. */
+  private val bandStoreSchema = StructType(Seq(
+    StructField("doc_id", LongType), StructField("band", IntegerType),
+    StructField("sig", StringType), StructField("batch", StringType)))
+  private val shingleStoreSchema = StructType(Seq(
+    StructField("doc_id", LongType), StructField("h", LongType),
+    StructField("batch", StringType)))
 
   /** Dedup `batch` against the stored index and upsert the survivors'
     * bands + shingles under the batch's own partition (`batch=<batchId>`)
@@ -109,7 +123,8 @@ object IncrementalDedup {
     // band index (doc_a = batch, doc_b = stored); the stored shingles
     // join SEMI-pruned to the candidate ids — stored text is never read
     // (the stores don't even carry it).
-    val storedPairs = KeyedParquetStore.read(spark, bandsPath).map { sb =>
+    val storedPairs = KeyedParquetStore.read(spark, bandsPath,
+      schema = Some(bandStoreSchema)).map { sb =>
       // doc_a <> doc_b: on an ingest RETRY the batch's own kept docs are
       // already indexed, and a doc must not read as a duplicate of itself.
       // Checkpointed: the confirm consumes `cands` twice (semi-prune +
@@ -123,7 +138,8 @@ object IncrementalDedup {
         .filter(col("doc_id") =!= col("doc_b"))
         .select(col("doc_id").as("doc_a"), col("doc_b")).distinct()
         .localCheckpoint()
-      val storedSh = KeyedParquetStore.read(spark, shinglesPath)
+      val storedSh = KeyedParquetStore.read(spark, shinglesPath,
+          schema = Some(shingleStoreSchema))
         .getOrElse(sys.error(s"band index $bandsPath exists without its " +
           s"shingle index $shinglesPath — the two stores upsert together"))
         .select(col("doc_id"), col("h"))

@@ -450,24 +450,33 @@ object PipelineQueries {
     Q("q61_ivf_search_stored",
       (s, dir) => {
         import graft.sources.KeyedParquetStore
+        import org.apache.spark.sql.types.{ArrayType, DoubleType, LongType, StructField, StructType}
+        // known store schemas: every read skips mergeSchema's per-file
+        // footer inference — at scale the assigned-corpus store is
+        // corpus-sized, and the search path must not pay a footer pass
+        val centSchema = StructType(Seq(StructField("cell", LongType),
+          StructField("centroid", ArrayType(DoubleType))))
+        val assignedSchema = StructType(Seq(StructField("neighbor_id", LongType),
+          StructField("cv", ArrayType(DoubleType)), StructField("cell", LongType)))
         val emb = Tables.embeddings(s, dir)
         val root = ivfStores.getOrElseUpdate(dir,
           java.nio.file.Files.createTempDirectory("graft_ivf").toString)
         val centStore = s"$root/centroids"
         val corpusStore = s"$root/assigned"
-        if (KeyedParquetStore.read(s, centStore).isEmpty) {
+        def cents = KeyedParquetStore.read(s, centStore, schema = Some(centSchema))
+        if (cents.isEmpty) {
           KeyedParquetStore.upsert(s, centStore,
             Similarity.buildIvfIndex(emb, numCells = 8, trainIters = 2),
             keys = Seq("cell"), version = Seq(lit(1L)))
           // one row per corpus vector by construction -> incomingUnique
           KeyedParquetStore.upsert(s, corpusStore,
-            Similarity.assignIvfCells(emb, KeyedParquetStore.read(s, centStore).get),
+            Similarity.assignIvfCells(emb, cents.get),
             keys = Seq("neighbor_id"), version = Seq(lit(1L)),
             partitionCols = Seq("cell"), incomingUnique = true)
         }
         Similarity.searchIvfAssigned(
-          KeyedParquetStore.read(s, corpusStore).get,
-          KeyedParquetStore.read(s, centStore).get,
+          KeyedParquetStore.read(s, corpusStore, schema = Some(assignedSchema)).get,
+          cents.get,
           emb.filter(col("vec_id") < 5), k = 5, nProbe = 2)
           .select(col("probe_id"), col("neighbor_id"), col("cos_sim"),
             col("rank").cast("long").as("rank"))

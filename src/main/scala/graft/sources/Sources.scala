@@ -95,8 +95,19 @@ object KeyedParquetStore {
     * partitions mid-swap. If a live writer holds the lock, the acquire
     * fails and recovery is simply left to that writer, which heals under
     * its own lock before merging. */
+  /** `schema`: optional KNOWN-SCHEMA fast path. The default read infers
+    * the store schema by MERGING every file's footer — correct after
+    * additive evolution, but a distributed job whose cost grows with the
+    * store's file count, paid on every read. A caller that knows the
+    * store's current schema (the ingest hot path reads its own index
+    * stores every batch) passes it and skips footer inference entirely —
+    * still evolution-safe, because the parquet reader null-fills columns
+    * a pre-evolution file lacks when the schema is explicit. The schema
+    * must be current (a column the files don't have reads as null; a
+    * TYPE mismatch errors at scan time — fail-loud, never silent). */
   def read(spark: SparkSession, path: String,
-           lockTtlMs: Long = 10L * 60 * 1000): Option[DataFrame] = {
+           lockTtlMs: Long = 10L * 60 * 1000,
+           schema: Option[StructType] = None): Option[DataFrame] = {
     val f = fs(spark, path)
     if (f.exists(new HPath(path + ".old"))) {
       try {
@@ -105,7 +116,10 @@ object KeyedParquetStore {
       } catch { case _: IllegalStateException => () } // live writer: it heals
     }
     if (f.exists(new HPath(path)))
-      Some(spark.read.option("mergeSchema", "true").parquet(path))
+      Some(schema match {
+        case Some(s) => spark.read.schema(s).parquet(path)
+        case None => spark.read.option("mergeSchema", "true").parquet(path)
+      })
     else None
   }
 

@@ -372,6 +372,35 @@ class SourcesSpec extends SparkSpec {
     new java.io.File(path + ".lock").delete()
   }
 
+  test("known-schema read skips footer inference yet stays evolution-safe (r7)") {
+    import org.apache.spark.sql.types.{DoubleType, LongType, StringType, StructField, StructType}
+    val path = Files.createTempDirectory("store_schema").toString + "/t"
+    val v1 = Seq(("AAA", "2024-01-01", 1.0, 1)).toDF("ticker", "date", "price", "ver")
+    KeyedParquetStore.upsert(spark, path, v1, Seq("ticker", "date"), Seq($"ver"),
+      partitionCols = Seq("date"))
+    // an evolved writer adds `volume`, touching only Jan 2 — the Jan 1
+    // files never learn the column
+    val v2 = Seq(("BBB", "2024-01-02", 2.0, 1, 7L))
+      .toDF("ticker", "date", "price", "ver", "volume")
+    KeyedParquetStore.upsert(spark, path, v2, Seq("ticker", "date"), Seq($"ver"),
+      partitionCols = Seq("date"))
+    // reading with the CURRENT schema: no mergeSchema inference, and the
+    // pre-evolution file's missing column null-fills
+    val cur = StructType(Seq(
+      StructField("ticker", StringType), StructField("price", DoubleType),
+      StructField("ver", LongType), StructField("volume", LongType),
+      StructField("date", StringType)))
+    val got = KeyedParquetStore.read(spark, path, schema = Some(cur)).get
+      .select($"ticker", $"volume").as[(String, Option[Long])]
+      .collect().toSeq.sorted
+    assert(got === Seq(("AAA", None), ("BBB", Some(7L))))
+    // a column the schema omits is simply not read (projection, not error)
+    val narrow = StructType(Seq(
+      StructField("ticker", StringType), StructField("date", StringType)))
+    assert(KeyedParquetStore.read(spark, path, schema = Some(narrow)).get
+      .columns.toSeq === Seq("ticker", "date"))
+  }
+
   test("debugChecks: false incomingUnique vouch fails fast ON, zero extra jobs OFF (r7)") {
     import org.apache.spark.scheduler.{SparkListener, SparkListenerJobEnd}
     val dup = Seq(("AAA", 1.0, 1), ("AAA", 2.0, 1)).toDF("ticker", "price", "ver")
