@@ -263,6 +263,73 @@ object TextAnalysis {
         col("rn").cast("long").as("rank"))
   }
 
+  /** The persisted BM25 index's three relations — the build half of the
+    * retrieval production shape ([[bm25Search]]/[[bm25SearchMany]]
+    * re-tokenize the corpus on every call; a deployment tokenizes ONCE):
+    *
+    *  - postings `(term, doc_id, tf, dl, tbucket)` — doc length
+    *    DENORMALIZED onto each posting so search never reads a
+    *    corpus-sized lengths table;
+    *  - terms `(term, df, tbucket)` — per-term document frequency;
+    *  - stats `(k, n_docs, avgdl)` — one corpus-stats row (constant
+    *    join key `k` so the keyed store can upsert it).
+    *
+    * `tbucket` is a deterministic md5 term bucket (`Sampling.bucket mod
+    * nBuckets`): stored PARTITIONED BY it, a query's terms resolve to
+    * bucket ids ON THE DRIVER ([[bm25TermBucket]]) and the search scan
+    * prunes to those partition directories — per-query I/O is the query
+    * terms' postings, not the index (the same literal-IN pruning shape
+    * as the stored IVF search). All quantities are global, so search
+    * results are IDENTICAL to [[bm25Search]] over the same corpus. */
+  def bm25IndexRelations(docs: DataFrame, nBuckets: Int = 16)
+      : (DataFrame, DataFrame, DataFrame) = {
+    val lens = docs.select(col("doc_id"), size(tokens(col("text"))).cast("long").as("dl"))
+    val stats = lens.agg(count(lit(1)).as("n_docs"),
+      (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
+      .withColumn("k", lit(1))
+    val tf = docs.select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val tb = pmod(Sampling.bucket(col("term"), "bm25"), lit(nBuckets)).cast("int")
+    val postings = tf.join(lens, Seq("doc_id")).withColumn("tbucket", tb)
+    val terms = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      .withColumn("tbucket", tb)
+    (postings, terms, stats)
+  }
+
+  /** Driver-side mirror of the postings partition bucket: the same
+    * md5-derived arithmetic as `Sampling.bucket` (first 15 md5 hex chars
+    * of `term_bm25` as a 60-bit integer, mod 10⁴, mod `nBuckets`), so a
+    * query's literal terms map to partition directories without touching
+    * the cluster. */
+  def bm25TermBucket(term: String, nBuckets: Int): Int = {
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"${term}_bm25".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.substring(0, 15)
+    ((java.lang.Long.parseLong(hex, 16) % 10000L) % nBuckets).toInt
+  }
+
+  /** Search the PERSISTED index: postings/terms relations (as stored by
+    * the keyed store from [[bm25IndexRelations]], partitioned by
+    * `tbucket`) + the one-row stats relation. The caller pre-filters
+    * `postings`/`terms` to the query's term buckets (a literal partition
+    * filter — see [[bm25TermBucket]]); this narrows to the exact terms,
+    * scores with the SAME expression as [[bm25Search]], and top-ks.
+    * No tokenize, no corpus scan — the per-query cost is the query
+    * terms' postings lists. */
+  def bm25SearchStored(postings: DataFrame, terms: DataFrame, stats: DataFrame,
+                       query: Seq[String], k: Int,
+                       k1: Double = 1.2, b: Double = 0.75): DataFrame =
+    postings.filter(col("term").isin(query: _*))
+      .join(broadcast(terms.filter(col("term").isin(query: _*))
+        .select(col("term"), col("df"))), Seq("term"))
+      .crossJoin(broadcast(stats.select(col("n_docs"), col("avgdl"))))
+      .withColumn("score", bm25ScoreExpr(k1, b))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("score").cast(org.apache.spark.sql.types.DecimalType(30, 6)))
+        .cast("double").as("bm25"))
+      .orderBy(col("bm25").desc, col("doc_id"))
+      .limit(k)
+
   /** Gopher-style repetition signals per document: duplicate-token
     * fraction, duplicate-bigram fraction (what share of bigram
     * OCCURRENCES are repeats), and top-bigram fraction (how much of the

@@ -95,6 +95,39 @@ object PipelineQueries {
       |        ORDER BY cos_sim DESC, neighbor_id) AS rank FROM s)
       |SELECT probe_id, neighbor_id, cos_sim, rank FROM r WHERE rank <= 5""".stripMargin
 
+  /** Per-JVM BM25 index-store roots (q65) — same contract as
+    * [[ivfStores]]. */
+  private val bm25Stores = scala.collection.concurrent.TrieMap.empty[String, String]
+
+  /** The BM25 search oracle, shared verbatim by q54 (tokenize-per-call)
+    * and q65 (persisted inverted index): identical results by
+    * construction — all index quantities are global — so one SQL
+    * constant keeps them from drifting. */
+  private lazy val bm25SearchOracle: String =
+    """WITH lens AS (
+      |  SELECT doc_id, CAST(len(regexp_split_to_array(text, '\s+')) AS BIGINT) AS dl
+      |  FROM documents),
+      |stats AS (
+      |  SELECT count(*) AS n_docs, CAST(SUM(dl) AS DOUBLE) / count(*) AS avgdl
+      |  FROM lens),
+      |tok AS (
+      |  SELECT doc_id, unnest(regexp_split_to_array(text, '\s+')) AS term
+      |  FROM documents),
+      |tf AS (
+      |  SELECT doc_id, term, count(*) AS tf FROM tok
+      |  WHERE term IN ('spark', 'window', 'merge') GROUP BY 1, 2),
+      |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+      |s AS (
+      |  SELECT tf.doc_id,
+      |    round(ln(1 + (n.n_docs - df.df + 0.5) / (df.df + 0.5))
+      |          * tf.tf * (1.2 + 1)
+      |          / (tf.tf + 1.2 * (0.25 + 0.75 * l.dl / n.avgdl)), 6) AS score
+      |  FROM tf JOIN df USING (term) JOIN lens l USING (doc_id), stats n)
+      |SELECT doc_id, CAST(SUM(CAST(score AS DECIMAL(30,6))) AS DOUBLE) AS bm25
+      |FROM s GROUP BY 1
+      |ORDER BY bm25 DESC, doc_id
+      |LIMIT 25""".stripMargin
+
   /** SQL fragments for the incremental-dedup oracle (q49): the
     * shingle→minhash→band chain over a source CTE `b$tag(doc_id, text)`,
     * producing `h$tag` (hashed shingles), `sizes$tag` and `bands$tag` —
@@ -766,29 +799,62 @@ object PipelineQueries {
         TextAnalysis.bm25Search(
           Tables.documents(s, dir).select(col("doc_id"), col("text")),
           query = Seq("spark", "window", "merge"), k = 25),
-      Some("""WITH lens AS (
-        |  SELECT doc_id, CAST(len(regexp_split_to_array(text, '\s+')) AS BIGINT) AS dl
-        |  FROM documents),
-        |stats AS (
-        |  SELECT count(*) AS n_docs, CAST(SUM(dl) AS DOUBLE) / count(*) AS avgdl
-        |  FROM lens),
-        |tok AS (
-        |  SELECT doc_id, unnest(regexp_split_to_array(text, '\s+')) AS term
-        |  FROM documents),
-        |tf AS (
-        |  SELECT doc_id, term, count(*) AS tf FROM tok
-        |  WHERE term IN ('spark', 'window', 'merge') GROUP BY 1, 2),
-        |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
-        |s AS (
-        |  SELECT tf.doc_id,
-        |    round(ln(1 + (n.n_docs - df.df + 0.5) / (df.df + 0.5))
-        |          * tf.tf * (1.2 + 1)
-        |          / (tf.tf + 1.2 * (0.25 + 0.75 * l.dl / n.avgdl)), 6) AS score
-        |  FROM tf JOIN df USING (term) JOIN lens l USING (doc_id), stats n)
-        |SELECT doc_id, CAST(SUM(CAST(score AS DECIMAL(30,6))) AS DOUBLE) AS bm25
-        |FROM s GROUP BY 1
-        |ORDER BY bm25 DESC, doc_id
-        |LIMIT 25""".stripMargin)),
+      Some(bm25SearchOracle)),
+
+    // BM25 over a PERSISTED inverted index (the retrieval production
+    // shape): q54 re-tokenizes the corpus per call; here the postings
+    // (with doc length denormalized on), per-term df and corpus stats
+    // are built once and stored through the keyed store — postings and
+    // terms PARTITIONED BY a deterministic md5 term bucket. A query's
+    // literal terms resolve to bucket ids on the driver, so the search
+    // scan prunes to those partition directories: per-query I/O is the
+    // query terms' postings lists, not the index (the q61 literal-IN
+    // pruning shape, applied to text retrieval). All quantities are
+    // global, so results — and the shared oracle constant — are
+    // identical to q54's by construction. Per-JVM store root, same
+    // rationale as q61.
+    Q("q65_bm25_stored",
+      (s, dir) => {
+        import graft.sources.KeyedParquetStore
+        import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType, StringType, StructField, StructType}
+        val nBuckets = 16
+        val query = Seq("spark", "window", "merge")
+        val postingsSchema = StructType(Seq(
+          StructField("term", StringType), StructField("doc_id", LongType),
+          StructField("tf", LongType), StructField("dl", LongType),
+          StructField("tbucket", IntegerType)))
+        val termsSchema = StructType(Seq(
+          StructField("term", StringType), StructField("df", LongType),
+          StructField("tbucket", IntegerType)))
+        val statsSchema = StructType(Seq(
+          StructField("n_docs", LongType), StructField("avgdl", DoubleType),
+          StructField("k", IntegerType)))
+        val root = bm25Stores.getOrElseUpdate(dir,
+          java.nio.file.Files.createTempDirectory("graft_bm25").toString)
+        val (pPath, tPath, sPath) = (s"$root/postings", s"$root/terms", s"$root/stats")
+        if (KeyedParquetStore.read(s, sPath, schema = Some(statsSchema)).isEmpty) {
+          val (postings, terms, stats) = TextAnalysis.bm25IndexRelations(
+            Tables.documents(s, dir).select(col("doc_id"), col("text")), nBuckets)
+          KeyedParquetStore.upsert(s, pPath, postings,
+            keys = Seq("term", "doc_id"), version = Seq(lit(1L)),
+            partitionCols = Seq("tbucket"), incomingUnique = true)
+          KeyedParquetStore.upsert(s, tPath, terms,
+            keys = Seq("term"), version = Seq(lit(1L)),
+            partitionCols = Seq("tbucket"), incomingUnique = true)
+          KeyedParquetStore.upsert(s, sPath, stats,
+            keys = Seq("k"), version = Seq(lit(1L)), incomingUnique = true)
+        }
+        // literal bucket ids from the driver-side hash -> partition pruning
+        val buckets = query.map(TextAnalysis.bm25TermBucket(_, nBuckets)).distinct
+        def pruned(path: String, sc: StructType) =
+          KeyedParquetStore.read(s, path, schema = Some(sc)).get
+            .filter(col("tbucket").isin(buckets: _*))
+        TextAnalysis.bm25SearchStored(
+          pruned(pPath, postingsSchema), pruned(tPath, termsSchema),
+          KeyedParquetStore.read(s, sPath, schema = Some(statsSchema)).get,
+          query, k = 25)
+      },
+      Some(bm25SearchOracle)),
 
     // BATCH BM25 retrieval: two queries scored in ONE corpus pass — the
     // token explode semi-joins the broadcast union vocabulary, scores

@@ -717,6 +717,36 @@ class TextAnalysisSpec extends SparkSpec {
     assert(many("a") === a && many("b") === b)
   }
 
+  test("persisted BM25 index searches identically and prunes to term buckets (r7)") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select($"doc_id", $"text")
+    val query = Seq("spark", "merge")
+    val nBuckets = 16
+    val (postings, terms, stats) = TextAnalysis.bm25IndexRelations(docs, nBuckets)
+    // the at-rest layout: partitioned by the deterministic term bucket
+    val root = java.nio.file.Files.createTempDirectory("bm25_idx").toString
+    postings.write.partitionBy("tbucket").parquet(s"$root/postings")
+    terms.write.partitionBy("tbucket").parquet(s"$root/terms")
+    stats.write.parquet(s"$root/stats")
+    // driver-side bucket ids agree with the stored column's values
+    val storedB = terms.filter($"term".isin(query: _*))
+      .select($"term", $"tbucket").as[(String, Int)].collect().toMap
+    query.foreach { t =>
+      assert(TextAnalysis.bm25TermBucket(t, nBuckets) === storedB(t)) }
+    val buckets = query.map(TextAnalysis.bm25TermBucket(_, nBuckets)).distinct
+    val stored = TextAnalysis.bm25SearchStored(
+      spark.read.parquet(s"$root/postings").filter($"tbucket".isin(buckets: _*)),
+      spark.read.parquet(s"$root/terms").filter($"tbucket".isin(buckets: _*)),
+      spark.read.parquet(s"$root/stats"), query, k = 10)
+    val fresh = TextAnalysis.bm25Search(docs, query, k = 10)
+      .as[(Long, Double)].collect().toSeq
+    assert(stored.as[(Long, Double)].collect().toSeq === fresh)
+    // the literal bucket filter reaches the file listing
+    val plan = stored.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [tbucket"),
+      s"expected partition pruning on term buckets:\n$plan")
+  }
+
   test("chunkDocuments windows tokens with overlap; contained tail not emitted (r4)") {
     val docs = Seq(
       (1L, (1 to 10).map(i => s"t$i").mkString(" ")), // 10 toks
