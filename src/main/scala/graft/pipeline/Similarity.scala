@@ -300,7 +300,7 @@ object Similarity {
                         probes: DataFrame, k: Int, nProbe: Int = 2): DataFrame = {
     val cents = collectCents(index)
     val pc = probeCellsOf(probes, cents, nProbe)
-    val cells = pc.select(col("cell")).distinct().collect().map(_.getLong(0))
+    val cells = pc.select(col("cell")).distinct().collect().map(_.getLong(0)).toSeq
     val pruned = assigned
       .filter(col("cell").isin(cells: _*))
       .select(col("neighbor_id"), col("cv"), col("cell").cast("long").as("cell"))
