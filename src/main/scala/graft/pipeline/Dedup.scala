@@ -33,6 +33,47 @@ object Dedup {
       .groupBy(md5Hash60(col("text")).as("content_hash"))
       .agg(min(col(idCol)).as("kept_id"), count(lit(1)).as("n_copies"))
 
+  /** Segment-level exact dedup (the CCNet line-dedup / RefinedWeb
+    * paragraph-dedup shape): split each document into consecutive
+    * `segTokens`-token segments ([[TextAnalysis.segments]]), keep each
+    * distinct segment's FIRST corpus-wide occurrence (smallest
+    * `(doc_id, seg_idx)` — a total order, so the election is
+    * deterministic), and reassemble every document from its surviving
+    * segments in their original order.
+    *
+    * 100 TB shape: document text crosses NO exchange. The segment
+    * relation collapses to `(hash, doc_id, seg_idx)` map-side before the
+    * first-occurrence election (one groupBy on the 60-bit hash), the
+    * winning indices aggregate back to doc grain (ids only again), and
+    * the one text-bearing operation is a doc-grain join of the corpus
+    * against that index set, where the kept segments are re-derived and
+    * filtered positionally in-row. Docs whose every segment is a repeat
+    * survive with empty text and `n_kept = 0`, keeping the output a
+    * total function of the corpus (downstream drops them with a trivial
+    * filter when that is the intent). */
+  def segmentDedup(docs: DataFrame, segTokens: Int = 10,
+      idCol: String = "doc_id"): DataFrame = {
+    val segsCol = TextAnalysis.segments(col("text"), segTokens)
+    val ids = docs
+      .select(col(idCol), posexplode(segsCol).as(Seq("seg_idx", "seg")))
+      .select(col(idCol), col("seg_idx"), md5Hash60(col("seg")).as("h"))
+    val winners = ids
+      .groupBy(col("h"))
+      .agg(min(struct(col(idCol), col("seg_idx"))).as("w"))
+      .select(col("w")(idCol).as(idCol), col("w")("seg_idx").as("seg_idx"))
+    val keep = winners
+      .groupBy(col(idCol))
+      .agg(collect_list(col("seg_idx")).as("keep_idx"))
+    docs
+      .join(keep, Seq(idCol), "left")
+      .select(col(idCol),
+        size(segsCol).cast("long").as("n_segs"),
+        coalesce(size(col("keep_idx")), lit(0)).cast("long").as("n_kept"),
+        concat_ws(" ",
+          filter(segsCol, (_, i) => array_contains(col("keep_idx"), i)))
+          .as("text_dedup"))
+  }
+
   /** Mersenne prime 2^31-1: the 2-universal minhash permutations run mod
     * P so `a*h + b` stays far below 2^63 — BIGINT-overflow-safe in any
     * engine (DuckDB errors on overflow; Java wraps silently; neither

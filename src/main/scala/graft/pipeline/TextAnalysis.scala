@@ -446,6 +446,22 @@ object TextAnalysis {
         size(chunk(col("t"), col("k"))).cast("long").as("n_chunk_tokens"))
   }
 
+  /** Non-overlapping fixed-size token segments of a document, as an
+    * in-row array — the "paragraph"/"line" grain for segment-level dedup
+    * on single-line corpora (a corpus with real newlines would split on
+    * those instead; the downstream operators are grain-agnostic).
+    * Segment i covers tokens `[i·segTokens, (i+1)·segTokens)`; the last
+    * segment may be shorter. Every doc yields ≥1 segment (`split` never
+    * returns an empty array), so `sequence(0, ceil(n/segTokens)-1)` is
+    * well-formed. Pure codegen'd per-row compute — no shuffle. */
+  def segments(text: Column, segTokens: Int): Column = {
+    require(segTokens > 0, "need segTokens > 0")
+    val t = tokens(text)
+    transform(
+      sequence(lit(0), (ceil(size(t).cast("double") / segTokens)).cast("int") - 1),
+      i => array_join(slice(t, i * segTokens + 1, lit(segTokens)), " "))
+  }
+
   /** Rolling-hash document fingerprint: min / max / count over the shingle
     * hashes — a compact signature for shard-level pre-clustering. Runs on
     * `hashedShingles` so the hash is computed once per shingle (separate

@@ -245,6 +245,46 @@ object PipelineQueries {
         |       min(doc_id) AS kept_id, count(*) AS n_copies
         |FROM all_docs GROUP BY 1""".stripMargin)),
 
+    // Segment-level (paragraph/line) dedup: keep each distinct
+    // 10-token segment's first corpus-wide occurrence and reassemble
+    // docs from their surviving segments — the sub-document grain
+    // between q20's whole-doc hash and q25's fuzzy minhash. The corpus's
+    // planted near-duplicates share long token runs, so the operator has
+    // real work at every SF. Oracle mirrors the election (row_number
+    // over the same 60-bit hash ordered by (doc_id, seg_idx)) and the
+    // ordered reassembly (string_agg ORDER BY seg_idx).
+    Q("q66_segment_dedup",
+      (s, dir) =>
+        Dedup.segmentDedup(
+          Tables.documents(s, dir).select(col("doc_id"), col("text")),
+          segTokens = 10),
+      Some(s"""WITH d AS (
+        |  SELECT doc_id, regexp_split_to_array(text, '\\s+') AS toks
+        |  FROM documents),
+        |n AS (
+        |  SELECT doc_id, toks,
+        |         CAST(ceil(len(toks) / 10.0) AS BIGINT) AS n_segs
+        |  FROM d),
+        |seg AS (
+        |  SELECT doc_id, i AS seg_idx,
+        |         array_to_string(
+        |           list_slice(toks, CAST(i*10 + 1 AS BIGINT),
+        |                      CAST((i+1)*10 AS BIGINT)), ' ') AS seg
+        |  FROM n, UNNEST(range(n_segs)) AS t(i)),
+        |w AS (
+        |  SELECT doc_id, seg_idx, seg,
+        |         row_number() OVER (PARTITION BY ${h60("seg")}
+        |                            ORDER BY doc_id, seg_idx) AS rn
+        |  FROM seg),
+        |k AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+        |         string_agg(seg, ' ' ORDER BY seg_idx) AS text_dedup
+        |  FROM w WHERE rn = 1 GROUP BY doc_id)
+        |SELECT n.doc_id, n.n_segs,
+        |       CAST(COALESCE(k.n_kept, 0) AS BIGINT) AS n_kept,
+        |       COALESCE(k.text_dedup, '') AS text_dedup
+        |FROM n LEFT JOIN k USING (doc_id)""".stripMargin)),
+
     // Quality-scoring features (length / token / stopword / short-token).
     Q("q21_text_quality",
       (s, dir) => {

@@ -20,6 +20,36 @@ class DedupSpec extends SparkSpec {
     assert(got === Seq((1L, 2L), (3L, 1L), (4L, 1L), (5L, 1L)))
   }
 
+  test("segmentDedup keeps first occurrences, reassembles in order, " +
+      "and empties a fully-duplicate doc") {
+    // 3-token segments: doc 1 = [a b c][d e f], doc 2 repeats doc 1's
+    // first segment then adds new text, doc 3 is entirely doc 1's
+    // segments (→ empty survivor), doc 4 repeats a segment WITHIN itself.
+    val d = Seq(
+      (1L, "a b c d e f"),
+      (2L, "a b c x y z"),
+      (3L, "a b c d e f"),
+      (4L, "p q r p q r")
+    ).toDF("doc_id", "text")
+    val got = Dedup.segmentDedup(d, segTokens = 3)
+      .orderBy($"doc_id")
+      .as[(Long, Long, Long, String)].collect().toSeq
+    assert(got === Seq(
+      (1L, 2L, 2L, "a b c d e f"),
+      (2L, 2L, 1L, "x y z"),
+      (3L, 2L, 0L, ""),
+      (4L, 2L, 1L, "p q r")))
+  }
+
+  test("segmentDedup leaves a duplicate-free corpus bit-identical") {
+    // docs 2 and 3 share segments with doc 1; 1/4/5 share none.
+    val orig = docs.filter($"doc_id".isin(1L, 4L, 5L))
+    val got = Dedup.segmentDedup(orig, segTokens = 4)
+    val back = got.select($"doc_id", $"text_dedup".as("text"))
+    assert(got.filter($"n_kept" =!= $"n_segs").count() === 0)
+    assert(back.except(orig).count() === 0 && orig.except(back).count() === 0)
+  }
+
   test("minhash LSH finds exact and near dups, not unrelated docs") {
     val pairs = Dedup.minhashLsh(docs, numHashes = 16, rowsPerBand = 4,
       shingleN = 3, threshold = 0.5)
