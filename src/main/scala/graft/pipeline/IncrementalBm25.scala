@@ -1,0 +1,126 @@
+package graft.pipeline
+
+import graft.sources.KeyedParquetStore
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{IntegerType, LongType, StringType, StructField, StructType}
+
+/** Incremental BM25 index maintenance — the streaming/ingest counterpart
+  * of the one-shot [[TextAnalysis.bm25IndexRelations]] build (q65's
+  * layout). A live corpus grows batch by batch; rebuilding postings + df
+  * + corpus stats from scratch per batch re-pays the whole corpus every
+  * time. Instead each batch appends PARTIAL relations under its own
+  * `batch=<id>` partition, and the global quantities fall out of sums at
+  * search time:
+  *
+  *  - postings `(term, doc_id, tf, dl, tbucket, batch)` — exact, never
+  *    revised (tf and dl are per-doc facts, and a doc lives in exactly
+  *    one batch);
+  *  - term partials `(term, df, tbucket, batch)` — this batch's doc
+  *    frequency; the true df is the SUM of a term's partials, read only
+  *    for the query's terms;
+  *  - stat partials `(n_docs, sum_dl, batch)` — longs, so the merged
+  *    `avgdl = Σ sum_dl / Σ n_docs` is the bit-identical IEEE division
+  *    the batch build computes.
+  *
+  * Per-batch work is batch-sized (the three upserts merge only the
+  * batch's own partitions — the store's append fast path makes a
+  * first-time ingest one write job per store), and a replayed batch id
+  * re-merges its own partitions idempotently (last-wins keys), so
+  * at-least-once delivery still yields exactly-once index contents.
+  * Search-side cost per query: the query terms' postings lists (both
+  * partition-pruned by `tbucket`) plus one scan of the KB-sized stat
+  * partials. Term-partial fan-in grows with stream lifetime at one row
+  * per (term, batch); [[graft.sources.KeyedParquetStore.compact]] bounds
+  * the file population (see [[graft.streaming.Streams.bm25IngestStream]])
+  * and the search-side sum absorbs the rows — at 10⁶ batches a periodic
+  * roll-up re-aggregation would be the next notch.
+  *
+  * Results are IDENTICAL to [[TextAnalysis.bm25Search]] over the
+  * concatenated corpus: every stored quantity is exact, not approximate
+  * (spec-asserted, scores included).
+  */
+object IncrementalBm25 {
+
+  /** Fixed store schemas: every read skips mergeSchema's per-file footer
+    * inference, and pre-evolution files null-fill (the incremental-dedup
+    * pattern). */
+  val postingsSchema: StructType = StructType(Seq(
+    StructField("term", StringType), StructField("doc_id", LongType),
+    StructField("tf", LongType), StructField("dl", LongType),
+    StructField("tbucket", IntegerType), StructField("batch", StringType)))
+  val termsSchema: StructType = StructType(Seq(
+    StructField("term", StringType), StructField("df", LongType),
+    StructField("tbucket", IntegerType), StructField("batch", StringType)))
+  val statsSchema: StructType = StructType(Seq(
+    StructField("n_docs", LongType), StructField("sum_dl", LongType),
+    StructField("batch", StringType)))
+
+  /** Tokenize `batch` (columns `doc_id`, `text`) and append its partial
+    * relations under partition `batch=<batchId>` in the three stores. */
+  def ingestBatch(spark: SparkSession, batch: DataFrame, batchId: String,
+                  postingsPath: String, termsPath: String, statsPath: String,
+                  nBuckets: Int = 16): Unit = {
+    val docs = batch.select(col("doc_id"), col("text"))
+    // Consumed twice (postings + stats / postings + term partials):
+    // pinned so the tokenize/aggregate runs once per batch.
+    val lens = docs.select(col("doc_id"),
+      size(TextAnalysis.tokens(col("text"))).cast("long").as("dl"))
+      .localCheckpoint()
+    val tf = docs
+      .select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("term"))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+      .localCheckpoint()
+    val tb = pmod(Sampling.bucket(col("term"), "bm25"), lit(nBuckets)).cast("int")
+    val postings = tf.join(lens, Seq("doc_id"))
+      .withColumn("tbucket", tb).withColumn("batch", lit(batchId))
+    val terms = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      .withColumn("tbucket", tb).withColumn("batch", lit(batchId))
+    val stats = lens
+      .agg(count(lit(1)).as("n_docs"),
+        coalesce(sum(col("dl")), lit(0L)).as("sum_dl"))
+      .withColumn("batch", lit(batchId))
+    // The hint lists every (batch, tbucket) pair: over-broad when a small
+    // batch misses a bucket (a wasted probe, documented safe), but static
+    // — no distinct().collect() discovery job on the ingest hot path.
+    val allBuckets: Seq[Seq[Any]] = (0 until nBuckets).map(b => Seq(batchId, b))
+    KeyedParquetStore.upsert(spark, postingsPath, postings,
+      keys = Seq("term", "doc_id"), version = Seq(lit(1)),
+      partitionCols = Seq("batch", "tbucket"), partitionValues = allBuckets,
+      incomingUnique = true)
+    KeyedParquetStore.upsert(spark, termsPath, terms,
+      keys = Seq("term"), version = Seq(lit(1)),
+      partitionCols = Seq("batch", "tbucket"), partitionValues = allBuckets,
+      incomingUnique = true)
+    KeyedParquetStore.upsert(spark, statsPath, stats,
+      keys = Seq("batch"), version = Seq(lit(1)),
+      partitionCols = Seq("batch"), partitionValues = Seq(Seq(batchId)),
+      incomingUnique = true)
+  }
+
+  /** Search the incrementally-built index: resolve the query terms to
+    * bucket ids on the driver (partition pruning over BOTH term-keyed
+    * stores), sum the term/stat partials into the global df / n_docs /
+    * avgdl, and hand the canonical relations to
+    * [[TextAnalysis.bm25SearchStored]] — the scoring expression is the
+    * single shared one, so this face can't drift from the others. */
+  def searchStored(spark: SparkSession, postingsPath: String,
+                   termsPath: String, statsPath: String,
+                   query: Seq[String], k: Int, nBuckets: Int = 16,
+                   k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val buckets = query.map(TextAnalysis.bm25TermBucket(_, nBuckets)).distinct
+    def pruned(path: String, sc: StructType) =
+      KeyedParquetStore.read(spark, path, schema = Some(sc))
+        .getOrElse(sys.error(s"no BM25 index store at $path"))
+        .filter(col("tbucket").isin(buckets: _*))
+    val terms = pruned(termsPath, termsSchema)
+      .filter(col("term").isin(query: _*))
+      .groupBy(col("term")).agg(sum(col("df")).as("df"))
+    val stats = KeyedParquetStore.read(spark, statsPath, schema = Some(statsSchema))
+      .getOrElse(sys.error(s"no BM25 stats store at $statsPath"))
+      .agg(sum(col("n_docs")).as("n_docs"),
+        (sum(col("sum_dl")).cast("double") / sum(col("n_docs"))).as("avgdl"))
+    TextAnalysis.bm25SearchStored(pruned(postingsPath, postingsSchema),
+      terms, stats, query, k, k1, b)
+  }
+}

@@ -175,6 +175,40 @@ object Streams {
       }
       .start()
 
+  /** Streaming BM25 index maintenance: each micro-batch of documents
+    * appends its partial postings / term-df / corpus-stat relations
+    * under its own `batch=eN` partitions
+    * ([[graft.pipeline.IncrementalBm25.ingestBatch]]) — the live-corpus
+    * face of the persisted retrieval index (q65's layout, without the
+    * per-update full rebuild). Per-batch work is batch-sized; search
+    * merges the partials into exact global quantities, so results are
+    * identical to a from-scratch build at every point in the stream.
+    * Replayed epochs re-merge their own partitions idempotently
+    * (at-least-once delivery + last-wins keys = effectively-once index
+    * contents), and the same epoch-cadence compaction as
+    * [[dedupIngestStream]] keeps the three stores' file populations
+    * bounded by cadence, not stream lifetime. Caller owns the returned
+    * query's lifecycle. */
+  def bm25IngestStream(docs: DataFrame, postingsPath: String,
+                       termsPath: String, statsPath: String,
+                       checkpoint: String, nBuckets: Int = 16,
+                       compactEvery: Int = 8,
+                       compactTargetFiles: Int = 1): StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: Dataset[Row], epoch: Long) =>
+        graft.pipeline.IncrementalBm25.ingestBatch(
+          batch.sparkSession, batch.toDF(), s"e$epoch",
+          postingsPath, termsPath, statsPath, nBuckets)
+        if (compactEvery > 0 && epoch > 0 && epoch % compactEvery == 0)
+          Seq(postingsPath, termsPath, statsPath).foreach { p =>
+            graft.sources.KeyedParquetStore.compact(
+              batch.sparkSession, p, compactTargetFiles)
+          }
+      }
+      .start()
+
   /** Streaming exact dedup: drop events whose `event_id` was already seen
     * for the key — the streaming face of `Dedup.exact`.
     *

@@ -227,6 +227,58 @@ class StreamsSpec extends SparkSpec {
     assert(labeled === Map(40L -> "dup_of_stored", 41L -> "kept"))
   }
 
+  test("bm25IngestStream: stream-built index answers identically to a " +
+      "from-scratch batch build (r7)") {
+    val dir = Files.createTempDirectory("docs_bm25_stream").toFile
+    val ckpt = Files.createTempDirectory("bm25_ckpt").toString
+    val store = Files.createTempDirectory("bm25_store").toString
+    val (pP, tP, sP) = (s"$store/postings", s"$store/terms", s"$store/stats")
+    val batches = Seq(
+      Seq((1L, "spark shuffles data across the cluster for a join"),
+        (2L, "a window function ranks rows within a partition")),
+      Seq((3L, "merge small files before the join to cut spark overhead"),
+        (4L, "columnar parquet storage speeds the scan")),
+      Seq((5L, "the spark window merge path avoids a full shuffle")))
+    def schema = Seq((0L, "")).toDF("doc_id", "text").schema
+    batches.head.toDF("doc_id", "text")
+      .coalesce(1).write.mode("overwrite").parquet(dir.toString)
+    val stream = spark.readStream.schema(schema).parquet(dir.toString)
+    val q = Streams.bm25IngestStream(stream, pP, tP, sP, ckpt, compactEvery = 2)
+    q.processAllAvailable()
+    batches.tail.foreach { b =>
+      b.toDF("doc_id", "text")
+        .coalesce(1).write.mode("append").parquet(dir.toString)
+      q.processAllAvailable() // one file per micro-batch
+    }
+    q.stop()
+    val query = Seq("spark", "window", "merge")
+    val got = graft.pipeline.IncrementalBm25
+      .searchStored(spark, pP, tP, sP, query, k = 10)
+      .as[(Long, Double)].collect().toSeq
+    val want = graft.pipeline.TextAnalysis
+      .bm25Search(batches.flatten.toDF("doc_id", "text"), query, k = 10)
+      .as[(Long, Double)].collect().toSeq
+    assert(got === want) // scores INCLUDED: exact, not approximate
+    assert(got.nonEmpty && got.map(_._1).contains(5L))
+  }
+
+  test("IncrementalBm25: a replayed batch id re-merges idempotently (r7)") {
+    val store = Files.createTempDirectory("bm25_retry_store").toString
+    val (pP, tP, sP) = (s"$store/postings", s"$store/terms", s"$store/stats")
+    val b1 = Seq((1L, "spark joins shuffle data"), (2L, "window ranks rows"))
+      .toDF("doc_id", "text")
+    graft.pipeline.IncrementalBm25.ingestBatch(spark, b1, "e0", pP, tP, sP)
+    val before = graft.pipeline.IncrementalBm25
+      .searchStored(spark, pP, tP, sP, Seq("spark", "window"), k = 5)
+      .as[(Long, Double)].collect().toSeq
+    // at-least-once delivery: the SAME batch id arrives again
+    graft.pipeline.IncrementalBm25.ingestBatch(spark, b1, "e0", pP, tP, sP)
+    val after = graft.pipeline.IncrementalBm25
+      .searchStored(spark, pP, tP, sP, Seq("spark", "window"), k = 5)
+      .as[(Long, Double)].collect().toSeq
+    assert(after === before) // no double-counted df / n_docs / postings
+  }
+
   test("dedupIngestStream: micro-batches accrete only survivors into the index (r4)") {
     val dir = Files.createTempDirectory("docs_stream").toFile
     val ckpt = Files.createTempDirectory("dedup_ckpt").toString
