@@ -21,19 +21,26 @@ object JobCount {
     spark.sparkContext.setLogLevel("WARN")
     @volatile var jobs = 0
     @volatile var tasks = 0
+    val sites = new java.util.concurrent.ConcurrentLinkedQueue[String]()
     spark.sparkContext.addSparkListener(new SparkListener {
+      override def onJobStart(e: SparkListenerJobStart): Unit =
+        sites.add(e.stageInfos.lastOption.map(_.name).getOrElse("?"))
       override def onJobEnd(e: SparkListenerJobEnd): Unit = jobs += 1
       override def onTaskEnd(e: SparkListenerTaskEnd): Unit = tasks += 1
     })
     // warm
     SparkEntry.queries("q01_index_daily")(spark, dir).write.format("noop").mode("overwrite").save()
-    Thread.sleep(500); jobs = 0; tasks = 0
+    Thread.sleep(500); jobs = 0; tasks = 0; sites.clear()
     val name = sys.env.getOrElse("JC_QUERY", "q49_incremental_dedup")
     val t0 = System.nanoTime()
     SparkEntry.queries(name)(spark, dir).write.format("noop").mode("overwrite").save()
     val dt = (System.nanoTime() - t0) / 1e9
     Thread.sleep(500)
     println(s"RESULT $name: jobs=$jobs tasks=$tasks time=${dt}s")
+    import scala.jdk.CollectionConverters._
+    sites.asScala.groupBy(identity).toSeq.sortBy(-_._2.size).foreach {
+      case (s, n) => println(s"  SITE ${n.size}x $s")
+    }
     spark.stop()
   }
 }

@@ -209,6 +209,34 @@ object Streams {
       }
       .start()
 
+  /** Streaming IVF insertion: each micro-batch of embeddings is assigned
+    * to the FROZEN stored centroids and appended under its own
+    * `(cell, batch=eN)` partitions
+    * ([[graft.pipeline.IncrementalIvf.ingestBatch]]) — the vector-corpus
+    * analog of [[bm25IngestStream]]. Requires
+    * [[graft.pipeline.IncrementalIvf.buildCentroids]] to have run once;
+    * searches at any point see exactly the vectors ingested so far,
+    * assigned identically to a one-shot build. Same idempotent-replay and
+    * compaction-cadence story as the other ingest sinks. */
+  def ivfIngestStream(vectors: DataFrame, centroidsPath: String,
+                      assignedPath: String, checkpoint: String,
+                      compactEvery: Int = 8,
+                      compactTargetFiles: Int = 1): StreamingQuery =
+    vectors.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: Dataset[Row], epoch: Long) =>
+        graft.pipeline.IncrementalIvf.ingestBatch(
+          batch.sparkSession, batch.toDF(), s"e$epoch",
+          centroidsPath, assignedPath)
+        if (compactEvery > 0 && epoch > 0 && epoch % compactEvery == 0) {
+          graft.sources.KeyedParquetStore.compact(
+            batch.sparkSession, assignedPath, compactTargetFiles)
+          ()
+        }
+      }
+      .start()
+
   /** Streaming exact dedup: drop events whose `event_id` was already seen
     * for the key — the streaming face of `Dedup.exact`.
     *

@@ -598,6 +598,33 @@ class SimilaritySpec extends SparkSpec {
     assert(byTables(2)._2 >= 0.6, s"8-table recall floor: $byTables")
   }
 
+  test("IncrementalIvf: batch insertion against frozen centroids equals " +
+      "a one-shot build, and a replayed batch id changes nothing (r7)") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val probes = emb.filter($"vec_id" < 5)
+    val root = java.nio.file.Files.createTempDirectory("ivf_incr").toString
+    val (cP, aP) = (s"$root/centroids", s"$root/assigned")
+    // train ONCE on the first half; insert the rest in two batches
+    val seed = emb.filter($"vec_id" % 2 === 0)
+    IncrementalIvf.buildCentroids(spark, seed, cP, numCells = 8, trainIters = 2)
+    IncrementalIvf.ingestBatch(spark, seed, "e0", cP, aP)
+    IncrementalIvf.ingestBatch(spark, emb.filter($"vec_id" % 2 === 1), "e1", cP, aP)
+    val got = IncrementalIvf.searchStored(spark, cP, aP, probes, k = 5, nProbe = 2)
+      .select($"probe_id", $"neighbor_id", $"cos_sim", $"rank").collect().toSet
+    // one-shot: the WHOLE corpus assigned at once to the same centroids
+    val index = graft.sources.KeyedParquetStore.read(spark, cP,
+      schema = Some(IncrementalIvf.centroidsSchema)).get
+    val oneShot = Similarity.searchIvfAssigned(
+      Similarity.assignIvfCells(emb, index), index, probes, k = 5, nProbe = 2)
+      .select($"probe_id", $"neighbor_id", $"cos_sim", $"rank").collect().toSet
+    assert(got === oneShot) // similarities included: insertion is exact
+    // at-least-once delivery: replaying e1 re-merges idempotently
+    IncrementalIvf.ingestBatch(spark, emb.filter($"vec_id" % 2 === 1), "e1", cP, aP)
+    val after = IncrementalIvf.searchStored(spark, cP, aP, probes, k = 5, nProbe = 2)
+      .select($"probe_id", $"neighbor_id", $"cos_sim", $"rank").collect().toSet
+    assert(after === got)
+  }
+
   test("cosinePairsLsh finds exact copies within buckets, never opposites") {
     val got = Similarity.cosinePairsLsh(vectors, 0.999, bits = 6, dim = 4)
       .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet

@@ -262,6 +262,31 @@ class StreamsSpec extends SparkSpec {
     assert(got.nonEmpty && got.map(_._1).contains(5L))
   }
 
+  test("ivfIngestStream: streamed vectors land in the stored index and " +
+      "search sees every epoch (r7)") {
+    val dir = Files.createTempDirectory("vecs_stream").toFile
+    val ckpt = Files.createTempDirectory("ivf_ckpt").toString
+    val store = Files.createTempDirectory("ivf_store").toString
+    val (cP, aP) = (s"$store/centroids", s"$store/assigned")
+    def v(xs: Double*): Seq[Float] = xs.map(_.toFloat)
+    val b1 = Seq((0L, v(1, 0, 0, 0)), (1L, v(0.9, 0.1, 0, 0)),
+      (2L, v(0, 1, 0, 0))).toDF("vec_id", "embedding")
+    val b2 = Seq((3L, v(1, 0, 0, 0)), (4L, v(0, 0.9, 0.1, 0)))
+      .toDF("vec_id", "embedding")
+    graft.pipeline.IncrementalIvf.buildCentroids(spark, b1, cP, numCells = 2)
+    b1.coalesce(1).write.mode("overwrite").parquet(dir.toString)
+    val stream = spark.readStream.schema(b1.schema).parquet(dir.toString)
+    val q = Streams.ivfIngestStream(stream, cP, aP, ckpt)
+    q.processAllAvailable()
+    b2.coalesce(1).write.mode("append").parquet(dir.toString)
+    q.processAllAvailable(); q.stop()
+    // every streamed vector is searchable; nProbe == numCells -> exact
+    val got = graft.pipeline.IncrementalIvf
+      .searchStored(spark, cP, aP, b1.filter($"vec_id" === 0), k = 4, nProbe = 2)
+      .select($"neighbor_id").as[Long].collect().toSet
+    assert(got === Set(1L, 2L, 3L, 4L))
+  }
+
   test("IncrementalBm25: a replayed batch id re-merges idempotently (r7)") {
     val store = Files.createTempDirectory("bm25_retry_store").toString
     val (pP, tP, sP) = (s"$store/postings", s"$store/terms", s"$store/stats")
