@@ -1247,6 +1247,90 @@ object PipelineQueries {
         |  sum(ntok) * 1.0 / count(*) AS avg_tokens
         |FROM d GROUP BY ROLLUP(lang, source)""".stripMargin)),
 
+    // Sequential-pattern FUNNEL over the event stream: per user, the
+    // first view, the first click strictly AFTER that view, the first
+    // purchase strictly after that click, and the stage reached — the
+    // order-dependent analytics shape (every prior event query is
+    // order-free aggregation). ONE shuffle total: three same-partitioning
+    // window mins share a single user_id exchange, and the final per-user
+    // collapse reuses it (hash partitioning on user_id already
+    // satisfies the groupBy). Strict '>' ties and nanos→micros
+    // truncation are identical in the oracle's join-chain phrasing.
+    Q("q68_funnel_stages",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col("user_id"))
+        Tables.events(s, dir).select(col("user_id"), col("ts"), col("event_type"))
+          .withColumn("v_ts",
+            min(when(col("event_type") === "view", col("ts"))).over(w))
+          .withColumn("c_ts",
+            min(when(col("event_type") === "click" && col("ts") > col("v_ts"),
+              col("ts"))).over(w))
+          .withColumn("p_ts",
+            min(when(col("event_type") === "purchase" && col("ts") > col("c_ts"),
+              col("ts"))).over(w))
+          .groupBy(col("user_id"))
+          .agg(min(col("v_ts")).as("view_ts"), min(col("c_ts")).as("click_ts"),
+            min(col("p_ts")).as("purchase_ts"))
+          .withColumn("stage",
+            when(col("purchase_ts").isNotNull, 3L)
+              .when(col("click_ts").isNotNull, 2L)
+              .when(col("view_ts").isNotNull, 1L).otherwise(0L))
+      },
+      Some("""WITH e AS (
+        |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_type FROM events),
+        |v AS (
+        |  SELECT user_id,
+        |    min(CASE WHEN event_type = 'view' THEN ts END) AS view_ts
+        |  FROM e GROUP BY 1),
+        |c AS (
+        |  SELECT e.user_id,
+        |    min(CASE WHEN event_type = 'click' AND e.ts > v.view_ts
+        |        THEN e.ts END) AS click_ts
+        |  FROM e JOIN v USING (user_id) GROUP BY 1),
+        |p AS (
+        |  SELECT e.user_id,
+        |    min(CASE WHEN event_type = 'purchase' AND e.ts > c.click_ts
+        |        THEN e.ts END) AS purchase_ts
+        |  FROM e JOIN c USING (user_id) GROUP BY 1)
+        |SELECT v.user_id, v.view_ts, c.click_ts, p.purchase_ts,
+        |  CAST(CASE WHEN p.purchase_ts IS NOT NULL THEN 3
+        |       WHEN c.click_ts IS NOT NULL THEN 2
+        |       WHEN v.view_ts IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS stage
+        |FROM v JOIN c USING (user_id) JOIN p USING (user_id)""".stripMargin)),
+
+    // Mixture CROSS-TAB: per-source token counts pivoted into one column
+    // per language — the wide planning table beside q63's long-form
+    // rollup, and the engine's PIVOT surface. The pivot values are the
+    // corpus's FIXED language set, passed explicitly: no
+    // distinct-collect discovery pass, a schema that is stable across
+    // SFs, and the whole pivot compiles to ONE groupBy(source) with five
+    // conditional sums — a single exchange of 20×5 count cells with
+    // map-side partials (the oracle spells the same CASE WHEN shape).
+    // A lang absent from a source yields 0, not null, on both sides.
+    Q("q67_lang_pivot",
+      (s, dir) => {
+        val langs = Seq("de", "en", "es", "fr", "zh")
+        Tables.documents(s, dir)
+          .select(col("source"), col("lang"),
+            size(TextAnalysis.tokens(col("text"))).cast("long").as("ntok"))
+          .groupBy(col("source"))
+          .pivot("lang", langs)
+          .agg(sum(col("ntok")))
+          .na.fill(0L, langs)
+      },
+      Some("""WITH d AS (
+        |  SELECT source, lang,
+        |    CAST(len(regexp_split_to_array(text, '\s+')) AS BIGINT) AS ntok
+        |  FROM documents)
+        |SELECT source,
+        |  CAST(COALESCE(sum(CASE WHEN lang = 'de' THEN ntok END), 0) AS BIGINT) AS de,
+        |  CAST(COALESCE(sum(CASE WHEN lang = 'en' THEN ntok END), 0) AS BIGINT) AS en,
+        |  CAST(COALESCE(sum(CASE WHEN lang = 'es' THEN ntok END), 0) AS BIGINT) AS es,
+        |  CAST(COALESCE(sum(CASE WHEN lang = 'fr' THEN ntok END), 0) AS BIGINT) AS fr,
+        |  CAST(COALESCE(sum(CASE WHEN lang = 'zh' THEN ntok END), 0) AS BIGINT) AS zh
+        |FROM d GROUP BY source""".stripMargin)),
+
     // CCNet-style unigram-LM quality score: the corpus's own unigram
     // distribution scores each doc by mean per-token negative log-prob —
     // the corpus-statistical quality filter beside q21's per-doc
