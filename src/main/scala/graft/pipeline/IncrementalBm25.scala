@@ -98,6 +98,49 @@ object IncrementalBm25 {
       incomingUnique = true)
   }
 
+  /** Consolidate the term/stat PARTIALS: fold every batch partition not
+    * named in `keepBatches` into a single `batch=rollup` partition (the
+    * sums are exact, so search results are unchanged — spec-asserted),
+    * bounding the per-term partial fan-in by roll-up cadence instead of
+    * stream lifetime. The postings store never needs this: its rows are
+    * per-doc facts, only its FILE population grows, which `compact`
+    * handles.
+    *
+    * `keepBatches` must name every batch that could still be REPLAYED
+    * (in the streaming sink: the epoch being processed — older epochs
+    * are checkpoint-committed and never redelivered). A replayed batch
+    * whose partition was folded away would re-ingest as new rows and
+    * double-count df/n_docs; keeping its partition intact preserves the
+    * idempotent re-merge. Re-running the roll-up itself is idempotent —
+    * the `rollup` partition folds into the next roll-up like any other. */
+  def rollupPartials(spark: SparkSession, termsPath: String, statsPath: String,
+                     keepBatches: Set[String] = Set.empty): Unit = {
+    val keep = keepBatches.toSeq
+    KeyedParquetStore.read(spark, termsPath, schema = Some(termsSchema))
+      .foreach { terms =>
+        val kept = terms.filter(col("batch").isin(keep: _*))
+        val rolled = terms.filter(!col("batch").isin(keep: _*))
+          .groupBy(col("term"), col("tbucket")).agg(sum(col("df")).as("df"))
+          .withColumn("batch", lit("rollup"))
+        KeyedParquetStore.replace(spark, termsPath,
+          rolled.unionByName(kept).select(
+            col("term"), col("df"), col("tbucket"), col("batch")),
+          partitionCols = Seq("batch", "tbucket"))
+      }
+    KeyedParquetStore.read(spark, statsPath, schema = Some(statsSchema))
+      .foreach { stats =>
+        val kept = stats.filter(col("batch").isin(keep: _*))
+        val rolled = stats.filter(!col("batch").isin(keep: _*))
+          .agg(coalesce(sum(col("n_docs")), lit(0L)).as("n_docs"),
+            coalesce(sum(col("sum_dl")), lit(0L)).as("sum_dl"))
+          .withColumn("batch", lit("rollup"))
+        KeyedParquetStore.replace(spark, statsPath,
+          rolled.unionByName(kept).select(
+            col("n_docs"), col("sum_dl"), col("batch")),
+          partitionCols = Seq("batch"))
+      }
+  }
+
   /** Search the incrementally-built index: resolve the query terms to
     * bucket ids on the driver (partition pruning over BOTH term-keyed
     * stores), sum the term/stat partials into the global df / n_docs /

@@ -70,6 +70,45 @@ object IncrementalIvf {
       incomingUnique = true)
   }
 
+  /** RE-TRAIN the index from the stored vectors and re-assign the whole
+    * corpus — the periodic answer to distribution drift under frozen-
+    * centroid insertion (the Faiss re-train contract; see README's
+    * re-train-cadence knob). The assigned store carries the vectors, so
+    * no original corpus access is needed: read it back, train fresh
+    * centroids, re-assign every vector, and REPLACE both stores (the
+    * assignment legitimately shrinks/reshapes partitions — not a merge).
+    * Deterministic: training is hash-bucket-seeded and decimal-exact,
+    * so re-running on the same store reproduces the same index.
+    *
+    * NOT crash-atomic ACROSS the two stores (each replace is
+    * individually atomic): a crash between them leaves new centroids
+    * with the old assignment. Searches against that pairing mis-prune —
+    * re-run `retrain` to converge; a deployment that needs stronger
+    * guarantees versions the store pair under one manifest. Run from
+    * the stream owner's thread, never concurrently with ingest (the
+    * writer locks serialize the conflict to a fail-fast either way). */
+  def retrain(spark: SparkSession, centroidsPath: String,
+              assignedPath: String, numCells: Int = 8,
+              trainIters: Int = 2, batchLabel: String = "retrain"): Unit = {
+    val assigned = KeyedParquetStore.read(spark, assignedPath,
+        schema = Some(assignedSchema))
+      .getOrElse(sys.error(s"no assigned-corpus store at $assignedPath"))
+    val corpus = assigned
+      .select(col("neighbor_id").as("vec_id"), col("cv").as("embedding"))
+    // KB-sized; pinned so the centroid relation is not re-derived from
+    // the store mid-replace
+    val index = Similarity.buildIvfIndex(corpus, numCells, trainIters)
+      .localCheckpoint()
+    val reassigned = Similarity.assignIvfCells(corpus, index)
+      .withColumn("batch", lit(batchLabel))
+    // assignment first (reads the old store into staging, then swaps),
+    // centroids second; both orders are observably inconsistent if a
+    // crash lands between them — see the scaladoc contract
+    KeyedParquetStore.replace(spark, assignedPath, reassigned,
+      partitionCols = Seq("cell", "batch"))
+    KeyedParquetStore.replace(spark, centroidsPath, index)
+  }
+
   /** Search the incrementally-built index: the stored centroids pick the
     * probed cells, the assigned store prunes to them, and the shared
     * scoring path ranks — identical to q61's search over a one-shot

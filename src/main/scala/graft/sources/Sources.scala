@@ -513,6 +513,32 @@ object KeyedParquetStore {
     } finally h.release()
   }
 
+  /** REPLACE the store's contents wholesale — the consolidation
+    * primitive under `upsert`'s merge-only semantics: a partial roll-up
+    * (many `batch=` partitions → one consolidated partition) or an index
+    * re-train legitimately SHRINKS the store, which no sequence of
+    * last-wins merges can express. Same writer lock + staged full swap
+    * as the initial `upsert` write: readers see the old store until one
+    * atomic rename, a crash leaves the healable `.old` pre-image, and a
+    * live writer fails fast. `contents` MAY read from the store being
+    * replaced (the roll-up shape): it materializes into staging while
+    * the store is still intact, and only then swaps. */
+  def replace(spark: SparkSession, path: String, contents: DataFrame,
+              partitionCols: Seq[String] = Nil,
+              lockTtlMs: Long = 10L * 60 * 1000): Unit = {
+    val f = fs(spark, path)
+    val h = acquireLock(f, new HPath(path + ".lock"), lockTtlMs)
+    try {
+      heal(f, path)
+      val staging = path + ".staging"
+      f.delete(new HPath(staging), true)
+      val w = contents.write.mode(SaveMode.Overwrite)
+      (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
+        .parquet(staging)
+      swap(f, new HPath(staging), new HPath(path), new HPath(path + ".old"))
+    } finally h.release()
+  }
+
   /** Deepest directories holding data files: partition leaves of a
     * partitioned store, or the root itself when unpartitioned. */
   private def leafDataDirs(f: FileSystem, base: HPath): Seq[HPath] = {

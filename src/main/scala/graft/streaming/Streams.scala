@@ -201,11 +201,19 @@ object Streams {
         graft.pipeline.IncrementalBm25.ingestBatch(
           batch.sparkSession, batch.toDF(), s"e$epoch",
           postingsPath, termsPath, statsPath, nBuckets)
-        if (compactEvery > 0 && epoch > 0 && epoch % compactEvery == 0)
-          Seq(postingsPath, termsPath, statsPath).foreach { p =>
-            graft.sources.KeyedParquetStore.compact(
-              batch.sparkSession, p, compactTargetFiles)
-          }
+        if (compactEvery > 0 && epoch > 0 && epoch % compactEvery == 0) {
+          // Postings rows are per-doc facts — only their FILE population
+          // grows: compact. Term/stat PARTIALS grow in ROW count per
+          // batch: roll them up instead, keeping the current epoch's
+          // partitions intact so a crash-replay of this epoch still
+          // re-merges idempotently (older epochs are checkpoint-committed
+          // and never redelivered).
+          graft.sources.KeyedParquetStore.compact(
+            batch.sparkSession, postingsPath, compactTargetFiles)
+          graft.pipeline.IncrementalBm25.rollupPartials(
+            batch.sparkSession, termsPath, statsPath,
+            keepBatches = Set(s"e$epoch"))
+        }
       }
       .start()
 

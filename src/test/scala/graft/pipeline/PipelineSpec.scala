@@ -625,6 +625,29 @@ class SimilaritySpec extends SparkSpec {
     assert(after === got)
   }
 
+  test("IncrementalIvf.retrain rebuilds from the stored vectors and " +
+      "equals a fresh one-shot build at the new cell count (r7)") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val probes = emb.filter($"vec_id" < 5)
+    val root = java.nio.file.Files.createTempDirectory("ivf_retrain").toString
+    val (cP, aP) = (s"$root/centroids", s"$root/assigned")
+    // seed with a DELIBERATELY coarse index, then grow the corpus
+    IncrementalIvf.buildCentroids(spark, emb.filter($"vec_id" % 2 === 0), cP,
+      numCells = 4, trainIters = 2)
+    IncrementalIvf.ingestBatch(spark, emb.filter($"vec_id" % 2 === 0), "e0", cP, aP)
+    IncrementalIvf.ingestBatch(spark, emb.filter($"vec_id" % 2 === 1), "e1", cP, aP)
+    IncrementalIvf.retrain(spark, cP, aP, numCells = 8, trainIters = 2)
+    val got = IncrementalIvf.searchStored(spark, cP, aP, probes, k = 5, nProbe = 2)
+      .select($"probe_id", $"neighbor_id", $"cos_sim", $"rank").collect().toSet
+    // fresh one-shot build over the same corpus at the same cell count:
+    // training is hash-seeded + decimal-exact, so the indexes coincide
+    val fresh = Similarity.buildIvfIndex(emb, numCells = 8, trainIters = 2)
+    val want = Similarity.searchIvfAssigned(
+      Similarity.assignIvfCells(emb, fresh), fresh, probes, k = 5, nProbe = 2)
+      .select($"probe_id", $"neighbor_id", $"cos_sim", $"rank").collect().toSet
+    assert(got === want)
+  }
+
   test("cosinePairsLsh finds exact copies within buckets, never opposites") {
     val got = Similarity.cosinePairsLsh(vectors, 0.999, bits = 6, dim = 4)
       .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet

@@ -481,6 +481,33 @@ class SourcesSpec extends SparkSpec {
     assert(ids === Set("A1", "A2"), "existing rows must survive a mis-rendered hint")
   }
 
+  test("replace overwrites wholesale, may read from itself, and stays " +
+      "crash-healable (r7)") {
+    val path = Files.createTempDirectory("store_replace").toString + "/partials"
+    val v1 = Seq(("a", 1L, "e0"), ("a", 2L, "e1"), ("b", 3L, "e1"))
+      .toDF("term", "df", "batch")
+    KeyedParquetStore.upsert(spark, path, v1, Seq("term", "batch"), Seq(lit(1)),
+      partitionCols = Seq("batch"))
+    // the roll-up shape: contents DERIVED FROM the store being replaced
+    val rolled = KeyedParquetStore.read(spark, path).get
+      .groupBy($"term").agg(sum($"df").as("df"))
+      .withColumn("batch", org.apache.spark.sql.functions.lit("rollup"))
+    KeyedParquetStore.replace(spark, path, rolled, partitionCols = Seq("batch"))
+    val got = KeyedParquetStore.read(spark, path).get
+      .select($"term", $"df", $"batch").as[(String, Long, String)]
+      .collect().toSet
+    assert(got === Set(("a", 3L, "rollup"), ("b", 3L, "rollup"))) // shrunk: 3 -> 2 rows
+    // crash simulation: store vanished mid-swap, .old pre-image left
+    val f = org.apache.hadoop.fs.FileSystem.get(new java.net.URI("file:///"),
+      spark.sparkContext.hadoopConfiguration)
+    f.rename(new org.apache.hadoop.fs.Path(path),
+      new org.apache.hadoop.fs.Path(path + ".old"))
+    val healed = KeyedParquetStore.read(spark, path).get
+      .select($"term", $"df", $"batch").as[(String, Long, String)]
+      .collect().toSet
+    assert(healed === got)
+  }
+
   test("partitioned store prunes partitions on date filters") {
     val path = Files.createTempDirectory("store_part").toString + "/stocks"
     val rows = (1 to 10).flatMap(day => Seq(("AAA", f"2024-01-$day%02d", day * 1.0, 1)))

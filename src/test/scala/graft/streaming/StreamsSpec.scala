@@ -304,6 +304,41 @@ class StreamsSpec extends SparkSpec {
     assert(after === before) // no double-counted df / n_docs / postings
   }
 
+  test("IncrementalBm25.rollupPartials: partials consolidate, search is " +
+      "unchanged, and the kept epoch still replays idempotently (r7)") {
+    val store = Files.createTempDirectory("bm25_rollup_store").toString
+    val (pP, tP, sP) = (s"$store/postings", s"$store/terms", s"$store/stats")
+    val batches = Seq(
+      Seq((1L, "spark shuffles data for the join")),
+      Seq((2L, "a window ranks rows per partition")),
+      Seq((3L, "the spark window merge path")))
+    batches.zipWithIndex.foreach { case (b, i) =>
+      graft.pipeline.IncrementalBm25.ingestBatch(spark,
+        b.toDF("doc_id", "text"), s"e$i", pP, tP, sP)
+    }
+    val query = Seq("spark", "window", "merge")
+    def search() = graft.pipeline.IncrementalBm25
+      .searchStored(spark, pP, tP, sP, query, k = 10)
+      .as[(Long, Double)].collect().toSeq
+    val before = search()
+    graft.pipeline.IncrementalBm25.rollupPartials(spark, tP, sP,
+      keepBatches = Set("e2"))
+    assert(search() === before) // exact sums: consolidation is invisible
+    // layout: only the rollup partition + the kept epoch remain
+    def batchesOf(path: String) = spark.read.parquet(path)
+      .select($"batch").distinct().as[String].collect().toSet
+    assert(batchesOf(tP) === Set("rollup", "e2"))
+    assert(batchesOf(sP) === Set("rollup", "e2"))
+    // the kept epoch's partition survived -> its replay stays a no-op
+    graft.pipeline.IncrementalBm25.ingestBatch(spark,
+      batches(2).toDF("doc_id", "text"), "e2", pP, tP, sP)
+    assert(search() === before)
+    // a second roll-up folds everything (no replay horizon left)
+    graft.pipeline.IncrementalBm25.rollupPartials(spark, tP, sP)
+    assert(search() === before)
+    assert(batchesOf(tP) === Set("rollup"))
+  }
+
   test("dedupIngestStream: micro-batches accrete only survivors into the index (r4)") {
     val dir = Files.createTempDirectory("docs_stream").toFile
     val ckpt = Files.createTempDirectory("dedup_ckpt").toString
