@@ -226,6 +226,71 @@ object ParityQueries {
         |JOIN nation ON s_nationkey = n_nationkey
         |GROUP BY n_name""".stripMargin)),
 
+    // Multi-fact drill: lineitem ⋈ orders ⋈ customer ⋈ nation — the
+    // 4-table join-planning surface q08's dim-only chain doesn't touch.
+    // The two FACT joins shuffle on their keys (orderkey, then custkey)
+    // and Catalyst reorders nothing away; the nation dim broadcasts; the
+    // final (nation, segment) rollup exchanges 25×5 cells. Revenue sums
+    // exact through DECIMAL — partition-parallel Σ equals DuckDB's
+    // serial one bit-for-bit.
+    Q("q69_segment_revenue",
+      (s, dir) =>
+        Tables.lineitem(s, dir)
+          .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+          .join(Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey")),
+            col("l_orderkey") === col("o_orderkey"))
+          .join(Tables.customer(s, dir)
+            .select(col("c_custkey"), col("c_nationkey"), col("c_mktsegment")),
+            col("o_custkey") === col("c_custkey"))
+          .join(broadcast(Tables.nation(s, dir)),
+            col("c_nationkey") === col("n_nationkey"))
+          .groupBy(col("n_name"), col("c_mktsegment"))
+          .agg(
+            CoreOps.exactSum(col("l_extendedprice") * (lit(1) - col("l_discount")), 4)
+              .as("revenue"),
+            count(lit(1)).as("n_items")),
+      Some("""SELECT n_name, c_mktsegment,
+        |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,4))) AS DOUBLE) AS revenue,
+        |  count(*) AS n_items
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name, c_mktsegment""".stripMargin)),
+
+    // Cohort RETENTION over the event stream: users grouped by first-
+    // activity week, distinct active users per (cohort, weeks-since) —
+    // the time-offset cross-grain the funnel (q68) and windowed counts
+    // (q59) don't cover. Cohort assignment rides a user_id window (one
+    // exchange, the q68 pattern); the retention grid is a second
+    // exchange of (cohort, offset, user) ids via the two-phase distinct
+    // aggregate. Weeks are date_trunc Mondays in both engines, so the
+    // day-diff is an exact multiple of 7 and the /7 division is exact.
+    Q("q70_cohort_retention",
+      (s, dir) => {
+        val w = Window.partitionBy(col("user_id"))
+        Tables.events(s, dir)
+          .select(col("user_id"),
+            date_trunc("week", col("ts")).cast("date").as("wk"))
+          .withColumn("cohort_week", min(col("wk")).over(w))
+          .groupBy(col("cohort_week"),
+            (datediff(col("wk"), col("cohort_week")) / 7).cast("long")
+              .as("weeks_since"))
+          .agg(countDistinct(col("user_id")).as("n_active"))
+      },
+      Some("""WITH e AS (
+        |  SELECT user_id,
+        |    CAST(date_trunc('week', CAST(ts AS TIMESTAMP)) AS DATE) AS wk
+        |  FROM events),
+        |c AS (
+        |  SELECT user_id, wk,
+        |    min(wk) OVER (PARTITION BY user_id) AS cohort_week
+        |  FROM e)
+        |SELECT cohort_week,
+        |  CAST(date_diff('day', cohort_week, wk) / 7 AS BIGINT) AS weeks_since,
+        |  count(DISTINCT user_id) AS n_active
+        |FROM c GROUP BY 1, 2""".stripMargin)),
+
     // A4: top-k + OTHERS bucket (collapses the reference's N+1 loop,
     // `dashboard.py:108-119`). The top-3 comes from orderBy+limit
     // (TakeOrderedAndProject — per-partition top-3, then a 3-row merge)
