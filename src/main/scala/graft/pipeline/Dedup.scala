@@ -124,7 +124,13 @@ object Dedup {
     * Contract nuance vs the old shape: a candidate pair sharing NO
     * shingle now surfaces with `jaccard` 0 (one shared exchange can't
     * inner-join it away); every caller filters `jaccard >= threshold`
-    * with a positive threshold, so downstream results are identical. */
+    * with a positive threshold, so downstream results are identical.
+    * Measured cost of that nuance: the zero-overlap pairs flow through
+    * the aggregate instead of dying in an inner join, which is why the
+    * quadratic all-pairs baseline (q24, whose candidate set is dominated
+    * by low-overlap pairs) benched ~2× slower after the r7 rewrite
+    * (0.7 → 1.4 s) while the LSH-gated callers — whose candidates
+    * overlap by construction — kept their exchange-count win. */
   def exactJaccard(pairs: DataFrame, sh: DataFrame): DataFrame =
     pairs.select(col("doc_a"), col("doc_b"),
       explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))

@@ -358,7 +358,12 @@ object PipelineQueries {
 
     // All-pairs n-gram Jaccard near-dup — the QUADRATIC baseline, bounded
     // to a fixed id range precisely because it does not scale; the LSH
-    // query below is the scale path.
+    // query below is the scale path. Bench note: r7's single-join
+    // exactJaccard rewrite made THIS query ~2× slower (0.7 → 1.4 s) —
+    // its candidate set is dominated by zero/low-overlap pairs that now
+    // flow through the aggregate instead of dying in an inner join —
+    // an accepted trade for the 5→3-exchange win on the LSH-gated
+    // callers (see Dedup.exactJaccard's contract-nuance scaladoc).
     Q("q24_ngram_jaccard",
       (s, dir) =>
         Dedup.allPairsJaccard(
