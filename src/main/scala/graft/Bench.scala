@@ -1,5 +1,7 @@
 package graft
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.scheduler._
+
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -11,8 +13,53 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
+      // Static conf, default 100: the full registry generates far more
+      // distinct codegen classes than that, so the class cache thrashes —
+      // the r8 evidence run shows q49 Janino-recompiling 66 classes on
+      // EVERY run (~1-2 s of its fixed cost, and the component that
+      // amplifies under ambient CPU load, which is where the r7
+      // driver-vs-local 10.8 s/4.5 s divergence lives). One registry run
+      // compiles ~2k distinct classes; cache them all.
+      .config("spark.sql.codegen.cache.maxEntries", "4000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Per-run evidence sidecar (JSONL, one row per timed run): scheduler
+    // counts (jobs/stages/tasks), GC-time and codegen-compile deltas, and
+    // heap occupancy — the r7 verdict's q49/q37 driver-vs-local bench gap
+    // (10.8 s vs 4.5 s for the same query on the same machine) can only be
+    // adjudicated with per-run evidence from INSIDE the full-registry run,
+    // since the regression never reproduces in isolation. Stdout contract
+    // (one JSON line) is unchanged; the sidecar is additive.
+    val evPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_EVIDENCE", "bench_evidence.jsonl")
+    val ev = new java.io.PrintWriter(new java.io.FileWriter(evPath, false))
+    @volatile var jobs = 0
+    @volatile var stages = 0
+    @volatile var tasks = 0
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onJobEnd(e: SparkListenerJobEnd): Unit = jobs += 1
+      override def onStageCompleted(e: SparkListenerStageCompleted): Unit = stages += 1
+      override def onTaskEnd(e: SparkListenerTaskEnd): Unit = tasks += 1
+    })
+    def gcMillis: Long = {
+      import scala.jdk.CollectionConverters._
+      java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+        .asScala.map(_.getCollectionTime).sum
+    }
+    // Monotone codegen counters only (the histogram VALUES sit in a
+    // decaying reservoir, so their sums are not delta-safe): how many
+    // classes Janino compiled during the run, and cumulative bytecode
+    // rows — a per-run delta > 0 on a warmed query means the 100-entry
+    // codegen cache evicted its plans (cross-query pressure).
+    def compileCount: Long =
+      org.apache.spark.metrics.source.CodegenMetrics
+        .METRIC_COMPILATION_TIME.getCount
+    def bytecodeCount: Long =
+      org.apache.spark.metrics.source.CodegenMetrics
+        .METRIC_GENERATED_CLASS_BYTECODE_SIZE.getCount
+    def heapUsedMb: Long = {
+      val rt = Runtime.getRuntime
+      (rt.totalMemory - rt.freeMemory) / (1024 * 1024)
+    }
     // Warm the session (scheduler, parquet reader, codegen) AND the OS
     // page cache for EVERY input table, so the first-in-sort-order queries
     // don't absorb the cold start for whichever files they happen to touch
@@ -45,14 +92,21 @@ object Bench {
       // Median of `runs` timings per query: single-shot numbers on a
       // shared VM carry ±50% variance (observed round-over-round), which
       // the median absorbs without averaging in a cold outlier.
-      val times = (0 until runs).map { _ =>
+      val times = (0 until runs).map { r =>
+        jobs = 0; stages = 0; tasks = 0
+        val (gc0, cc0, bc0) = (gcMillis, compileCount, bytecodeCount)
         val t0 = System.nanoTime()
         // Full materialization through the noop sink: unlike .count(),
         // Catalyst cannot prune top-level sorts/projections out of the
         // timed plan — every declared output row is produced and consumed.
         try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
         catch { case _: Throwable => () }
-        (System.nanoTime() - t0) / 1e9
+        val sec = (System.nanoTime() - t0) / 1e9
+        ev.println(s"""{"q":"$name","run":$r,"sec":$sec,"jobs":$jobs,"stages":$stages,"tasks":$tasks,""" +
+          s""""gc_ms":${gcMillis - gc0},"compile_n":${compileCount - cc0},""" +
+          s""""bytecode_n":${bytecodeCount - bc0},"heap_mb":$heapUsedMb}""")
+        ev.flush()
+        sec
       }
       // Attribute cleanup to its OWNER, not its successor: queries that
       // cache/localCheckpoint (q37's edge list, q49's pinned shingles)
@@ -60,13 +114,16 @@ object Bench {
       // that release was landing inside the NEXT query's timed runs (r4→r6
       // driver benches show q38 — which runs right after q37 in sorted
       // order — creeping 0.30→1.88 s on an untouched plan). Synchronously
-      // unpersist any leftover blocks, then give the cleaner a GC cycle to
-      // drain broadcast/shuffle references, all OUTSIDE the next timer.
+      // unpersist any leftover blocks, drop any cached-relation entries,
+      // then give the cleaner a GC cycle to drain broadcast/shuffle
+      // references, all OUTSIDE the next timer.
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+      spark.catalog.clearCache()
       System.gc()
       Thread.sleep(200)
       name -> times.sorted.apply(runs / 2)
     }
+    ev.close()
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum

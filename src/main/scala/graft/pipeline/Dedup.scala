@@ -69,8 +69,24 @@ object Dedup {
       .select(col(idCol),
         size(segsCol).cast("long").as("n_segs"),
         coalesce(size(col("keep_idx")), lit(0)).cast("long").as("n_kept"),
-        concat_ws(" ",
-          filter(segsCol, (_, i) => array_contains(col("keep_idx"), i)))
+        // In-row reassembly driven by the KEPT side, not the segment
+        // side: sort the kept indices (ascending = original segment
+        // order, so the output text is byte-identical to filtering the
+        // segment array) and pick each segment by position — O(n_segs
+        // + n_kept log n_kept) per row: one segmentation pass plus the
+        // sort. The previous `filter(segs, array_contains(keep_idx,
+        // i))` probed the kept list per SEGMENT: O(n_segs · n_kept),
+        // quadratic for a doc that keeps most of its segments. The
+        // one-element-transform binding evaluates the segmentation ONCE
+        // per row — `segsCol` named directly inside the picking lambda
+        // would re-split the text per kept index (the lambda-inlining
+        // trap Similarity.bindOnce documents). A doc with no surviving
+        // segments has null keep_idx; transform/concat_ws propagate it
+        // to the same "" as before.
+        element_at(transform(array(segsCol), segs =>
+          concat_ws(" ",
+            transform(array_sort(col("keep_idx")),
+              i => element_at(segs, i + 1)))), 1)
           .as("text_dedup"))
   }
 

@@ -57,11 +57,39 @@ object IncrementalBm25 {
     StructField("batch", StringType)))
 
   /** Tokenize `batch` (columns `doc_id`, `text`) and append its partial
-    * relations under partition `batch=<batchId>` in the three stores. */
+    * relations under partition `batch=<batchId>` in the three stores.
+    *
+    * PRECONDITION (caller-vouched, like the store's own `incomingUnique`):
+    * each doc_id lives in exactly ONE batch id, ever. The partial
+    * arithmetic depends on it — a doc re-delivered under a DIFFERENT
+    * batch id lands in a different `(batch, tbucket)` partition, so the
+    * partition-scoped last-wins merge never sees the old rows: postings,
+    * df and n_docs/sum_dl all silently double-count and every score
+    * inflates. (Re-delivery under the SAME batch id — the streaming
+    * replay case — is the safe, idempotent path.) With
+    * `spark.graft.store.debugChecks=true` (the store's existing opt-in
+    * flag) the precondition is ENFORCED: incoming doc_ids are
+    * anti-joined against the stored postings' other-batch rows before
+    * any write, failing fast at the offending call site. The check scans
+    * the postings store, so it is for specs and staging runs, not the
+    * production ingest loop — exactly the store's own vouch contract. */
   def ingestBatch(spark: SparkSession, batch: DataFrame, batchId: String,
                   postingsPath: String, termsPath: String, statsPath: String,
                   nBuckets: Int = 16): Unit = {
     val docs = batch.select(col("doc_id"), col("text"))
+    if (spark.conf.getOption("spark.graft.store.debugChecks").contains("true"))
+      KeyedParquetStore.read(spark, postingsPath, schema = Some(postingsSchema))
+        .foreach { stored =>
+          val clash = stored.filter(col("batch") =!= lit(batchId))
+            .join(docs.select(col("doc_id")).distinct(), Seq("doc_id"), "left_semi")
+            .select(col("doc_id")).distinct().limit(3)
+            .collect().map(_.getLong(0))
+          require(clash.isEmpty,
+            s"BM25 ingest precondition violated: doc_id(s) ${clash.mkString(", ")} " +
+              s"already indexed under a different batch than '$batchId' — " +
+              "re-ingesting a doc under a new batch id double-counts its " +
+              "postings/df/stats partials (replays must reuse the original batch id)")
+        }
     // Consumed twice (postings + stats / postings + term partials):
     // pinned so the tokenize/aggregate runs once per batch.
     val lens = docs.select(col("doc_id"),

@@ -11,7 +11,7 @@ import org.apache.spark.sql.types.{ArrayType, DoubleType, LongType, StringType, 
   * assigned to the FROZEN stored centroids (the standard ANN insertion
   * path — Faiss's `add` after `train`: cells drift only on an explicit
   * re-train, searches meanwhile stay consistent with the index that
-  * assigned every stored vector) and appended under `(cell, batch)`
+  * assigned every stored vector) and appended under `(iv, cell, batch)`
   * partitions, so:
   *
   *  - per-batch ingest work is batch-sized — one narrow argmax pass over
@@ -23,6 +23,16 @@ import org.apache.spark.sql.types.{ArrayType, DoubleType, LongType, StringType, 
   *  - a replayed batch id re-merges its own partitions idempotently
   *    (last-wins keys) — at-least-once delivery, effectively-once index.
   *
+  * THE `iv` (index version) PAIRING: centroids and assigned corpus are
+  * TWO stores whose contents must agree (every stored vector's `cell`
+  * must come from the centroids the searcher will probe with). Each
+  * store carries the index version that produced it — a constant `iv`
+  * column in the KB-sized centroid store, and a leading `iv=` partition
+  * level in the assigned store (RLE-free: it exists only as a directory
+  * name). [[searchStored]] refuses to search a mismatched pair, which
+  * turns the one non-atomic window in [[retrain]] (between its two
+  * store replaces) from a silent mis-pruning into a loud error.
+  *
   * Results are IDENTICAL to assigning the whole corpus at once against
   * the same centroids (assignment is per-row and the centroids are
   * frozen — spec-asserted, similarities included).
@@ -33,40 +43,53 @@ object IncrementalIvf {
     * pass; pre-evolution files null-fill). */
   val centroidsSchema: StructType = StructType(Seq(
     StructField("cell", LongType),
-    StructField("centroid", ArrayType(DoubleType))))
+    StructField("centroid", ArrayType(DoubleType)),
+    StructField("iv", LongType)))
   val assignedSchema: StructType = StructType(Seq(
     StructField("neighbor_id", LongType),
     StructField("cv", ArrayType(DoubleType)),
+    StructField("iv", LongType),
     StructField("cell", LongType),
     StructField("batch", StringType)))
 
-  /** One-time: train centroids on a seed corpus and persist them. */
+  private def centroidsOf(spark: SparkSession, path: String): DataFrame =
+    KeyedParquetStore.read(spark, path, schema = Some(centroidsSchema))
+      .getOrElse(sys.error(s"no IVF centroid store at $path — " +
+        "run buildCentroids first (insertion needs a trained index)"))
+
+  /** The store pair's current index version: a one-row agg over the
+    * KB-sized centroid relation (all rows carry the same `iv` by
+    * construction; `max` also tolerates a half-merged historical store). */
+  private def versionOf(centroids: DataFrame): Long =
+    centroids.agg(coalesce(max(col("iv")), lit(1L))).head().getLong(0)
+
+  /** One-time: train centroids on a seed corpus and persist them at
+    * index version 1. */
   def buildCentroids(spark: SparkSession, corpus: DataFrame,
                      centroidsPath: String, numCells: Int = 8,
                      trainIters: Int = 2): Unit =
     KeyedParquetStore.upsert(spark, centroidsPath,
-      Similarity.buildIvfIndex(corpus, numCells, trainIters),
+      Similarity.buildIvfIndex(corpus, numCells, trainIters)
+        .withColumn("iv", lit(1L)),
       keys = Seq("cell"), version = Seq(lit(1L)), incomingUnique = true)
 
   /** Assign `batch` (columns `vec_id`, `embedding`) to the stored
-    * centroids and append it under `(cell, batch=<batchId>)` partitions
-    * of the assigned-corpus store. */
+    * centroids and append it under `(iv=<current>, cell, batch=<batchId>)`
+    * partitions of the assigned-corpus store. */
   def ingestBatch(spark: SparkSession, batch: DataFrame, batchId: String,
                   centroidsPath: String, assignedPath: String): Unit = {
-    val index = KeyedParquetStore.read(spark, centroidsPath,
-        schema = Some(centroidsSchema))
-      .getOrElse(sys.error(s"no IVF centroid store at $centroidsPath — " +
-        "run buildCentroids first (insertion needs a trained index)"))
+    val index = centroidsOf(spark, centroidsPath)
+    val iv = versionOf(index)
     val assigned = Similarity.assignIvfCells(batch, index)
-      .withColumn("batch", lit(batchId))
-    // Static hint: one tuple per (cell, batch) — the cell ids are the
+      .withColumn("iv", lit(iv)).withColumn("batch", lit(batchId))
+    // Static hint: one tuple per (iv, cell, batch) — the cell ids are the
     // KB-sized centroid store's keys, already on the driver; no
     // distinct() discovery job over the batch.
     val cells = index.select(col("cell")).collect().map(_.getLong(0)).sorted
     KeyedParquetStore.upsert(spark, assignedPath, assigned,
       keys = Seq("neighbor_id"), version = Seq(lit(1L)),
-      partitionCols = Seq("cell", "batch"),
-      partitionValues = cells.toSeq.map(c => Seq(c, batchId)),
+      partitionCols = Seq("iv", "cell", "batch"),
+      partitionValues = cells.toSeq.map(c => Seq(iv, c, batchId)),
       incomingUnique = true)
   }
 
@@ -75,53 +98,94 @@ object IncrementalIvf {
     * centroid insertion (the Faiss re-train contract; see README's
     * re-train-cadence knob). The assigned store carries the vectors, so
     * no original corpus access is needed: read it back, train fresh
-    * centroids, re-assign every vector, and REPLACE both stores (the
-    * assignment legitimately shrinks/reshapes partitions — not a merge).
-    * Deterministic: training is hash-bucket-seeded and decimal-exact,
-    * so re-running on the same store reproduces the same index.
+    * centroids, re-assign every vector, and REPLACE both stores at index
+    * version `old + 1` (the assignment legitimately shrinks/reshapes
+    * partitions — not a merge). Deterministic: training is
+    * hash-bucket-seeded and decimal-exact, so re-running on the same
+    * store reproduces the same index.
+    *
+    * `keepBatches` is the REPLAY HORIZON — it must name every batch id
+    * that an at-least-once delivery could still redeliver (in the
+    * streaming sink: the epoch being processed; older epochs are
+    * checkpoint-committed). Named batches are re-assigned like everything
+    * else — their rows MUST move to the new centroids' cells, or searches
+    * would mis-prune them — but they keep their own `batch=` label
+    * instead of folding into `batch=<batchLabel>`. A later replay of
+    * such a batch then assigns the same vectors against the same (now
+    * frozen) new centroids — same cells, same keys — and re-merges its
+    * own partitions idempotently. A replayed batch whose label WAS
+    * folded away would re-ingest as fresh rows next to its folded
+    * copies, duplicating neighbors (which is why the default-empty set
+    * is only safe for a cleanly stopped stream — last epoch
+    * checkpoint-committed).
     *
     * NOT crash-atomic ACROSS the two stores (each replace is
-    * individually atomic): a crash between them leaves new centroids
-    * with the old assignment. Searches against that pairing mis-prune —
-    * re-run `retrain` to converge; a deployment that needs stronger
-    * guarantees versions the store pair under one manifest. Run from
-    * the stream owner's thread, never concurrently with ingest (the
-    * writer locks serialize the conflict to a fail-fast either way). */
+    * individually atomic): a crash between them leaves version-v
+    * assignments with version-(v-1) centroids. [[searchStored]] REFUSES
+    * that pairing (loud, not mis-pruned) — re-run `retrain` to
+    * converge. Run from the stream owner's thread, never concurrently
+    * with ingest (the writer locks serialize the conflict to a
+    * fail-fast either way). */
   def retrain(spark: SparkSession, centroidsPath: String,
               assignedPath: String, numCells: Int = 8,
-              trainIters: Int = 2, batchLabel: String = "retrain"): Unit = {
+              trainIters: Int = 2, batchLabel: String = "retrain",
+              keepBatches: Set[String] = Set.empty): Unit = {
     val assigned = KeyedParquetStore.read(spark, assignedPath,
         schema = Some(assignedSchema))
       .getOrElse(sys.error(s"no assigned-corpus store at $assignedPath"))
+    val v = versionOf(centroidsOf(spark, centroidsPath)) + 1
     val corpus = assigned
-      .select(col("neighbor_id").as("vec_id"), col("cv").as("embedding"))
+      .select(col("neighbor_id").as("vec_id"), col("cv").as("embedding"),
+        col("batch"))
     // KB-sized; pinned so the centroid relation is not re-derived from
     // the store mid-replace
     val index = Similarity.buildIvfIndex(corpus, numCells, trainIters)
+      .withColumn("iv", lit(v))
       .localCheckpoint()
-    val reassigned = Similarity.assignIvfCells(corpus, index)
-      .withColumn("batch", lit(batchLabel))
+    val keep = keepBatches.toSeq
+    val reassigned = Similarity
+      .assignIvfCells(corpus, index.drop("iv"), passthrough = Seq("batch"))
+      .withColumn("iv", lit(v))
+      .withColumn("batch",
+        when(col("batch").isin(keep: _*), col("batch"))
+          .otherwise(lit(batchLabel)))
     // assignment first (reads the old store into staging, then swaps),
-    // centroids second; both orders are observably inconsistent if a
-    // crash lands between them — see the scaladoc contract
+    // centroids second: a crash between them leaves assigned@v with
+    // centroids@v-1, which searchStored refuses — see the scaladoc
+    // contract
     KeyedParquetStore.replace(spark, assignedPath, reassigned,
-      partitionCols = Seq("cell", "batch"))
+      partitionCols = Seq("iv", "cell", "batch"))
     KeyedParquetStore.replace(spark, centroidsPath, index)
   }
 
   /** Search the incrementally-built index: the stored centroids pick the
     * probed cells, the assigned store prunes to them, and the shared
     * scoring path ranks — identical to q61's search over a one-shot
-    * build of the same corpus. */
+    * build of the same corpus.
+    *
+    * PAIR CHECK: refuses to search when the assigned store's `iv`
+    * partition set is not exactly the centroid store's version — the
+    * observable form of [[retrain]]'s two-store crash window. The check
+    * reads NO vector data: `iv` is a partition column, so its distinct
+    * values come from the file listing (one metadata-only job), and the
+    * surviving scan is additionally pruned to `iv = <current>` at the
+    * listing level. */
   def searchStored(spark: SparkSession, centroidsPath: String,
                    assignedPath: String, probes: DataFrame, k: Int,
                    nProbe: Int = 2): DataFrame = {
-    val index = KeyedParquetStore.read(spark, centroidsPath,
-        schema = Some(centroidsSchema))
-      .getOrElse(sys.error(s"no IVF centroid store at $centroidsPath"))
+    val index = centroidsOf(spark, centroidsPath)
+    val iv = versionOf(index)
     val assigned = KeyedParquetStore.read(spark, assignedPath,
         schema = Some(assignedSchema))
       .getOrElse(sys.error(s"no assigned-corpus store at $assignedPath"))
-    Similarity.searchIvfAssigned(assigned, index, probes, k, nProbe)
+    val assignedIvs = assigned.select(col("iv")).distinct()
+      .collect().map(_.getLong(0)).toSet
+    require(assignedIvs == Set(iv),
+      s"IVF store pair at $centroidsPath / $assignedPath is version-skewed: " +
+        s"centroids are iv=$iv but assignments hold iv=" +
+        s"${assignedIvs.toSeq.sorted.mkString("{", ",", "}")} — a retrain " +
+        "crashed between its two store replaces; re-run retrain to converge")
+    Similarity.searchIvfAssigned(assigned.filter(col("iv") === iv), index,
+      probes, k, nProbe)
   }
 }

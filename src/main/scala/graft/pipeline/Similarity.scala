@@ -241,14 +241,18 @@ object Similarity {
       .collect().map(r => (r.getLong(0), r.getSeq[Double](1))).sortBy(_._1).toSeq
 
   /** The IVF build's corpus half: assign every corpus vector its Voronoi
-    * cell — one narrow argmax pass, `(neighbor_id, cv, cell)`. A
+    * cell — one narrow argmax pass, `(neighbor_id, cv, cell)` plus any
+    * `passthrough` columns carried verbatim (lets a caller keep a batch
+    * label through reassignment without a corpus-sized join-back). A
     * deployment PERSISTS this partitioned by `cell` (one directory per
     * cell), which is what makes [[searchIvfAssigned]]'s scan prune to the
     * probed cells at the file-listing level. */
-  def assignIvfCells(corpus: DataFrame, index: DataFrame): DataFrame = {
+  def assignIvfCells(corpus: DataFrame, index: DataFrame,
+                     passthrough: Seq[String] = Nil): DataFrame = {
     val cents = collectCents(index)
     corpus
-      .select(col("vec_id").as("neighbor_id"), asDouble(col("embedding")).as("cv"))
+      .select(col("vec_id").as("neighbor_id") +:
+        asDouble(col("embedding")).as("cv") +: passthrough.map(col): _*)
       .withColumn("cell", argmaxCell(col("cv"), cents))
   }
 

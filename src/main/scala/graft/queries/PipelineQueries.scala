@@ -1379,6 +1379,62 @@ object PipelineQueries {
         |WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '_wsample'), 1, 15)) AS BIGINT)
         |      % 10000
         |      < LEAST(CAST(len(regexp_split_to_array(text, '\s+')) AS DOUBLE) / 150.0,
-        |              1.0) * 10000""".stripMargin))
+        |              1.0) * 10000""".stripMargin)),
+
+    // INCREMENTALLY-BUILT BM25 index, searched — the correctness face of
+    // the partial-merge arithmetic (q65 stores global quantities; here
+    // nothing stored is global): the corpus arrives in three batches,
+    // each appending PARTIAL postings/df/stats under its own batch
+    // partition, with a ROLL-UP folded mid-stream (the live-maintenance
+    // cadence, exercising Σdf across rollup + unfolded partials and the
+    // Σsum_dl/Σn_docs avgdl division). Search must reconstruct the exact
+    // global df / n_docs / avgdl from the partials — the oracle is q54's
+    // whole-corpus constant VERBATIM, so any partial-merge drift
+    // hash-fails. Temp-dir store per call (the q49 stateful-ingest
+    // pattern): the ingest chain itself is the judged work.
+    Q("q71_bm25_incremental",
+      (s, dir) => {
+        import graft.pipeline.IncrementalBm25
+        val tmp = java.nio.file.Files.createTempDirectory("graft_q71").toString
+        val (pP, tP, sP) = (s"$tmp/postings", s"$tmp/terms", s"$tmp/stats")
+        val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+        def slice(r: Int) = docs.filter(pmod(col("doc_id"), lit(3)) === r)
+        IncrementalBm25.ingestBatch(s, slice(0), "b0", pP, tP, sP)
+        IncrementalBm25.ingestBatch(s, slice(1), "b1", pP, tP, sP)
+        // roll up with b1 as the replay horizon, then keep ingesting —
+        // search sums rollup + b1 + b2 partials into the exact globals
+        IncrementalBm25.rollupPartials(s, tP, sP, keepBatches = Set("b1"))
+        IncrementalBm25.ingestBatch(s, slice(2), "b2", pP, tP, sP)
+        IncrementalBm25.searchStored(s, pP, tP, sP,
+          query = Seq("spark", "window", "merge"), k = 25)
+      },
+      Some(bm25SearchOracle)),
+
+    // INCREMENTALLY-BUILT IVF index, searched — the correctness face of
+    // frozen-centroid insertion: centroids train ONCE on the full corpus
+    // (q32's training set, so the shared oracle holds verbatim), then
+    // the vectors arrive in three batches assigned against the frozen
+    // store and appended under (iv, cell, batch) partitions. Assignment
+    // is per-row, so batch-wise ingest ≡ one-shot assignment — any drift
+    // in the insertion path (cell argmax, version stamping, partition
+    // merge) hash-fails against q32's oracle. Search also proves the
+    // store-pair version check passes on a healthy index.
+    Q("q72_ivf_incremental",
+      (s, dir) => {
+        import graft.pipeline.IncrementalIvf
+        val tmp = java.nio.file.Files.createTempDirectory("graft_q72").toString
+        val (cP, aP) = (s"$tmp/centroids", s"$tmp/assigned")
+        val emb = Tables.embeddings(s, dir)
+        IncrementalIvf.buildCentroids(s, emb, cP, numCells = 8, trainIters = 2)
+        def slice(r: Int) = emb.filter(pmod(col("vec_id"), lit(3)) === r)
+        IncrementalIvf.ingestBatch(s, slice(0), "b0", cP, aP)
+        IncrementalIvf.ingestBatch(s, slice(1), "b1", cP, aP)
+        IncrementalIvf.ingestBatch(s, slice(2), "b2", cP, aP)
+        IncrementalIvf.searchStored(s, cP, aP,
+          emb.filter(col("vec_id") < 5), k = 5, nProbe = 2)
+          .select(col("probe_id"), col("neighbor_id"), col("cos_sim"),
+            col("rank").cast("long").as("rank"))
+      },
+      Some(ivfSearchOracle))
   )
 }

@@ -648,6 +648,60 @@ class SimilaritySpec extends SparkSpec {
     assert(got === want)
   }
 
+  test("IncrementalIvf.retrain keepBatches: a replayed kept epoch " +
+      "re-merges idempotently after the re-train (r8)") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val probes = emb.filter($"vec_id" < 5)
+    val root = java.nio.file.Files.createTempDirectory("ivf_keep").toString
+    val (cP, aP) = (s"$root/centroids", s"$root/assigned")
+    val (evens, odds) =
+      (emb.filter($"vec_id" % 2 === 0), emb.filter($"vec_id" % 2 === 1))
+    IncrementalIvf.buildCentroids(spark, evens, cP, numCells = 4, trainIters = 2)
+    IncrementalIvf.ingestBatch(spark, evens, "e0", cP, aP)
+    IncrementalIvf.ingestBatch(spark, odds, "e1", cP, aP)
+    // e1 is the epoch a crashed stream could still redeliver: re-train
+    // with it on the replay horizon
+    IncrementalIvf.retrain(spark, cP, aP, numCells = 8, trainIters = 2,
+      keepBatches = Set("e1"))
+    def search() = IncrementalIvf
+      .searchStored(spark, cP, aP, probes, k = 5, nProbe = 2)
+      .select($"probe_id", $"neighbor_id", $"cos_sim", $"rank").collect().toSet
+    val fresh = Similarity.buildIvfIndex(emb, numCells = 8, trainIters = 2)
+    val want = Similarity.searchIvfAssigned(
+      Similarity.assignIvfCells(emb, fresh), fresh, probes, k = 5, nProbe = 2)
+      .select($"probe_id", $"neighbor_id", $"cos_sim", $"rank").collect().toSet
+    assert(search() === want) // kept epoch re-assigned to the NEW cells
+    // the crash replay: e1 redelivers AFTER the re-train — same vectors
+    // against the same (now frozen) new centroids re-merge their own
+    // partitions; without the keepBatches horizon its folded copies would
+    // duplicate every odd neighbor
+    IncrementalIvf.ingestBatch(spark, odds, "e1", cP, aP)
+    assert(search() === want)
+    val stored = graft.sources.KeyedParquetStore.read(spark, aP,
+      schema = Some(IncrementalIvf.assignedSchema)).get
+    assert(stored.groupBy($"neighbor_id").count().filter($"count" > 1)
+      .count() === 0L, "replay duplicated stored neighbors")
+  }
+
+  test("IncrementalIvf.searchStored refuses a version-skewed store pair (r8)") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val root = java.nio.file.Files.createTempDirectory("ivf_skew").toString
+    val (cP, aP) = (s"$root/centroids", s"$root/assigned")
+    IncrementalIvf.buildCentroids(spark, emb, cP, numCells = 4, trainIters = 2)
+    IncrementalIvf.ingestBatch(spark, emb, "e0", cP, aP)
+    // simulate retrain's crash window (one store replaced, not the
+    // other): advance ONLY the centroid store's version
+    val bumped = graft.sources.KeyedParquetStore.read(spark, cP,
+      schema = Some(IncrementalIvf.centroidsSchema)).get
+      .withColumn("iv", lit(2L)).localCheckpoint()
+    graft.sources.KeyedParquetStore.replace(spark, cP, bumped)
+    val e = intercept[IllegalArgumentException] {
+      IncrementalIvf.searchStored(spark, cP, aP,
+        emb.filter($"vec_id" < 5), k = 5, nProbe = 2).collect()
+    }
+    assert(e.getMessage.contains("version-skewed"))
+  }
+
   test("cosinePairsLsh finds exact copies within buckets, never opposites") {
     val got = Similarity.cosinePairsLsh(vectors, 0.999, bits = 6, dim = 4)
       .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet

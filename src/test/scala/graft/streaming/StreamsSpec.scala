@@ -304,6 +304,91 @@ class StreamsSpec extends SparkSpec {
     assert(after === before) // no double-counted df / n_docs / postings
   }
 
+  test("IncrementalBm25.ingestBatch: debugChecks enforces the " +
+      "one-batch-per-doc precondition; same-batch replay stays legal (r8)") {
+    val store = Files.createTempDirectory("bm25_precond_store").toString
+    val (pP, tP, sP) = (s"$store/postings", s"$store/terms", s"$store/stats")
+    val b1 = Seq((1L, "spark joins shuffle data"), (2L, "window ranks rows"))
+      .toDF("doc_id", "text")
+    graft.pipeline.IncrementalBm25.ingestBatch(spark, b1, "e0", pP, tP, sP)
+    spark.conf.set("spark.graft.store.debugChecks", "true")
+    try {
+      // replay under the ORIGINAL batch id: the sanctioned idempotent path
+      graft.pipeline.IncrementalBm25.ingestBatch(spark, b1, "e0", pP, tP, sP)
+      // the corruption mode the scaladoc documents: a doc redelivered
+      // under a DIFFERENT batch id would double-count df/n_docs/postings
+      // (its old rows live in another partition, invisible to the merge) —
+      // with checks on it fails fast BEFORE any store write
+      val e = intercept[IllegalArgumentException] {
+        graft.pipeline.IncrementalBm25.ingestBatch(spark,
+          b1.filter($"doc_id" === 1L), "e9", pP, tP, sP)
+      }
+      assert(e.getMessage.contains("precondition"))
+      // nothing was written by the refused ingest
+      val batches = graft.pipeline.IncrementalBm25
+      val stored = graft.sources.KeyedParquetStore.read(spark, pP,
+        schema = Some(batches.postingsSchema)).get
+        .select($"batch").distinct().as[String].collect().toSet
+      assert(stored === Set("e0"))
+    } finally spark.conf.unset("spark.graft.store.debugChecks")
+  }
+
+  test("bm25IngestStream: a mid-epoch crash replays through the " +
+      "checkpoint after its roll-up already ran — no double counting (r8)") {
+    val dir = Files.createTempDirectory("docs_bm25_crash").toFile
+    val ckpt = Files.createTempDirectory("bm25_crash_ckpt").toString
+    val store = Files.createTempDirectory("bm25_crash_store").toString
+    val (pP, tP, sP) = (s"$store/postings", s"$store/terms", s"$store/stats")
+    val batches = Seq(
+      Seq((1L, "spark shuffles data across the cluster for a join"),
+        (2L, "a window function ranks rows within a partition")),
+      Seq((3L, "merge small files before the join to cut spark overhead")),
+      Seq((5L, "the spark window merge path avoids a full shuffle")))
+    def schema = Seq((0L, "")).toDF("doc_id", "text").schema
+    batches.head.toDF("doc_id", "text")
+      .coalesce(1).write.mode("overwrite").parquet(dir.toString)
+    // compactEvery=2: epoch 2 runs the roll-up with ITSELF on the replay
+    // horizon (keepBatches = e2) — the interaction under test
+    val q1 = Streams.bm25IngestStream(
+      spark.readStream.schema(schema).parquet(dir.toString),
+      pP, tP, sP, ckpt, compactEvery = 2)
+    q1.processAllAvailable()
+    batches.tail.foreach { b =>
+      b.toDF("doc_id", "text")
+        .coalesce(1).write.mode("append").parquet(dir.toString)
+      q1.processAllAvailable()
+    }
+    q1.stop()
+    q1.awaitTermination()
+    // the restart must not race the stopped run's deregistration (the
+    // engine guards a checkpoint against concurrent active runs)
+    while (spark.streams.active.exists(_.id == q1.id)) Thread.sleep(50)
+    // CRASH SIMULATION: epoch 2 fully executed (ingest + roll-up) but its
+    // commit marker is lost — exactly the window between foreachBatch
+    // returning and the checkpoint commit. On restart the engine MUST
+    // redeliver epoch 2 under the same id.
+    assert(new java.io.File(s"$ckpt/commits/2").delete(),
+      "expected an epoch-2 commit marker to crash")
+    // the local FS keeps a checksum sidecar; leaving it behind makes the
+    // replayed commit's rename fail as a phantom concurrent writer
+    new java.io.File(s"$ckpt/commits/.2.crc").delete()
+    val q2 = Streams.bm25IngestStream(
+      spark.readStream.schema(schema).parquet(dir.toString),
+      pP, tP, sP, ckpt, compactEvery = 2)
+    q2.processAllAvailable() // replays e2: re-ingest + re-roll-up
+    q2.stop()
+    // df / n_docs / sum_dl survived the replay exactly once: scores match
+    // a from-scratch batch build, similarities included
+    val query = Seq("spark", "window", "merge")
+    val got = graft.pipeline.IncrementalBm25
+      .searchStored(spark, pP, tP, sP, query, k = 10)
+      .as[(Long, Double)].collect().toSeq
+    val want = graft.pipeline.TextAnalysis
+      .bm25Search(batches.flatten.toDF("doc_id", "text"), query, k = 10)
+      .as[(Long, Double)].collect().toSeq
+    assert(got === want)
+  }
+
   test("IncrementalBm25.rollupPartials: partials consolidate, search is " +
       "unchanged, and the kept epoch still replays idempotently (r7)") {
     val store = Files.createTempDirectory("bm25_rollup_store").toString
