@@ -91,7 +91,15 @@ object IncrementalBm25 {
               "postings/df/stats partials (replays must reuse the original batch id)")
         }
     // Consumed twice (postings + stats / postings + term partials):
-    // pinned so the tokenize/aggregate runs once per batch.
+    // pinned so the tokenize/aggregate runs once per batch. Measured
+    // alternative (r8): deriving dl as Σtf per doc from the pinned tf —
+    // one tokenize pass instead of two, algebraically exact since the
+    // whitespace split yields [""] for empty text — benched q71
+    // wall-NEUTRAL (~5.6 s isolated, both shapes) while ADDING three
+    // AQE-materialized exchange stages per ingest (37 → 40 listener
+    // jobs): the saved codegen'd split+size scan is as cheap as the
+    // shuffle it buys back. Kept this shape for the lower action count
+    // and because it doesn't lean on empty-string split semantics.
     val lens = docs.select(col("doc_id"),
       size(TextAnalysis.tokens(col("text"))).cast("long").as("dl"))
       .localCheckpoint()

@@ -681,6 +681,16 @@ class SimilaritySpec extends SparkSpec {
       schema = Some(IncrementalIvf.assignedSchema)).get
     assert(stored.groupBy($"neighbor_id").count().filter($"count" > 1)
       .count() === 0L, "replay duplicated stored neighbors")
+    // the iv pairing must not cost the layout its point: the version
+    // equality AND the probed cells both reach the file listing
+    val plan = IncrementalIvf
+      .searchStored(spark, cP, aP, probes, k = 5, nProbe = 2)
+      .queryExecution.executedPlan.toString
+    val pf = plan.linesIterator.find(_.contains("PartitionFilters: ["))
+      .filterNot(_.contains("PartitionFilters: []"))
+    assert(pf.exists(l => l.matches(""".*PartitionFilters: \[[^\]]*\(iv.*""")
+        && l.matches(""".*PartitionFilters: \[[^\]]*cell[^\]]* IN \(.*""")),
+      s"expected iv + cell partition pruning on the assigned store:\n$plan")
   }
 
   test("IncrementalIvf.searchStored refuses a version-skewed store pair (r8)") {
