@@ -287,6 +287,48 @@ class StreamsSpec extends SparkSpec {
     assert(got === Set(1L, 2L, 3L, 4L))
   }
 
+  test("ivfIngestStream: crash mid-epoch, re-train with that epoch on " +
+      "the replay horizon, restart — replay re-merges, no duplicates (r8)") {
+    val dir = Files.createTempDirectory("vecs_crash").toFile
+    val ckpt = Files.createTempDirectory("ivf_crash_ckpt").toString
+    val store = Files.createTempDirectory("ivf_crash_store").toString
+    val (cP, aP) = (s"$store/centroids", s"$store/assigned")
+    def v(xs: Double*): Seq[Float] = xs.map(_.toFloat)
+    val b1 = Seq((0L, v(1, 0, 0, 0)), (1L, v(0.9, 0.1, 0, 0)),
+      (2L, v(0, 1, 0, 0))).toDF("vec_id", "embedding")
+    val b2 = Seq((3L, v(1, 0, 0, 0)), (4L, v(0, 0.9, 0.1, 0)))
+      .toDF("vec_id", "embedding")
+    graft.pipeline.IncrementalIvf.buildCentroids(spark, b1, cP, numCells = 2)
+    b1.coalesce(1).write.mode("overwrite").parquet(dir.toString)
+    val q1 = Streams.ivfIngestStream(
+      spark.readStream.schema(b1.schema).parquet(dir.toString), cP, aP, ckpt)
+    q1.processAllAvailable()
+    b2.coalesce(1).write.mode("append").parquet(dir.toString)
+    q1.processAllAvailable()
+    q1.stop(); q1.awaitTermination()
+    while (spark.streams.active.exists(_.id == q1.id)) Thread.sleep(50)
+    // CRASH: epoch 1 (b2) fully ingested but its commit marker is lost
+    assert(new java.io.File(s"$ckpt/commits/1").delete())
+    new java.io.File(s"$ckpt/commits/.1.crc").delete()
+    // maintenance re-train runs while the stream is down — this is the
+    // ADVICE-r7 scenario: without the replay horizon, e1's folded copies
+    // would duplicate every b2 neighbor when the epoch redelivers
+    graft.pipeline.IncrementalIvf.retrain(spark, cP, aP, numCells = 2,
+      keepBatches = Set("e1"))
+    val q2 = Streams.ivfIngestStream(
+      spark.readStream.schema(b1.schema).parquet(dir.toString), cP, aP, ckpt)
+    q2.processAllAvailable() // replays e1 against the NEW frozen centroids
+    q2.stop()
+    val got = graft.pipeline.IncrementalIvf
+      .searchStored(spark, cP, aP, b1.filter($"vec_id" === 0), k = 4, nProbe = 2)
+      .select($"neighbor_id").as[Long].collect()
+    assert(got.sorted.toSeq === Seq(1L, 2L, 3L, 4L)) // each EXACTLY once
+    val stored = graft.sources.KeyedParquetStore.read(spark, aP,
+      schema = Some(graft.pipeline.IncrementalIvf.assignedSchema)).get
+    assert(stored.groupBy($"neighbor_id").count().filter($"count" > 1)
+      .count() === 0L, "post-re-train replay duplicated stored neighbors")
+  }
+
   test("IncrementalBm25: a replayed batch id re-merges idempotently (r7)") {
     val store = Files.createTempDirectory("bm25_retry_store").toString
     val (pP, tP, sP) = (s"$store/postings", s"$store/terms", s"$store/stats")
