@@ -102,6 +102,10 @@ object Bench {
         try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
         catch { case _: Throwable => () }
         val sec = (System.nanoTime() - t0) / 1e9
+        // Outside the timed window: listener events deliver async, so
+        // without a drain a run's trailing job/stage/task events land in
+        // the NEXT run's counters and the evidence misattributes.
+        org.apache.spark.GraftSparkInternals.drainListenerBus(spark.sparkContext)
         ev.println(s"""{"q":"$name","run":$r,"sec":$sec,"jobs":$jobs,"stages":$stages,"tasks":$tasks,""" +
           s""""gc_ms":${gcMillis - gc0},"compile_n":${compileCount - cc0},""" +
           s""""bytecode_n":${bytecodeCount - bc0},"heap_mb":$heapUsedMb}""")

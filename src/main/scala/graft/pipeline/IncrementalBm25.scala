@@ -77,7 +77,19 @@ object IncrementalBm25 {
                   postingsPath: String, termsPath: String, statsPath: String,
                   nBuckets: Int = 16): Unit = {
     val docs = batch.select(col("doc_id"), col("text"))
-    if (spark.conf.getOption("spark.graft.store.debugChecks").contains("true"))
+    if (spark.conf.getOption("spark.graft.store.debugChecks").contains("true")) {
+      // The clash check keys on postings, and a NULL-text doc writes
+      // NONE (explode drops the null token array) while still counting
+      // in n_docs — it would evade the check yet still double-count the
+      // stats partials on a re-ingest. Empty text is fine (the split
+      // yields [""], one posting row); null text is refused outright.
+      val nullText = docs.filter(col("text").isNull)
+        .select(col("doc_id")).limit(3).collect().map(_.getLong(0))
+      require(nullText.isEmpty,
+        s"BM25 ingest precondition violated: doc_id(s) ${nullText.mkString(", ")} " +
+          "have NULL text — such docs count in n_docs/sum_dl but write no " +
+          "postings, so the one-batch-per-doc check cannot see them; drop " +
+          "or scrub null texts upstream")
       KeyedParquetStore.read(spark, postingsPath, schema = Some(postingsSchema))
         .foreach { stored =>
           val clash = stored.filter(col("batch") =!= lit(batchId))
@@ -90,6 +102,7 @@ object IncrementalBm25 {
               "re-ingesting a doc under a new batch id double-counts its " +
               "postings/df/stats partials (replays must reuse the original batch id)")
         }
+    }
     // Consumed twice (postings + stats / postings + term partials):
     // pinned so the tokenize/aggregate runs once per batch. Measured
     // alternative (r8): deriving dl as Σtf per doc from the pinned tf —

@@ -79,13 +79,17 @@ object IncrementalIvf {
   def ingestBatch(spark: SparkSession, batch: DataFrame, batchId: String,
                   centroidsPath: String, assignedPath: String): Unit = {
     val index = centroidsOf(spark, centroidsPath)
-    val iv = versionOf(index)
+    // ONE driver action over the KB-sized centroid store serves both the
+    // version stamp and the static partition hint (a second agg job per
+    // streamed micro-batch is exactly the per-batch driver cost this
+    // module's hints exist to avoid). Null iv = a pre-versioning store:
+    // version 1, same as versionOf.
+    val centRows = index.select(col("cell"), col("iv")).collect()
+    require(centRows.nonEmpty, s"empty IVF centroid store at $centroidsPath")
+    val iv = centRows.map(r => if (r.isNullAt(1)) 1L else r.getLong(1)).max
+    val cells = centRows.map(_.getLong(0)).sorted
     val assigned = Similarity.assignIvfCells(batch, index)
       .withColumn("iv", lit(iv)).withColumn("batch", lit(batchId))
-    // Static hint: one tuple per (iv, cell, batch) — the cell ids are the
-    // KB-sized centroid store's keys, already on the driver; no
-    // distinct() discovery job over the batch.
-    val cells = index.select(col("cell")).collect().map(_.getLong(0)).sorted
     KeyedParquetStore.upsert(spark, assignedPath, assigned,
       keys = Seq("neighbor_id"), version = Seq(lit(1L)),
       partitionCols = Seq("iv", "cell", "batch"),
@@ -123,9 +127,15 @@ object IncrementalIvf {
     * individually atomic): a crash between them leaves version-v
     * assignments with version-(v-1) centroids. [[searchStored]] REFUSES
     * that pairing (loud, not mis-pruned) — re-run `retrain` to
-    * converge. Run from the stream owner's thread, never concurrently
-    * with ingest (the writer locks serialize the conflict to a
-    * fail-fast either way). */
+    * converge. Convergence holds even when an epoch REPLAYED inside the
+    * crash window: such an ingest stamps the stale centroid version, so
+    * the same vector can sit under two `iv` partitions; the read-back
+    * below collapses the store to one row per vector (newest `iv` wins,
+    * deterministic tie-break) BEFORE re-training, so re-running retrain
+    * repairs the duplication instead of writing it back verbatim. Run
+    * from the stream owner's thread, never concurrently with ingest
+    * (the writer locks serialize the conflict to a fail-fast either
+    * way). */
   def retrain(spark: SparkSession, centroidsPath: String,
               assignedPath: String, numCells: Int = 8,
               trainIters: Int = 2, batchLabel: String = "retrain",
@@ -134,9 +144,17 @@ object IncrementalIvf {
         schema = Some(assignedSchema))
       .getOrElse(sys.error(s"no assigned-corpus store at $assignedPath"))
     val v = versionOf(centroidsOf(spark, centroidsPath)) + 1
+    // One row per vector even from a crash-skewed store (see scaladoc):
+    // newest-assignment-wins collapse per id — the keyed merge is
+    // iv-partition-scoped, so cross-iv duplicates can exist here and
+    // ONLY here is the whole store in one relation to fix them. Costs
+    // one map-side-combined exchange on a maintenance op that already
+    // scans the store several times.
     val corpus = assigned
-      .select(col("neighbor_id").as("vec_id"), col("cv").as("embedding"),
-        col("batch"))
+      .groupBy(col("neighbor_id"))
+      .agg(max(struct(col("iv"), col("batch"), col("cv"))).as("w"))
+      .select(col("neighbor_id").as("vec_id"),
+        col("w")("cv").as("embedding"), col("w")("batch").as("batch"))
     // KB-sized; pinned so the centroid relation is not re-derived from
     // the store mid-replace
     val index = Similarity.buildIvfIndex(corpus, numCells, trainIters)
@@ -144,7 +162,7 @@ object IncrementalIvf {
       .localCheckpoint()
     val keep = keepBatches.toSeq
     val reassigned = Similarity
-      .assignIvfCells(corpus, index.drop("iv"), passthrough = Seq("batch"))
+      .assignIvfCells(corpus, index, passthrough = Seq("batch"))
       .withColumn("iv", lit(v))
       .withColumn("batch",
         when(col("batch").isin(keep: _*), col("batch"))
@@ -178,8 +196,10 @@ object IncrementalIvf {
     val assigned = KeyedParquetStore.read(spark, assignedPath,
         schema = Some(assignedSchema))
       .getOrElse(sys.error(s"no assigned-corpus store at $assignedPath"))
+    // null iv = rows from a pre-versioning store: version 1, mirroring
+    // versionOf (a store this module wrote always has the partition)
     val assignedIvs = assigned.select(col("iv")).distinct()
-      .collect().map(_.getLong(0)).toSet
+      .collect().map(r => if (r.isNullAt(0)) 1L else r.getLong(0)).toSet
     require(assignedIvs == Set(iv),
       s"IVF store pair at $centroidsPath / $assignedPath is version-skewed: " +
         s"centroids are iv=$iv but assignments hold iv=" +

@@ -712,6 +712,57 @@ class SimilaritySpec extends SparkSpec {
     assert(e.getMessage.contains("version-skewed"))
   }
 
+  test("IncrementalIvf.retrain converges a crash-skewed store whose " +
+      "epoch replay landed cross-iv duplicates (r8)") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val probes = emb.filter($"vec_id" < 5)
+    val root = java.nio.file.Files.createTempDirectory("ivf_heal").toString
+    val (cP, aP) = (s"$root/centroids", s"$root/assigned")
+    val (evens, odds) =
+      (emb.filter($"vec_id" % 2 === 0), emb.filter($"vec_id" % 2 === 1))
+    IncrementalIvf.buildCentroids(spark, evens, cP, numCells = 4, trainIters = 2)
+    IncrementalIvf.ingestBatch(spark, evens, "e0", cP, aP)
+    IncrementalIvf.ingestBatch(spark, odds, "e1", cP, aP)
+    IncrementalIvf.retrain(spark, cP, aP, numCells = 8, trainIters = 2,
+      keepBatches = Set("e1"))
+    // CRASH-WINDOW SIMULATION: the assignment replace committed (iv=2)
+    // but the centroid replace did not — training is deterministic, so
+    // rebuilding the original seed index reproduces the pre-re-train
+    // centroid store exactly
+    graft.sources.KeyedParquetStore.replace(spark, cP,
+      Similarity.buildIvfIndex(evens, numCells = 4, trainIters = 2)
+        .withColumn("iv", lit(1L)).localCheckpoint())
+    // the replay INSIDE the window stamps the stale version: the same
+    // vectors now sit under (iv=1, old cells) AND (iv=2, new cells) —
+    // the partition-scoped merge cannot see across ivs
+    IncrementalIvf.ingestBatch(spark, odds, "e1", cP, aP)
+    val stored = () => graft.sources.KeyedParquetStore.read(spark, aP,
+      schema = Some(IncrementalIvf.assignedSchema)).get
+    assert(stored().groupBy($"neighbor_id").count().filter($"count" > 1)
+      .count() > 0L, "expected cross-iv duplicates to reproduce the bug")
+    // loud, not mis-pruned
+    intercept[IllegalArgumentException] {
+      IncrementalIvf.searchStored(spark, cP, aP, probes, k = 5, nProbe = 2)
+        .collect()
+    }
+    // the documented repair: re-running retrain collapses the store to
+    // one row per vector (newest iv wins) BEFORE re-training — without
+    // that collapse it would write the duplicates back verbatim and the
+    // version check would pass forever after
+    IncrementalIvf.retrain(spark, cP, aP, numCells = 8, trainIters = 2,
+      keepBatches = Set("e1"))
+    val got = IncrementalIvf
+      .searchStored(spark, cP, aP, probes, k = 5, nProbe = 2)
+      .select($"probe_id", $"neighbor_id", $"cos_sim", $"rank").collect().toSet
+    val fresh = Similarity.buildIvfIndex(emb, numCells = 8, trainIters = 2)
+    val want = Similarity.searchIvfAssigned(
+      Similarity.assignIvfCells(emb, fresh), fresh, probes, k = 5, nProbe = 2)
+      .select($"probe_id", $"neighbor_id", $"cos_sim", $"rank").collect().toSet
+    assert(got === want)
+    assert(stored().groupBy($"neighbor_id").count().filter($"count" > 1)
+      .count() === 0L, "retrain did not heal the duplicated store")
+  }
+
   test("cosinePairsLsh finds exact copies within buckets, never opposites") {
     val got = Similarity.cosinePairsLsh(vectors, 0.999, bits = 6, dim = 4)
       .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
