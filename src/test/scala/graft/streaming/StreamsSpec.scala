@@ -260,6 +260,16 @@ class StreamsSpec extends SparkSpec {
       .as[(Long, Double)].collect().toSeq
     assert(got === want) // scores INCLUDED: exact, not approximate
     assert(got.nonEmpty && got.map(_._1).contains(5L))
+    // the incremental layout keeps the q65 pruning promise: the query
+    // terms' bucket ids reach the postings scan as partition filters
+    // (batch= is layout; tbucket= is what bounds per-query I/O)
+    val plan = graft.pipeline.IncrementalBm25
+      .searchStored(spark, pP, tP, sP, query, k = 10)
+      .queryExecution.executedPlan.toString
+    assert(plan.linesIterator.exists(l => l.contains("PartitionFilters: [")
+        && !l.contains("PartitionFilters: []")
+        && l.matches(""".*PartitionFilters: \[[^\]]*tbucket[^\]]* IN \(.*""")),
+      s"expected tbucket partition pruning on the stored postings:\n$plan")
   }
 
   test("ivfIngestStream: streamed vectors land in the stored index and " +
