@@ -136,15 +136,15 @@ object IncrementalBm25 {
     KeyedParquetStore.upsert(spark, postingsPath, postings,
       keys = Seq("term", "doc_id"), version = Seq(lit(1)),
       partitionCols = Seq("batch", "tbucket"), partitionValues = allBuckets,
-      incomingUnique = true)
+      incomingUnique = true, schema = Some(postingsSchema))
     KeyedParquetStore.upsert(spark, termsPath, terms,
       keys = Seq("term"), version = Seq(lit(1)),
       partitionCols = Seq("batch", "tbucket"), partitionValues = allBuckets,
-      incomingUnique = true)
+      incomingUnique = true, schema = Some(termsSchema))
     KeyedParquetStore.upsert(spark, statsPath, stats,
       keys = Seq("batch"), version = Seq(lit(1)),
       partitionCols = Seq("batch"), partitionValues = Seq(Seq(batchId)),
-      incomingUnique = true)
+      incomingUnique = true, schema = Some(statsSchema))
   }
 
   /** Consolidate the term/stat PARTIALS: fold every batch partition not

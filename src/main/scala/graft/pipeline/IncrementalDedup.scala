@@ -79,13 +79,13 @@ object IncrementalDedup {
         .withColumn("batch", lit(batchId)),
       keys = Seq("doc_id", "band"), version = Seq(lit(1)),
       partitionCols = Seq("batch"), partitionValues = Seq(Seq(batchId)),
-      incomingUnique = true)
+      incomingUnique = true, schema = Some(bandStoreSchema))
     KeyedParquetStore.upsert(spark, shinglesPath,
       sh.join(keptIds, Seq("doc_id"), "left_semi")
         .withColumn("batch", lit(batchId)),
       keys = Seq("doc_id", "h"), version = Seq(lit(1)),
       partitionCols = Seq("batch"), partitionValues = Seq(Seq(batchId)),
-      incomingUnique = true)
+      incomingUnique = true, schema = Some(shingleStoreSchema))
     labeled
   }
 

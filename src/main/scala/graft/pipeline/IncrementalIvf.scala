@@ -94,7 +94,7 @@ object IncrementalIvf {
       keys = Seq("neighbor_id"), version = Seq(lit(1L)),
       partitionCols = Seq("iv", "cell", "batch"),
       partitionValues = cells.toSeq.map(c => Seq(iv, c, batchId)),
-      incomingUnique = true)
+      incomingUnique = true, schema = Some(assignedSchema))
   }
 
   /** RE-TRAIN the index from the stored vectors and re-assign the whole

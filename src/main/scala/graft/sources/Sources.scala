@@ -41,7 +41,12 @@ object Snapshots {
     * are kept, matching the reference, and collapse later at the store's
     * last-wins upsert. */
   def tickerUniverse(spark: SparkSession, path: String, limit: Int): DataFrame =
-    spark.read.schema(screenerSchema).json(path)
+    // FAILFAST: with an explicit schema and the default PERMISSIVE mode,
+    // a snapshot that doesn't parse (pretty-printed multi-line JSON is
+    // the classic re-save) yields all-null rows → posexplode(null) →
+    // a silently EMPTY universe. The scaladoc relaxes null SYMBOLS only;
+    // a whole-file parse failure must stay loud.
+    spark.read.schema(screenerSchema).option("mode", "FAILFAST").json(path)
       .select(posexplode(col("data.table.rows")).as(Seq("pos", "r")))
       .filter(col("r.symbol").isNotNull)
       .orderBy(col("pos"))
@@ -191,19 +196,39 @@ object KeyedParquetStore {
     * `incoming` — one whole shuffle stage per upsert on the ingest hot
     * path. A false vouch stores duplicate keys; the contract is the
     * caller's to honor, exactly like `partitionValues`. */
+  /** `schema`: optional KNOWN-SCHEMA fast path for the MERGE read — the
+    * same contract as [[read]]'s schema parameter: when the merge path
+    * must read the store back (retried batch, overlapping partitions),
+    * a caller that knows the store's current schema skips mergeSchema's
+    * store-sized footer job. Evolution-safe the same way (pre-evolution
+    * files null-fill; type mismatches fail loud at scan). Ignored on
+    * the append fast path, which never reads the store. */
+  /** KEYS↔PARTITION CONTRACT: the last-wins merge is PARTITION-SCOPED —
+    * a key is deduplicated only against rows in the partitions the
+    * batch touches. A key tuple must therefore always map to the same
+    * partition tuple (keys functionally determine `partitionCols`), or
+    * a key that "moves" partitions leaves its old row behind and the
+    * store silently holds two rows for one key. Callers that partition
+    * by batch/date satisfy this by never re-delivering a key under a
+    * new batch (the incremental indexes' documented precondition);
+    * `IncrementalBm25`'s term PARTIALS deliberately exploit the
+    * partition-local scoping (one row per (term, batch), summed at
+    * read) — that is an index design choice, not a loophole in this
+    * contract. */
   def upsert(spark: SparkSession, path: String, incoming: DataFrame,
              keys: Seq[String], version: Seq[Column],
              partitionCols: Seq[String] = Nil,
              lockTtlMs: Long = 10L * 60 * 1000,
              partitionValues: Seq[Seq[Any]] = Nil,
-             incomingUnique: Boolean = false): Unit = {
+             incomingUnique: Boolean = false,
+             schema: Option[StructType] = None): Unit = {
     require(partitionValues.isEmpty ||
       partitionValues.forall(_.length == partitionCols.length),
       "each partitionValues tuple must align with partitionCols")
     val f = fs(spark, path)
     val h = acquireLock(f, new HPath(path + ".lock"), lockTtlMs)
     try doUpsert(spark, f, path, incoming, keys, version, partitionCols,
-      partitionValues, incomingUnique)
+      partitionValues, incomingUnique, h, schema)
     finally h.release()
   }
 
@@ -211,9 +236,18 @@ object KeyedParquetStore {
     try {
       val in = f.open(lock)
       try {
+        // read() may legally return fewer bytes than asked (object-store
+        // streams especially); a truncated token would make the owner
+        // spuriously "lose" its own lock mid-merge (heartbeat stops,
+        // release() leaves the file) — loop to EOF or capacity.
         val buf = new Array[Byte](64)
-        val n = in.read(buf)
-        Some(new String(buf, 0, math.max(n, 0), java.nio.charset.StandardCharsets.UTF_8))
+        var n = 0
+        var r = 0
+        while (r >= 0 && n < buf.length) {
+          r = in.read(buf, n, buf.length - n)
+          if (r > 0) n += r
+        }
+        Some(new String(buf, 0, n, java.nio.charset.StandardCharsets.UTF_8))
       } finally in.close()
     } catch { case _: java.io.IOException => None }
 
@@ -247,6 +281,19 @@ object KeyedParquetStore {
       if (readToken(f, lock).contains(token)) f.delete(lock, false)
       ()
     }
+
+    /** Re-verify ownership at the last possible moment before a swap's
+      * rename sequence: a writer paused past the ttl (stop-the-world GC,
+      * VM freeze) can be legitimately taken over by a contender, and
+      * swapping anyway would interleave two writers' renames — the
+      * corruption the lock exists to prevent. A check here NARROWS that
+      * window to the instant between read and rename (irreducible
+      * without a transactional store); it does not eliminate it. */
+    def assertStillOwned(): Unit =
+      if (!readToken(f, lock).contains(token)) throw new IllegalStateException(
+        s"lock $lock changed hands mid-merge (writer paused past the ttl " +
+          "and was taken over) — aborting before the swap; the successor " +
+          "owns the store now")
   }
 
   private[sources] def acquireLock(f: FileSystem, lock: HPath,
@@ -282,7 +329,15 @@ object KeyedParquetStore {
             f.getFileStatus(displaced).getModificationTime < ttlMs
           catch { case _: java.io.FileNotFoundException => false }
         if (displacedFresh) {
-          f.rename(displaced, lock)
+          // CHECKED like every other rename: if the hand-back loses to a
+          // third contender that re-created the lock meanwhile, failing
+          // silently would strand the live owner's lock as a .stale-*
+          // orphan and let two writers run; fail loud instead (the
+          // message names the stranded file for manual inspection).
+          require(f.rename(displaced, lock),
+            s"lock hand-back failed: a third contender re-created $lock " +
+              s"while a live owner's lock sits displaced at $displaced — " +
+              "resolve manually before writing to this store")
           throw new IllegalStateException(
             s"concurrent upsert detected: lock $lock was refreshed during takeover")
         }
@@ -335,7 +390,9 @@ object KeyedParquetStore {
                        incoming: DataFrame, keys: Seq[String], version: Seq[Column],
                        partitionCols: Seq[String],
                        partitionValues: Seq[Seq[Any]] = Nil,
-                       incomingUnique: Boolean = false): Unit = {
+                       incomingUnique: Boolean = false,
+                       owner: LockHandle,
+                       knownSchema: Option[StructType] = None): Unit = {
     def dedupIncoming(df: DataFrame): DataFrame =
       if (incomingUnique) df
       else CoreOps.latestPerGroup(df, keys.map(col), version.map(_.desc))
@@ -350,8 +407,13 @@ object KeyedParquetStore {
     // additive evolution — partitions written before a new column lack it
     // in their footers, and a single-footer sample would silently drop the
     // column from the merge). The append fast path below must not pay
-    // that store-sized cost, so the read only happens on paths that merge.
-    lazy val existing = spark.read.option("mergeSchema", "true").parquet(path)
+    // that store-sized cost, so the read only happens on paths that merge
+    // — and a caller-supplied known schema skips the footer job even
+    // there (the read()-schema contract).
+    lazy val existing = knownSchema match {
+      case Some(s) => spark.read.schema(s).parquet(path)
+      case None => spark.read.option("mergeSchema", "true").parquet(path)
+    }
     val staging = path + ".staging"
     f.delete(new HPath(staging), true)
 
@@ -363,6 +425,20 @@ object KeyedParquetStore {
       val writer = merged.write.mode(SaveMode.Overwrite)
       (if (partitionCols.nonEmpty) writer.partitionBy(partitionCols: _*) else writer)
         .parquet(staging)
+      // A PARTITIONED write of zero rows stages no files at all (only
+      // _SUCCESS) — swapping it in would create a store that "exists"
+      // but cannot be read (no footer to infer from), wedging every
+      // later mergeSchema read and merge. An idle first micro-batch of
+      // a partitioned upsertStream hits exactly this; treat it as the
+      // no-op it is. (Unpartitioned empty writes stage a real
+      // schema-carrying file and stay full swaps — an empty store that
+      // reads back empty.)
+      if (partitionCols.nonEmpty && !f.listStatus(new HPath(staging)).exists(s =>
+          !s.getPath.getName.startsWith("_") && !s.getPath.getName.startsWith("."))) {
+        f.delete(new HPath(staging), true)
+        return
+      }
+      owner.assertStillOwned()
       swap(f, new HPath(staging), new HPath(path), new HPath(path + ".old"))
     } else {
       // Partition-scoped merge: only partitions present in `incoming` are
@@ -414,6 +490,7 @@ object KeyedParquetStore {
           .map(d => f.makeQualified(d).toString.stripPrefix(stagingQ).stripPrefix("/"))
         val probed = probedRels.toSet
         if (stagedRels.forall(probed.contains)) {
+          owner.assertStillOwned()
           swapStagedPartitions(spark, f, path, staging, partitionCols.length)
           true
         } else {
@@ -435,6 +512,7 @@ object KeyedParquetStore {
       }
       val merged = CoreOps.upsertLastWins(affected, incoming, keys, version)
       merged.write.mode(SaveMode.Overwrite).partitionBy(partitionCols: _*).parquet(staging)
+      owner.assertStillOwned()
       swapStagedPartitions(spark, f, path, staging, partitionCols.length)
     }
   }
@@ -504,6 +582,7 @@ object KeyedParquetStore {
           val target = if (rel.isEmpty) new HPath(path) else new HPath(s"$pathQ/$rel")
           val old =
             if (rel.isEmpty) new HPath(path + ".old") else new HPath(s"$pathQ.old/$rel")
+          h.assertStillOwned()
           swap(f, new HPath(stagingDir), target, old)
         }
         f.delete(new HPath(staging), true)
@@ -522,7 +601,13 @@ object KeyedParquetStore {
     * atomic rename, a crash leaves the healable `.old` pre-image, and a
     * live writer fails fast. `contents` MAY read from the store being
     * replaced (the roll-up shape): it materializes into staging while
-    * the store is still intact, and only then swaps. */
+    * the store is still intact, and only then swaps.
+    *
+    * Replacing a PARTITIONED store with zero rows DELETES it (reads see
+    * an absent store): a partitioned write of no rows stages no files,
+    * and swapping that in would leave a store that "exists" but cannot
+    * be read. Absent-after-empty-replace is the consistent rendering of
+    * "the new truth is nothing". */
   def replace(spark: SparkSession, path: String, contents: DataFrame,
               partitionCols: Seq[String] = Nil,
               lockTtlMs: Long = 10L * 60 * 1000): Unit = {
@@ -535,7 +620,14 @@ object KeyedParquetStore {
       val w = contents.write.mode(SaveMode.Overwrite)
       (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
         .parquet(staging)
-      swap(f, new HPath(staging), new HPath(path), new HPath(path + ".old"))
+      h.assertStillOwned()
+      if (partitionCols.nonEmpty && !f.listStatus(new HPath(staging)).exists(s =>
+          !s.getPath.getName.startsWith("_") && !s.getPath.getName.startsWith("."))) {
+        f.delete(new HPath(staging), true)
+        f.delete(new HPath(path), true) // empty truth: absent store (see scaladoc)
+        ()
+      } else
+        swap(f, new HPath(staging), new HPath(path), new HPath(path + ".old"))
     } finally h.release()
   }
 

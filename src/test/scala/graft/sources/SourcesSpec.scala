@@ -95,6 +95,60 @@ class SourcesSpec extends SparkSpec {
     assert(KeyedParquetStore.read(spark, path).get.count() === 1)
   }
 
+  test("EMPTY FIRST write of a partitioned store is a no-op, not a " +
+      "fileless store that wedges later reads (r8)") {
+    val path = Files.createTempDirectory("store_empty_first").toString + "/t"
+    val v1 = Seq(("2024-01-01", "AAA", 1.0, 1)).toDF("date", "ticker", "price", "ver")
+    // an idle FIRST micro-batch: partitioned write of zero rows stages no
+    // parquet files — swapping it in would create a store that "exists"
+    // but cannot be schema-inferred, poisoning every later read/merge
+    KeyedParquetStore.upsert(spark, path, v1.limit(0), Seq("ticker"), Seq($"ver"),
+      partitionCols = Seq("date"))
+    assert(KeyedParquetStore.read(spark, path).isEmpty) // still absent
+    // and the store is NOT wedged: the next real batch lands normally
+    KeyedParquetStore.upsert(spark, path, v1, Seq("ticker"), Seq($"ver"),
+      partitionCols = Seq("date"))
+    assert(KeyedParquetStore.read(spark, path).get.count() === 1)
+    // same guard on replace: empty truth = absent store
+    KeyedParquetStore.replace(spark, path, v1.limit(0), partitionCols = Seq("date"))
+    assert(KeyedParquetStore.read(spark, path).isEmpty)
+  }
+
+  test("tickerUniverse fails loud on a snapshot that does not parse (r8)") {
+    val dir = Files.createTempDirectory("screener_bad").toFile
+    // the classic re-save: pretty-printed multi-line JSON, which the
+    // JSON-lines reader sees as corrupt records — silently empty before
+    // FAILFAST, an error now
+    Files.writeString(new java.io.File(dir, "snap.json").toPath,
+      "{\n  \"data\": {\n    \"table\": {\"rows\": []}\n  }\n}")
+    val e = intercept[Exception] {
+      Snapshots.tickerUniverse(spark, dir.toString, 5).collect()
+    }
+    assert(e.getMessage.toLowerCase.contains("malformed") ||
+      e.getCause != null, s"expected a parse failure, got: ${e.getMessage}")
+  }
+
+  test("upsert known-schema merge path skips footer inference and merges correctly (r8)") {
+    val path = Files.createTempDirectory("store_ks").toString + "/t"
+    val sc = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("ticker", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("price", org.apache.spark.sql.types.DoubleType),
+      org.apache.spark.sql.types.StructField("ver", org.apache.spark.sql.types.IntegerType),
+      org.apache.spark.sql.types.StructField("date", org.apache.spark.sql.types.StringType)))
+    val v1 = Seq(("AAA", 1.0, 1, "2024-01-01")).toDF("ticker", "price", "ver", "date")
+    KeyedParquetStore.upsert(spark, path, v1, Seq("ticker"), Seq($"ver"),
+      partitionCols = Seq("date"), schema = Some(sc))
+    // RETRY of the same partition takes the MERGE path (the dir exists);
+    // with the known schema it must read the store without mergeSchema
+    // and still merge last-wins correctly
+    val v2 = Seq(("AAA", 2.0, 2, "2024-01-01")).toDF("ticker", "price", "ver", "date")
+    KeyedParquetStore.upsert(spark, path, v2, Seq("ticker"), Seq($"ver"),
+      partitionCols = Seq("date"), schema = Some(sc))
+    val got = KeyedParquetStore.read(spark, path, schema = Some(sc)).get
+      .select($"ticker", $"price").as[(String, Double)].collect().toSeq
+    assert(got === Seq(("AAA", 2.0)))
+  }
+
   test("upsert version tie prefers the incoming row (INSERT OR REPLACE)") {
     val path = Files.createTempDirectory("store_tie").toString + "/dim"
     val v1 = Seq(("AAA", 10.0, 1)).toDF("ticker", "price", "ver")
