@@ -54,7 +54,7 @@ object IncrementalBm25 {
     StructField("tbucket", IntegerType), StructField("batch", StringType)))
   val statsSchema: StructType = StructType(Seq(
     StructField("n_docs", LongType), StructField("sum_dl", LongType),
-    StructField("batch", StringType)))
+    StructField("nb", IntegerType), StructField("batch", StringType)))
 
   /** Tokenize `batch` (columns `doc_id`, `text`) and append its partial
     * relations under partition `batch=<batchId>` in the three stores.
@@ -125,10 +125,28 @@ object IncrementalBm25 {
       .withColumn("tbucket", tb).withColumn("batch", lit(batchId))
     val terms = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
       .withColumn("tbucket", tb).withColumn("batch", lit(batchId))
+    // nb rides every stat partial as the index's STRUCTURAL fingerprint:
+    // tbucket = hash(term) mod nBuckets is baked into every stored row,
+    // so an ingest (or search) with a different nBuckets silently drops
+    // the other modulus's rows from the pruned scan — wrong df sums,
+    // wrong scores, no error. searchStored refuses a mixed/mismatched
+    // store; under debugChecks the mismatch fails fast here instead.
     val stats = lens
       .agg(count(lit(1)).as("n_docs"),
         coalesce(sum(col("dl")), lit(0L)).as("sum_dl"))
+      .withColumn("nb", lit(nBuckets))
       .withColumn("batch", lit(batchId))
+    if (spark.conf.getOption("spark.graft.store.debugChecks").contains("true"))
+      KeyedParquetStore.read(spark, statsPath, schema = Some(statsSchema))
+        .foreach { stored =>
+          val drift = stored.filter(col("nb").isNotNull && col("nb") =!= nBuckets)
+            .select(col("nb")).limit(1).collect()
+          require(drift.isEmpty,
+            s"BM25 index bucket-count drift: store at $statsPath was built " +
+              s"with nBuckets=${drift.headOption.map(_.getInt(0)).orNull} but " +
+              s"this ingest uses nBuckets=$nBuckets — mixed moduli make the " +
+              "term-bucket pruning silently drop postings")
+        }
     // The hint lists every (batch, tbucket) pair: over-broad when a small
     // batch misses a bucket (a wasted probe, documented safe), but static
     // — no distinct().collect() discovery job on the ingest hot path.
@@ -179,13 +197,17 @@ object IncrementalBm25 {
     KeyedParquetStore.read(spark, statsPath, schema = Some(statsSchema))
       .foreach { stats =>
         val kept = stats.filter(col("batch").isin(keep: _*))
+        // max(nb) carries the fingerprint through the fold: all partials
+        // share one nb (searchStored refuses mixed stores), and max
+        // skips legacy nulls.
         val rolled = stats.filter(!col("batch").isin(keep: _*))
           .agg(coalesce(sum(col("n_docs")), lit(0L)).as("n_docs"),
-            coalesce(sum(col("sum_dl")), lit(0L)).as("sum_dl"))
+            coalesce(sum(col("sum_dl")), lit(0L)).as("sum_dl"),
+            max(col("nb")).as("nb"))
           .withColumn("batch", lit("rollup"))
         KeyedParquetStore.replace(spark, statsPath,
           rolled.unionByName(kept).select(
-            col("n_docs"), col("sum_dl"), col("batch")),
+            col("n_docs"), col("sum_dl"), col("nb"), col("batch")),
           partitionCols = Seq("batch"))
       }
   }
@@ -208,8 +230,20 @@ object IncrementalBm25 {
     val terms = pruned(termsPath, termsSchema)
       .filter(col("term").isin(query: _*))
       .groupBy(col("term")).agg(sum(col("df")).as("df"))
-    val stats = KeyedParquetStore.read(spark, statsPath, schema = Some(statsSchema))
+    val statsRel = KeyedParquetStore.read(spark, statsPath, schema = Some(statsSchema))
       .getOrElse(sys.error(s"no BM25 stats store at $statsPath"))
+    // Bucket-count pairing: tbucket is hash(term) mod the INDEX's
+    // nBuckets; pruning with any other modulus silently drops postings.
+    // The stat partials carry the index's fingerprint (KB-sized read;
+    // legacy null rows are unknowable and skipped).
+    val storedNb = statsRel.filter(col("nb").isNotNull)
+      .select(col("nb")).distinct().collect().map(_.getInt(0)).toSet
+    require(storedNb.subsetOf(Set(nBuckets)),
+      s"BM25 index bucket-count mismatch: store at $statsPath was built " +
+        s"with nBuckets=${storedNb.toSeq.sorted.mkString("{", ",", "}")} but " +
+        s"this search uses nBuckets=$nBuckets — the term-bucket pruning " +
+        "would silently drop the other modulus's postings")
+    val stats = statsRel
       .agg(sum(col("n_docs")).as("n_docs"),
         (sum(col("sum_dl")).cast("double") / sum(col("n_docs"))).as("avgdl"))
     TextAnalysis.bm25SearchStored(pruned(postingsPath, postingsSchema),

@@ -35,10 +35,21 @@ object IncrementalDedup {
     * existed null-fill under it. */
   private val bandStoreSchema = StructType(Seq(
     StructField("doc_id", LongType), StructField("band", IntegerType),
-    StructField("sig", StringType), StructField("batch", StringType)))
+    StructField("sig", StringType), StructField("cfg", StringType),
+    StructField("batch", StringType)))
   private val shingleStoreSchema = StructType(Seq(
     StructField("doc_id", LongType), StructField("h", LongType),
     StructField("batch", StringType)))
+
+  /** The index's STRUCTURAL parameters, fingerprinted onto every stored
+    * band row (RLE-compresses to nothing): numHashes/rowsPerBand/shingleN
+    * determine the signature encoding, so an ingest with different values
+    * would band-join stored rows and match NOTHING — every stored
+    * near-dup silently re-enters as "kept". The fingerprint lets
+    * debugChecks fail loud on drift. `threshold` is deliberately absent:
+    * it tunes the confirm, not the encoding. */
+  private def cfgOf(numHashes: Int, rowsPerBand: Int, shingleN: Int): String =
+    s"$numHashes/$rowsPerBand/$shingleN"
 
   /** Dedup `batch` against the stored index and upsert the survivors'
     * bands + shingles under the batch's own partition (`batch=<batchId>`)
@@ -57,11 +68,37 @@ object IncrementalDedup {
     *    `dup_of_stored`, the whole cluster is rejected — the same
     *    fixpoint batch-mode dedupClusters + dropNonCanonical reaches).
     *
-    * `dup_of_stored` wins when both labels apply. */
+    * `dup_of_stored` wins when both labels apply.
+    *
+    * PRECONDITIONS (caller-vouched, enforced under
+    * `spark.graft.store.debugChecks=true`): (1) the structural
+    * parameters (numHashes/rowsPerBand/shingleN) never change across
+    * ingests into one index — drifted parameters band-join stored rows
+    * and match NOTHING, silently re-admitting every stored near-dup;
+    * (2) a doc_id is never re-delivered under a DIFFERENT batch id —
+    * the self-pair exemption (a retried doc must not read as its own
+    * duplicate) means a re-sent doc is never compared against its
+    * stored copy, so it re-indexes as "kept" and the store holds two
+    * rows per key. Replays under the ORIGINAL batch id are the
+    * sanctioned idempotent path for both. */
   def ingestBatch(spark: SparkSession, batch: DataFrame, batchId: String,
                   bandsPath: String, shinglesPath: String,
                   numHashes: Int = 16, rowsPerBand: Int = 4,
                   shingleN: Int = 3, threshold: Double = 0.5): DataFrame = {
+    if (spark.conf.getOption("spark.graft.store.debugChecks").contains("true"))
+      KeyedParquetStore.read(spark, bandsPath, schema = Some(bandStoreSchema))
+        .foreach { sb =>
+          val resent = sb.filter(col("batch") =!= lit(batchId))
+            .join(batch.select(col("doc_id")).distinct(), Seq("doc_id"), "left_semi")
+            .select(col("doc_id")).distinct().limit(3)
+            .collect().map(_.getLong(0))
+          require(resent.isEmpty,
+            s"dedup ingest precondition violated: doc_id(s) ${resent.mkString(", ")} " +
+              s"already indexed under a different batch than '$batchId' — the " +
+              "self-pair exemption means a re-sent doc never matches its own " +
+              "stored copy and would duplicate its keys (replays must reuse " +
+              "the original batch id)")
+        }
     val (labeled, bands, sh) = labelBatch(spark, batch, bandsPath, shinglesPath,
       numHashes, rowsPerBand, shingleN, threshold)
     val keptIds = labeled.filter(col("status") === "kept").select("doc_id")
@@ -74,24 +111,37 @@ object IncrementalDedup {
     // store. A RETRY of the same batchId finds its partition on disk and
     // takes the merge path, which stays idempotent (last-wins on the
     // same keys).
-    KeyedParquetStore.upsert(spark, bandsPath,
-      bands.join(keptIds, Seq("doc_id"), "left_semi")
-        .withColumn("batch", lit(batchId)),
-      keys = Seq("doc_id", "band"), version = Seq(lit(1)),
-      partitionCols = Seq("batch"), partitionValues = Seq(Seq(batchId)),
-      incomingUnique = true, schema = Some(bandStoreSchema))
+    //
+    // ORDER MATTERS for crash recovery: the band store is the index's
+    // presence marker (labelBatch treats a missing band store as an
+    // empty index, but a band store WITHOUT its shingle store is a loud
+    // error). Writing shingles FIRST means a crash between the two
+    // upserts leaves shingles-only — which reads as an absent index, so
+    // the replayed epoch relabels from scratch and both upserts re-merge
+    // idempotently. The old order (bands first) left a state whose every
+    // replay hit the missing-shingle-store error: a permanently wedged
+    // stream.
     KeyedParquetStore.upsert(spark, shinglesPath,
       sh.join(keptIds, Seq("doc_id"), "left_semi")
         .withColumn("batch", lit(batchId)),
       keys = Seq("doc_id", "h"), version = Seq(lit(1)),
       partitionCols = Seq("batch"), partitionValues = Seq(Seq(batchId)),
       incomingUnique = true, schema = Some(shingleStoreSchema))
+    KeyedParquetStore.upsert(spark, bandsPath,
+      bands.join(keptIds, Seq("doc_id"), "left_semi")
+        .withColumn("cfg", lit(cfgOf(numHashes, rowsPerBand, shingleN)))
+        .withColumn("batch", lit(batchId)),
+      keys = Seq("doc_id", "band"), version = Seq(lit(1)),
+      partitionCols = Seq("batch"), partitionValues = Seq(Seq(batchId)),
+      incomingUnique = true, schema = Some(bandStoreSchema))
     labeled
   }
 
   /** Label `batch` against the stored index WITHOUT mutating it — the
     * dry-run / query-the-index face of [[ingestBatch]]: identical
-    * statuses, no upsert. */
+    * statuses, no upsert. Shares the ingest face's parameter-drift
+    * precondition (and its debugChecks enforcement): drifted structural
+    * parameters mislabel a dry run exactly like an ingest. */
   def dedupBatch(spark: SparkSession, batch: DataFrame,
                  bandsPath: String, shinglesPath: String,
                  numHashes: Int = 16, rowsPerBand: Int = 4,
@@ -125,6 +175,21 @@ object IncrementalDedup {
     // (the stores don't even carry it).
     val storedPairs = KeyedParquetStore.read(spark, bandsPath,
       schema = Some(bandStoreSchema)).map { sb =>
+      // Parameter-drift guard lives HERE so BOTH faces get it — the
+      // dry-run dedupBatch mislabels under drift exactly like an ingest
+      // (stored signatures match nothing → every stored near-dup reads
+      // as kept). Same debugChecks gate, same store read, no extra job
+      // on the production path.
+      if (spark.conf.getOption("spark.graft.store.debugChecks").contains("true")) {
+        val cfg = cfgOf(numHashes, rowsPerBand, shingleN)
+        val drift = sb.filter(col("cfg").isNotNull && col("cfg") =!= cfg)
+          .select(col("cfg")).limit(1).collect()
+        require(drift.isEmpty,
+          s"dedup-index parameter drift: store at $bandsPath was built with " +
+            s"numHashes/rowsPerBand/shingleN = ${drift.headOption.map(_.getString(0)).orNull} " +
+            s"but this call uses $cfg — drifted signatures match nothing " +
+            "and every stored near-dup would silently re-enter as kept")
+      }
       // doc_a <> doc_b: on an ingest RETRY the batch's own kept docs are
       // already indexed, and a doc must not read as a duplicate of itself.
       // Checkpointed: the confirm consumes `cands` twice (semi-prune +
@@ -140,8 +205,13 @@ object IncrementalDedup {
         .localCheckpoint()
       val storedSh = KeyedParquetStore.read(spark, shinglesPath,
           schema = Some(shingleStoreSchema))
+        // unreachable via this module's own writes since the r8
+        // shingles-before-bands ordering (a crash between the upserts
+        // leaves shingles-only, which reads as an absent index); only
+        // external damage produces it, and that deserves the error
         .getOrElse(sys.error(s"band index $bandsPath exists without its " +
-          s"shingle index $shinglesPath — the two stores upsert together"))
+          s"shingle index $shinglesPath — the two stores upsert together " +
+          "(shingles first); this state indicates external deletion"))
         .select(col("doc_id"), col("h"))
         .join(cands.select(col("doc_b").as("doc_id")).distinct(),
           Seq("doc_id"), "left_semi")

@@ -82,6 +82,11 @@ object Streams {
     import events.sparkSession.implicits._
     val streaming = events.isStreaming
     events
+      // a null event-time row cannot be watermarked and its ts.getTime
+      // would NPE inside the state function — on a stream that is a
+      // POISON PILL (the checkpoint replays the same batch forever);
+      // drop such rows up front, the same verdict late data gets
+      .filter(col("ts").isNotNull)
       .withWatermark("ts", watermark)
       .groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
@@ -130,6 +135,26 @@ object Streams {
       }
       .start()
 
+  /** Shared scaffold of the three index-maintenance sinks: per-epoch
+    * ingest via foreachBatch plus store maintenance every `compactEvery`
+    * epochs. ONE copy of the cadence rule — keyed off the epoch id, so a
+    * replayed epoch re-runs its maintenance harmlessly (compaction is a
+    * no-op on a compact layout; the roll-ups keep the replayable epoch
+    * on their horizon). `compactEvery` ≤ 0 disables maintenance. */
+  private def epochSink(rows: DataFrame, checkpoint: String,
+                        ingest: (SparkSession, DataFrame, Long) => Unit,
+                        maintain: (SparkSession, Long) => Unit,
+                        compactEvery: Int): StreamingQuery =
+    rows.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: Dataset[Row], epoch: Long) =>
+        ingest(batch.sparkSession, batch.toDF(), epoch)
+        if (compactEvery > 0 && epoch > 0 && epoch % compactEvery == 0)
+          maintain(batch.sparkSession, epoch)
+      }
+      .start()
+
   /** Streaming INCREMENTAL near-dup ingest: each micro-batch of
     * documents dedups against the persisted band/shingle index and
     * appends only its survivors
@@ -159,21 +184,18 @@ object Streams {
                         shinglesPath: String, checkpoint: String,
                         compactEvery: Int = 8,
                         compactTargetFiles: Int = 1): StreamingQuery =
-    docs.writeStream
-      .option("checkpointLocation", checkpoint)
-      .outputMode(OutputMode.Append)
-      .foreachBatch { (batch: Dataset[Row], epoch: Long) =>
+    epochSink(docs, checkpoint,
+      ingest = (s, batch, epoch) => {
         graft.pipeline.IncrementalDedup.ingestBatch(
-          batch.sparkSession, batch.toDF(), s"e$epoch", bandsPath, shinglesPath)
-        if (compactEvery > 0 && epoch > 0 && epoch % compactEvery == 0) {
-          graft.sources.KeyedParquetStore.compact(
-            batch.sparkSession, bandsPath, compactTargetFiles)
-          graft.sources.KeyedParquetStore.compact(
-            batch.sparkSession, shinglesPath, compactTargetFiles)
-          ()
-        }
-      }
-      .start()
+          s, batch, s"e$epoch", bandsPath, shinglesPath)
+        ()
+      },
+      maintain = (s, _) => {
+        graft.sources.KeyedParquetStore.compact(s, bandsPath, compactTargetFiles)
+        graft.sources.KeyedParquetStore.compact(s, shinglesPath, compactTargetFiles)
+        ()
+      },
+      compactEvery)
 
   /** Streaming BM25 index maintenance: each micro-batch of documents
     * appends its partial postings / term-df / corpus-stat relations
@@ -194,28 +216,22 @@ object Streams {
                        checkpoint: String, nBuckets: Int = 16,
                        compactEvery: Int = 8,
                        compactTargetFiles: Int = 1): StreamingQuery =
-    docs.writeStream
-      .option("checkpointLocation", checkpoint)
-      .outputMode(OutputMode.Append)
-      .foreachBatch { (batch: Dataset[Row], epoch: Long) =>
+    epochSink(docs, checkpoint,
+      ingest = (s, batch, epoch) =>
         graft.pipeline.IncrementalBm25.ingestBatch(
-          batch.sparkSession, batch.toDF(), s"e$epoch",
-          postingsPath, termsPath, statsPath, nBuckets)
-        if (compactEvery > 0 && epoch > 0 && epoch % compactEvery == 0) {
-          // Postings rows are per-doc facts — only their FILE population
-          // grows: compact. Term/stat PARTIALS grow in ROW count per
-          // batch: roll them up instead, keeping the current epoch's
-          // partitions intact so a crash-replay of this epoch still
-          // re-merges idempotently (older epochs are checkpoint-committed
-          // and never redelivered).
-          graft.sources.KeyedParquetStore.compact(
-            batch.sparkSession, postingsPath, compactTargetFiles)
-          graft.pipeline.IncrementalBm25.rollupPartials(
-            batch.sparkSession, termsPath, statsPath,
-            keepBatches = Set(s"e$epoch"))
-        }
-      }
-      .start()
+          s, batch, s"e$epoch", postingsPath, termsPath, statsPath, nBuckets),
+      maintain = (s, epoch) => {
+        // Postings rows are per-doc facts — only their FILE population
+        // grows: compact. Term/stat PARTIALS grow in ROW count per
+        // batch: roll them up instead, keeping the current epoch's
+        // partitions intact so a crash-replay of this epoch still
+        // re-merges idempotently (older epochs are checkpoint-committed
+        // and never redelivered).
+        graft.sources.KeyedParquetStore.compact(s, postingsPath, compactTargetFiles)
+        graft.pipeline.IncrementalBm25.rollupPartials(
+          s, termsPath, statsPath, keepBatches = Set(s"e$epoch"))
+      },
+      compactEvery)
 
   /** Streaming IVF insertion: each micro-batch of embeddings is assigned
     * to the FROZEN stored centroids and appended under its own
@@ -230,20 +246,15 @@ object Streams {
                       assignedPath: String, checkpoint: String,
                       compactEvery: Int = 8,
                       compactTargetFiles: Int = 1): StreamingQuery =
-    vectors.writeStream
-      .option("checkpointLocation", checkpoint)
-      .outputMode(OutputMode.Append)
-      .foreachBatch { (batch: Dataset[Row], epoch: Long) =>
+    epochSink(vectors, checkpoint,
+      ingest = (s, batch, epoch) =>
         graft.pipeline.IncrementalIvf.ingestBatch(
-          batch.sparkSession, batch.toDF(), s"e$epoch",
-          centroidsPath, assignedPath)
-        if (compactEvery > 0 && epoch > 0 && epoch % compactEvery == 0) {
-          graft.sources.KeyedParquetStore.compact(
-            batch.sparkSession, assignedPath, compactTargetFiles)
-          ()
-        }
-      }
-      .start()
+          s, batch, s"e$epoch", centroidsPath, assignedPath),
+      maintain = (s, _) => {
+        graft.sources.KeyedParquetStore.compact(s, assignedPath, compactTargetFiles)
+        ()
+      },
+      compactEvery)
 
   /** Streaming exact dedup: drop events whose `event_id` was already seen
     * for the key — the streaming face of `Dedup.exact`.
@@ -260,6 +271,8 @@ object Streams {
     import events.sparkSession.implicits._
     val streaming = events.isStreaming
     events
+      // null event-time: same poison-pill guard as runningUserTotals
+      .filter(col("ts").isNotNull)
       .withWatermark("ts", watermark)
       .groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {

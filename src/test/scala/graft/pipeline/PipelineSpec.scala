@@ -133,6 +133,70 @@ class DedupSpec extends SparkSpec {
       .select($"doc_id", $"status").as[(Long, String)].collect().toMap === preCompact)
   }
 
+  test("incremental dedup: a crash between the two index upserts replays " +
+      "cleanly (shingles-before-bands ordering, r8)") {
+    val dir = java.nio.file.Files.createTempDirectory("inc_dedup_crash").toString
+    val (bands, shingles) = (dir + "/bands", dir + "/shingles")
+    val b1 = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog near the river bank today"))
+      .toDF("doc_id", "text")
+    IncrementalDedup.ingestBatch(spark, b1, "e0", bands, shingles)
+    // crash state: the SECOND upsert (bands) never landed — with the r8
+    // ordering that leaves shingles-only, which must read as an ABSENT
+    // index (the old bands-first order left the reverse state, whose
+    // every replay died on the missing-shingle-store error: a wedged
+    // stream)
+    def deleteRec(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(deleteRec)
+      f.delete(); ()
+    }
+    deleteRec(new java.io.File(bands))
+    // the replayed epoch relabels from scratch and re-merges both stores
+    val replay = IncrementalDedup.ingestBatch(spark, b1, "e0", bands, shingles)
+      .select($"doc_id", $"status").as[(Long, String)].collect().toMap
+    assert(replay === Map(1L -> "kept"))
+    // and the index answers: a near-dup of the replayed doc is rejected
+    val label = IncrementalDedup.dedupBatch(spark,
+      Seq((9L, "the quick brown fox jumps over the lazy dog near the river bank today"))
+        .toDF("doc_id", "text"), bands, shingles)
+      .select($"status").as[String].head()
+    assert(label === "dup_of_stored")
+  }
+
+  test("incremental dedup debugChecks: parameter drift and cross-batch " +
+      "re-delivery both fail fast (r8)") {
+    val dir = java.nio.file.Files.createTempDirectory("inc_dedup_guards").toString
+    val (bands, shingles) = (dir + "/bands", dir + "/shingles")
+    val b1 = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog near the river bank today"))
+      .toDF("doc_id", "text")
+    IncrementalDedup.ingestBatch(spark, b1, "e0", bands, shingles)
+    spark.conf.set("spark.graft.store.debugChecks", "true")
+    try {
+      // same batch id, same params: the sanctioned replay — passes
+      IncrementalDedup.ingestBatch(spark, b1, "e0", bands, shingles)
+      // drifted structural params: stored signatures would match nothing
+      val drift = intercept[IllegalArgumentException] {
+        IncrementalDedup.ingestBatch(spark, b1, "e0", bands, shingles,
+          shingleN = 5)
+      }
+      assert(drift.getMessage.contains("parameter drift"))
+      // the read-only face mislabels under drift exactly like an ingest
+      // — same guard, same gate
+      val dryDrift = intercept[IllegalArgumentException] {
+        IncrementalDedup.dedupBatch(spark, b1, bands, shingles,
+          numHashes = 32).collect()
+      }
+      assert(dryDrift.getMessage.contains("parameter drift"))
+      // an indexed doc re-sent under a NEW batch id: the self-pair
+      // exemption would hide it from its own stored copy
+      val resend = intercept[IllegalArgumentException] {
+        IncrementalDedup.ingestBatch(spark, b1, "e9", bands, shingles)
+      }
+      assert(resend.getMessage.contains("precondition"))
+    } finally spark.conf.unset("spark.graft.store.debugChecks")
+  }
+
   test("decontaminate drops train docs overlapping the eval set, keeps the rest (r4)") {
     val eval = docs.filter($"doc_id" === 1) // "benchmark" doc
     val train = docs.filter($"doc_id" >= 3) // 3 near-dups eval; 4, 5 unrelated

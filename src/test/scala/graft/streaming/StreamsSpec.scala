@@ -339,6 +339,53 @@ class StreamsSpec extends SparkSpec {
       .count() === 0L, "post-re-train replay duplicated stored neighbors")
   }
 
+  test("IncrementalBm25: a bucket-count mismatch refuses loudly instead " +
+      "of silently dropping postings (r8)") {
+    val store = Files.createTempDirectory("bm25_nb_store").toString
+    val (pP, tP, sP) = (s"$store/postings", s"$store/terms", s"$store/stats")
+    val b1 = Seq((1L, "spark joins shuffle data")).toDF("doc_id", "text")
+    graft.pipeline.IncrementalBm25.ingestBatch(spark, b1, "e0", pP, tP, sP,
+      nBuckets = 16)
+    // a search with another modulus would prune to the WRONG buckets and
+    // silently miss postings — the stats fingerprint refuses it
+    val e = intercept[IllegalArgumentException] {
+      graft.pipeline.IncrementalBm25.searchStored(spark, pP, tP, sP,
+        Seq("spark"), k = 5, nBuckets = 8).collect()
+    }
+    assert(e.getMessage.contains("bucket-count mismatch"))
+    // the matching modulus still answers
+    assert(graft.pipeline.IncrementalBm25.searchStored(spark, pP, tP, sP,
+      Seq("spark"), k = 5, nBuckets = 16).collect().nonEmpty)
+    // and under debugChecks a drifted INGEST fails fast before writing
+    spark.conf.set("spark.graft.store.debugChecks", "true")
+    try {
+      val e2 = intercept[IllegalArgumentException] {
+        graft.pipeline.IncrementalBm25.ingestBatch(spark,
+          Seq((2L, "window ranks rows")).toDF("doc_id", "text"), "e1",
+          pP, tP, sP, nBuckets = 8)
+      }
+      assert(e2.getMessage.contains("bucket-count drift"))
+    } finally spark.conf.unset("spark.graft.store.debugChecks")
+  }
+
+  test("null event-time rows are dropped, not poison pills, in the " +
+      "stateful operators (r8)") {
+    // a null ts would NPE inside the typed state functions — on a real
+    // stream the checkpoint then replays the same batch forever
+    val events = Seq(
+      (1L, Option(ts("2024-01-01 10:00:00")), 7L, "click", 1.0),
+      (2L, Option.empty[java.sql.Timestamp], 7L, "click", 2.0),
+      (3L, Option(ts("2024-01-01 10:05:00")), 7L, "click", 4.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+      .withColumn("ts", $"ts".cast("timestamp"))
+      .as[Streams.Event]
+    val run = Streams.runningUserTotals(events).collect()
+    assert(run.map(_.total_value).toSeq === Seq(5.0)) // null row skipped
+    assert(run.head.n_events === 2L)
+    val ded = Streams.dedupEvents(events).collect()
+    assert(ded.map(_.event_id).toSet === Set(1L, 3L))
+  }
+
   test("IncrementalBm25: a replayed batch id re-merges idempotently (r7)") {
     val store = Files.createTempDirectory("bm25_retry_store").toString
     val (pP, tP, sP) = (s"$store/postings", s"$store/terms", s"$store/stats")
