@@ -232,20 +232,31 @@ object IncrementalBm25 {
       .groupBy(col("term")).agg(sum(col("df")).as("df"))
     val statsRel = KeyedParquetStore.read(spark, statsPath, schema = Some(statsSchema))
       .getOrElse(sys.error(s"no BM25 stats store at $statsPath"))
+    // ONE driver-side fold over the KB-sized stat partials serves both
+    // the global constants (Σn_docs, avgdl) and the bucket-count
+    // fingerprint check — collected here instead of handed to the
+    // scorer as a broadcast relation, so the check costs zero extra
+    // jobs (a separate distinct+collect measured +2 on q71).
+    val g = statsRel.agg(
+      coalesce(sum(col("n_docs")), lit(0L)).as("n_docs"),
+      (sum(col("sum_dl")).cast("double") / sum(col("n_docs"))).as("avgdl"),
+      min(col("nb")).as("nb_min"), max(col("nb")).as("nb_max")).collect().head
     // Bucket-count pairing: tbucket is hash(term) mod the INDEX's
     // nBuckets; pruning with any other modulus silently drops postings.
-    // The stat partials carry the index's fingerprint (KB-sized read;
-    // legacy null rows are unknowable and skipped).
-    val storedNb = statsRel.filter(col("nb").isNotNull)
-      .select(col("nb")).distinct().collect().map(_.getInt(0)).toSet
+    // The stat partials carry the index's fingerprint (min/max bound the
+    // stored values; legacy all-null stores are unknowable and skipped).
+    val storedNb = Seq(2, 3).flatMap(i => Option(g.get(i)).map(_.asInstanceOf[Int])).toSet
     require(storedNb.subsetOf(Set(nBuckets)),
       s"BM25 index bucket-count mismatch: store at $statsPath was built " +
         s"with nBuckets=${storedNb.toSeq.sorted.mkString("{", ",", "}")} but " +
         s"this search uses nBuckets=$nBuckets — the term-bucket pruning " +
         "would silently drop the other modulus's postings")
-    val stats = statsRel
-      .agg(sum(col("n_docs")).as("n_docs"),
-        (sum(col("sum_dl")).cast("double") / sum(col("n_docs"))).as("avgdl"))
+    require(g.getLong(0) > 0L,
+      s"BM25 stats store at $statsPath sums to zero documents — nothing " +
+        "to score against (a zero-doc partial set should be unreachable " +
+        "via this module's own writes)")
+    import spark.implicits._
+    val stats = Seq((g.getLong(0), g.getDouble(1))).toDF("n_docs", "avgdl")
     TextAnalysis.bm25SearchStored(pruned(postingsPath, postingsSchema),
       terms, stats, query, k, k1, b)
   }
