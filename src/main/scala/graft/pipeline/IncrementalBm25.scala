@@ -77,7 +77,7 @@ object IncrementalBm25 {
                   postingsPath: String, termsPath: String, statsPath: String,
                   nBuckets: Int = 16): Unit = {
     val docs = batch.select(col("doc_id"), col("text"))
-    if (spark.conf.getOption("spark.graft.store.debugChecks").contains("true")) {
+    if (KeyedParquetStore.debugChecksOn(spark)) {
       // The clash check keys on postings, and a NULL-text doc writes
       // NONE (explode drops the null token array) while still counting
       // in n_docs — it would evade the check yet still double-count the
@@ -136,7 +136,7 @@ object IncrementalBm25 {
         coalesce(sum(col("dl")), lit(0L)).as("sum_dl"))
       .withColumn("nb", lit(nBuckets))
       .withColumn("batch", lit(batchId))
-    if (spark.conf.getOption("spark.graft.store.debugChecks").contains("true"))
+    if (KeyedParquetStore.debugChecksOn(spark))
       KeyedParquetStore.read(spark, statsPath, schema = Some(statsSchema))
         .foreach { stored =>
           val drift = stored.filter(col("nb").isNotNull && col("nb") =!= nBuckets)
@@ -245,18 +245,20 @@ object IncrementalBm25 {
     // nBuckets; pruning with any other modulus silently drops postings.
     // The stat partials carry the index's fingerprint (min/max bound the
     // stored values; legacy all-null stores are unknowable and skipped).
-    val storedNb = Seq(2, 3).flatMap(i => Option(g.get(i)).map(_.asInstanceOf[Int])).toSet
+    val storedNb = Seq("nb_min", "nb_max")
+      .flatMap(c => Option(g.getAs[Integer](c)).map(_.intValue)).toSet
     require(storedNb.subsetOf(Set(nBuckets)),
       s"BM25 index bucket-count mismatch: store at $statsPath was built " +
         s"with nBuckets=${storedNb.toSeq.sorted.mkString("{", ",", "}")} but " +
         s"this search uses nBuckets=$nBuckets — the term-bucket pruning " +
         "would silently drop the other modulus's postings")
-    require(g.getLong(0) > 0L,
+    val nDocs = g.getAs[Long]("n_docs")
+    require(nDocs > 0L,
       s"BM25 stats store at $statsPath sums to zero documents — nothing " +
         "to score against (a zero-doc partial set should be unreachable " +
         "via this module's own writes)")
     import spark.implicits._
-    val stats = Seq((g.getLong(0), g.getDouble(1))).toDF("n_docs", "avgdl")
+    val stats = Seq((nDocs, g.getAs[Double]("avgdl"))).toDF("n_docs", "avgdl")
     TextAnalysis.bm25SearchStored(pruned(postingsPath, postingsSchema),
       terms, stats, query, k, k1, b)
   }

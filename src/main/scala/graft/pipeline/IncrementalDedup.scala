@@ -85,7 +85,7 @@ object IncrementalDedup {
                   bandsPath: String, shinglesPath: String,
                   numHashes: Int = 16, rowsPerBand: Int = 4,
                   shingleN: Int = 3, threshold: Double = 0.5): DataFrame = {
-    if (spark.conf.getOption("spark.graft.store.debugChecks").contains("true"))
+    if (KeyedParquetStore.debugChecksOn(spark))
       KeyedParquetStore.read(spark, bandsPath, schema = Some(bandStoreSchema))
         .foreach { sb =>
           val resent = sb.filter(col("batch") =!= lit(batchId))
@@ -180,7 +180,7 @@ object IncrementalDedup {
       // (stored signatures match nothing → every stored near-dup reads
       // as kept). Same debugChecks gate, same store read, no extra job
       // on the production path.
-      if (spark.conf.getOption("spark.graft.store.debugChecks").contains("true")) {
+      if (KeyedParquetStore.debugChecksOn(spark)) {
         val cfg = cfgOf(numHashes, rowsPerBand, shingleN)
         val drift = sb.filter(col("cfg").isNotNull && col("cfg") =!= cfg)
           .select(col("cfg")).limit(1).collect()

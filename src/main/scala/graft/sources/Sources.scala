@@ -255,20 +255,30 @@ object KeyedParquetStore {
     * is still ours (a takeover's successor lock survives our finally), and
     * a daemon heartbeat re-touches the mtime every ttl/3 while the merge
     * runs so freshness means liveness. The heartbeat re-reads the token
-    * each beat and stops the moment the lock is no longer ours — it never
-    * refreshes (or resurrects) a successor's lock. */
+    * each beat and refreshes only while the lock is ours — it never
+    * refreshes (or resurrects) a successor's lock, but it also never
+    * exits on a miss (a takeover probe displaces a live lock for an
+    * instant before handing it back; see the beat-loop comment). */
   private[sources] final class LockHandle(f: FileSystem, lock: HPath,
                                           token: String, ttlMs: Long) {
     private val beat = new Thread(() => {
-      var mine = true
-      while (mine && !Thread.currentThread().isInterrupted) {
+      var stop = false
+      while (!stop && !Thread.currentThread().isInterrupted) {
         try {
           Thread.sleep(math.max(ttlMs / 3, 50L))
+          // A token miss is NOT proof of ownership loss: a contender's
+          // takeover probe DISPLACES a live lock for an instant before
+          // handing it back (acquireLock's stale path) — a beat sampling
+          // inside that window would, if it exited here, leave a live
+          // owner's lock never refreshed again, and the next contender
+          // would legitimately take over a live merge at the ttl.
+          // Refresh only while the token matches; on a miss keep
+          // sampling (never touching a successor's lock) until
+          // release() interrupts.
           if (readToken(f, lock).contains(token))
             f.setTimes(lock, System.currentTimeMillis(), -1)
-          else mine = false
         } catch {
-          case _: InterruptedException => mine = false
+          case _: InterruptedException => stop = true
           case _: java.io.IOException => () // transient: retry next beat
         }
       }
@@ -332,9 +342,13 @@ object KeyedParquetStore {
           // CHECKED like every other rename: if the hand-back loses to a
           // third contender that re-created the lock meanwhile, failing
           // silently would strand the live owner's lock as a .stale-*
-          // orphan and let two writers run; fail loud instead (the
-          // message names the stranded file for manual inspection).
-          require(f.rename(displaced, lock),
+          // orphan; fail loud instead (the message names the stranded
+          // file). IllegalStateException SPECIFICALLY: read()'s heal
+          // path swallows that type by design (a reader defers lock
+          // contention to the live writer, whose own assertStillOwned
+          // bounds the damage) — a require here would escape that catch
+          // and crash reads on a writer-side race.
+          if (!f.rename(displaced, lock)) throw new IllegalStateException(
             s"lock hand-back failed: a third contender re-created $lock " +
               s"while a live owner's lock sits displaced at $displaced — " +
               "resolve manually before writing to this store")
@@ -357,13 +371,18 @@ object KeyedParquetStore {
     * (duplicate keys stored / old partition rows dropped unmerged) into a
     * fail-fast at the offending call site. Meant for specs and staging
     * runs, not the production ingest loop. */
+  /** THE definition of the opt-in verification gate — every caller-vouched
+    * contract in the store AND the incremental-index modules keys off this
+    * one conf flag, through this one predicate (a drifted copy of the
+    * literal would silently disable one guard while the others fire). */
+  private[graft] def debugChecksOn(spark: SparkSession): Boolean =
+    spark.conf.getOption("spark.graft.store.debugChecks").contains("true")
+
   private def verifyVouches(incoming: DataFrame, keys: Seq[String],
                             partitionCols: Seq[String],
                             partitionValues: Seq[Seq[Any]],
                             incomingUnique: Boolean): Unit = {
-    val on = incoming.sparkSession.conf
-      .getOption("spark.graft.store.debugChecks").contains("true")
-    if (!on) return
+    if (!debugChecksOn(incoming.sparkSession)) return
     if (incomingUnique) {
       val dup = incoming.groupBy(keys.map(col): _*)
         .agg(count(lit(1)).as("__n")).filter(col("__n") > 1).limit(1).collect()
@@ -433,8 +452,7 @@ object KeyedParquetStore {
       // no-op it is. (Unpartitioned empty writes stage a real
       // schema-carrying file and stay full swaps — an empty store that
       // reads back empty.)
-      if (partitionCols.nonEmpty && !f.listStatus(new HPath(staging)).exists(s =>
-          !s.getPath.getName.startsWith("_") && !s.getPath.getName.startsWith("."))) {
+      if (partitionCols.nonEmpty && !stagedHasData(f, staging)) {
         f.delete(new HPath(staging), true)
         return
       }
@@ -621,8 +639,7 @@ object KeyedParquetStore {
       (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
         .parquet(staging)
       h.assertStillOwned()
-      if (partitionCols.nonEmpty && !f.listStatus(new HPath(staging)).exists(s =>
-          !s.getPath.getName.startsWith("_") && !s.getPath.getName.startsWith("."))) {
+      if (partitionCols.nonEmpty && !stagedHasData(f, staging)) {
         f.delete(new HPath(staging), true)
         f.delete(new HPath(path), true) // empty truth: absent store (see scaladoc)
         ()
@@ -630,6 +647,16 @@ object KeyedParquetStore {
         swap(f, new HPath(staging), new HPath(path), new HPath(path + ".old"))
     } finally h.release()
   }
+
+  /** Did a staged partitioned write produce any DATA entries? A write of
+    * zero rows stages only markers (_SUCCESS) — the one definition of
+    * "empty staging" shared by upsert's no-op and replace's
+    * delete-the-store renderings of an empty truth. */
+  private def stagedHasData(f: FileSystem, staging: String): Boolean =
+    f.listStatus(new HPath(staging)).exists { s =>
+      val n = s.getPath.getName
+      !n.startsWith("_") && !n.startsWith(".")
+    }
 
   /** Deepest directories holding data files: partition leaves of a
     * partitioned store, or the root itself when unpartitioned. */

@@ -242,6 +242,33 @@ class SourcesSpec extends SparkSpec {
     assert(!new java.io.File(dir + "/t.lock").exists())
   }
 
+  test("heartbeat survives a transient displacement — a takeover probe's " +
+      "rename/hand-back window must not kill a live owner's beat (r8)") {
+    val dir = Files.createTempDirectory("store_hb_disp").toString
+    val lockPath = new org.apache.hadoop.fs.Path(dir + "/t.lock")
+    val hfs = lockPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val ttl = 600L // heartbeat every ~200ms
+    val h = KeyedParquetStore.acquireLock(hfs, lockPath, ttl)
+    try {
+      // a contender's stale-takeover probe displaces the lock, inspects
+      // it, finds it fresh, and hands it back — simulate the window wide
+      // enough that at least one beat samples the missing lock (the old
+      // beat loop exited permanently on that miss, so the lock's mtime
+      // froze and the NEXT contender usurped a live merge at the ttl)
+      val displaced = new org.apache.hadoop.fs.Path(dir + "/t.lock.stale-probe")
+      assert(hfs.rename(lockPath, displaced))
+      Thread.sleep(450)
+      assert(hfs.rename(displaced, lockPath)) // hand-back
+      Thread.sleep(450) // beats must RESUME refreshing
+      val age = System.currentTimeMillis() -
+        hfs.getFileStatus(lockPath).getModificationTime
+      assert(age < ttl,
+        s"heartbeat never resumed after the displacement window (lock mtime " +
+          s"${age}ms old >= ttl ${ttl}ms — a contender would now take over " +
+          "a live merge)")
+    } finally h.release()
+  }
+
   test("release leaves a successor's lock in place after a takeover (token mismatch)") {
     val dir = Files.createTempDirectory("store_tok").toString
     val lockPath = new org.apache.hadoop.fs.Path(dir + "/t.lock")
