@@ -20,6 +20,16 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
   * Accumulation is sequential in index order, so results stay
   * bit-identical to the lambda formulation and to engines that sum
   * left-to-right.
+  *
+  * Mismatched lengths are an ERROR, not a truncation: a dimension drift
+  * between two vector populations (a batch ingested into an index whose
+  * centroids were trained at another dimensionality, a probe against a
+  * store from a different embedding model, a SimHash `dim` parameter out
+  * of step with the data) is the vector-side analogue of the stores'
+  * structural-fingerprint drifts — silently dotting the common prefix
+  * produces plausible-but-wrong similarities with no error anywhere
+  * downstream. Failing here covers every scoring path (brute-force, LSH,
+  * IVF, quantized, incremental) at their one shared choke point.
   */
 case class DotProduct(left: Expression, right: Expression) extends BinaryExpression {
 
@@ -38,7 +48,8 @@ case class DotProduct(left: Expression, right: Expression) extends BinaryExpress
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (n != y.numElements()) throw DotProduct.dimMismatch(n, y.numElements())
     var s = 0.0
     var i = 0
     while (i < n) { s += x.getDouble(i) * y.getDouble(i); i += 1 }
@@ -50,7 +61,9 @@ case class DotProduct(left: Expression, right: Expression) extends BinaryExpress
       val i = ctx.freshName("i")
       val n = ctx.freshName("n")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements())
+         |  throw graft.functions.DotProduct.dimMismatch($n, $b.numElements());
          |double ${ev.value}Acc = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
          |  ${ev.value}Acc += $a.getDouble($i) * $b.getDouble($i);
@@ -61,6 +74,19 @@ case class DotProduct(left: Expression, right: Expression) extends BinaryExpress
 
   override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): DotProduct =
     copy(left = newLeft, right = newRight)
+}
+
+object DotProduct {
+  /** One message for both eval paths — generated Java reaches this
+    * through the companion's static forwarder. Returns (rather than
+    * throws) so the codegen template's `throw` keeps the unreachable-
+    * code analysis of the generated method intact. */
+  def dimMismatch(l: Int, r: Int): IllegalArgumentException =
+    new IllegalArgumentException(
+      s"dot_product dimension mismatch: $l-dim vs $r-dim vectors — mixed " +
+        "embedding dimensionalities (an index trained at another dim, a " +
+        "probe from a different embedding model, or a mis-set SimHash dim " +
+        "parameter) would score garbage if silently truncated")
 }
 
 object VectorExpressions {

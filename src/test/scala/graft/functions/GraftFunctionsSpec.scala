@@ -34,4 +34,38 @@ class GraftFunctionsSpec extends SparkSpec {
       .select($"p").as[Double].collect().toSeq
     assert(sqlWin === Seq(2.0, 6.0, 24.0))
   }
+
+  test("dot_product refuses mismatched dimensions instead of silently " +
+      "truncating, on both eval paths (r8)") {
+    // dimension drift (an index trained at another dim, a probe from a
+    // different embedding model) must fail loudly at the one choke point
+    // every scoring path shares — a truncated dot over the common prefix
+    // is plausible-but-wrong similarity with no error anywhere downstream
+    val df = Seq((Seq(1.0, 2.0), Seq(1.0, 2.0, 3.0))).toDF("a", "b")
+    // whole-stage codegen path
+    val gen = intercept[Exception] {
+      df.select(VectorExpressions.dot_product(col("a"), col("b"))).collect()
+    }
+    assert(gen.getMessage.contains("dimension mismatch") ||
+      gen.getCause != null && gen.getCause.getMessage.contains("dimension mismatch"))
+    // interpreted path (codegen off forces nullSafeEval)
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    try {
+      val interp = intercept[Exception] {
+        df.select(VectorExpressions.dot_product(col("a"), col("b"))).collect()
+      }
+      assert(interp.getMessage.contains("dimension mismatch") ||
+        interp.getCause != null &&
+          interp.getCause.getMessage.contains("dimension mismatch"))
+    } finally {
+      spark.conf.unset("spark.sql.codegen.wholeStage")
+      spark.conf.unset("spark.sql.codegen.factoryMode")
+    }
+    // equal dims still answer on both paths
+    val ok = Seq((Seq(1.0, 2.0), Seq(3.0, 4.0))).toDF("a", "b")
+      .select(VectorExpressions.dot_product(col("a"), col("b")).as("d"))
+      .head.getDouble(0)
+    assert(ok === 11.0)
+  }
 }
