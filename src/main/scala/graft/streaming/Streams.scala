@@ -42,6 +42,12 @@ object Streams {
                          windowLen: String = "1 hour",
                          watermark: String = "2 hours"): DataFrame =
     events
+      // same null-event-time policy as the stateful operators: a null ts
+      // cannot be watermarked — without this filter the BATCH face emits
+      // a phantom null-window group the streaming face would never emit,
+      // breaking the one-code-path-for-both equivalence on exactly the
+      // dirty input class
+      .filter(col("ts").isNotNull)
       .withWatermark("ts", watermark)
       .groupBy(window(col("ts"), windowLen).as("w"), col("event_type"))
       .agg(count(lit(1)).as("n"),
@@ -55,6 +61,8 @@ object Streams {
   def sessionCounts(events: DataFrame, gap: String = "30 minutes",
                     watermark: String = "2 hours"): DataFrame =
     events
+      // null event-time: same batch≡stream guard as windowedTypeCounts
+      .filter(col("ts").isNotNull)
       .withWatermark("ts", watermark)
       .groupBy(col("user_id"), session_window(col("ts"), gap).as("w"))
       .agg(count(lit(1)).as("n_events"))
@@ -140,18 +148,25 @@ object Streams {
     * epochs. ONE copy of the cadence rule — keyed off the epoch id, so a
     * replayed epoch re-runs its maintenance harmlessly (compaction is a
     * no-op on a compact layout; the roll-ups keep the replayable epoch
-    * on their horizon). `compactEvery` ≤ 0 disables maintenance. */
+    * on their horizon). `compactEvery` ≤ 0 disables maintenance.
+    *
+    * Both callbacks receive the SAME store batch id (`e<epoch>`), derived
+    * here and only here: the BM25 roll-up's replay safety rests on its
+    * `keepBatches` naming exactly the partition the ingest wrote this
+    * epoch — two independently-formatted copies of the id would make
+    * that a coincidence instead of a guarantee. */
   private def epochSink(rows: DataFrame, checkpoint: String,
-                        ingest: (SparkSession, DataFrame, Long) => Unit,
-                        maintain: (SparkSession, Long) => Unit,
+                        ingest: (SparkSession, DataFrame, String) => Unit,
+                        maintain: (SparkSession, String) => Unit,
                         compactEvery: Int): StreamingQuery =
     rows.writeStream
       .option("checkpointLocation", checkpoint)
       .outputMode(OutputMode.Append)
       .foreachBatch { (batch: Dataset[Row], epoch: Long) =>
-        ingest(batch.sparkSession, batch.toDF(), epoch)
+        val batchId = s"e$epoch"
+        ingest(batch.sparkSession, batch.toDF(), batchId)
         if (compactEvery > 0 && epoch > 0 && epoch % compactEvery == 0)
-          maintain(batch.sparkSession, epoch)
+          maintain(batch.sparkSession, batchId)
       }
       .start()
 
@@ -183,11 +198,22 @@ object Streams {
   def dedupIngestStream(docs: DataFrame, bandsPath: String,
                         shinglesPath: String, checkpoint: String,
                         compactEvery: Int = 8,
-                        compactTargetFiles: Int = 1): StreamingQuery =
+                        compactTargetFiles: Int = 1,
+                        numHashes: Int = 16, rowsPerBand: Int = 4,
+                        shingleN: Int = 3,
+                        threshold: Double = 0.5): StreamingQuery =
+    // The structural parameters MUST match the index being fed (they are
+    // IncrementalDedup's fingerprinted precondition — drifted values
+    // band-join stored rows and match nothing); exposed here like
+    // bm25IngestStream's nBuckets, because a sink that can only feed a
+    // default-parameter index wedges permanently against any other: under
+    // debugChecks every epoch replay re-throws the drift error, and
+    // without it the index silently re-admits every stored near-dup.
     epochSink(docs, checkpoint,
-      ingest = (s, batch, epoch) => {
+      ingest = (s, batch, batchId) => {
         graft.pipeline.IncrementalDedup.ingestBatch(
-          s, batch, s"e$epoch", bandsPath, shinglesPath)
+          s, batch, batchId, bandsPath, shinglesPath,
+          numHashes, rowsPerBand, shingleN, threshold)
         ()
       },
       maintain = (s, _) => {
@@ -217,19 +243,21 @@ object Streams {
                        compactEvery: Int = 8,
                        compactTargetFiles: Int = 1): StreamingQuery =
     epochSink(docs, checkpoint,
-      ingest = (s, batch, epoch) =>
+      ingest = (s, batch, batchId) =>
         graft.pipeline.IncrementalBm25.ingestBatch(
-          s, batch, s"e$epoch", postingsPath, termsPath, statsPath, nBuckets),
-      maintain = (s, epoch) => {
+          s, batch, batchId, postingsPath, termsPath, statsPath, nBuckets),
+      maintain = (s, batchId) => {
         // Postings rows are per-doc facts — only their FILE population
         // grows: compact. Term/stat PARTIALS grow in ROW count per
         // batch: roll them up instead, keeping the current epoch's
         // partitions intact so a crash-replay of this epoch still
         // re-merges idempotently (older epochs are checkpoint-committed
-        // and never redelivered).
+        // and never redelivered). `batchId` is epochSink's single copy
+        // of the partition name the ingest wrote — the horizon can't
+        // drift from it.
         graft.sources.KeyedParquetStore.compact(s, postingsPath, compactTargetFiles)
         graft.pipeline.IncrementalBm25.rollupPartials(
-          s, termsPath, statsPath, keepBatches = Set(s"e$epoch"))
+          s, termsPath, statsPath, keepBatches = Set(batchId))
       },
       compactEvery)
 
@@ -247,9 +275,9 @@ object Streams {
                       compactEvery: Int = 8,
                       compactTargetFiles: Int = 1): StreamingQuery =
     epochSink(vectors, checkpoint,
-      ingest = (s, batch, epoch) =>
+      ingest = (s, batch, batchId) =>
         graft.pipeline.IncrementalIvf.ingestBatch(
-          s, batch, s"e$epoch", centroidsPath, assignedPath),
+          s, batch, batchId, centroidsPath, assignedPath),
       maintain = (s, _) => {
         graft.sources.KeyedParquetStore.compact(s, assignedPath, compactTargetFiles)
         ()

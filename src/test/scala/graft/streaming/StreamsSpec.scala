@@ -384,6 +384,14 @@ class StreamsSpec extends SparkSpec {
     assert(run.head.n_events === 2L)
     val ded = Streams.dedupEvents(events).collect()
     assert(ded.map(_.event_id).toSet === Set(1L, 3L))
+    // the WINDOW aggregations share the policy: without the guard their
+    // batch face groups the null ts into a phantom null-window row the
+    // streaming face (which drops unwatermarkable rows) would never emit
+    val win = Streams.windowedTypeCounts(events.toDF()).collect()
+    assert(win.length === 1 && !win.head.isNullAt(0))
+    assert(win.head.getAs[Long]("n") === 2L)
+    val sess = Streams.sessionCounts(events.toDF()).collect()
+    assert(sess.length === 1 && sess.head.getAs[Long]("n_events") === 2L)
   }
 
   test("IncrementalBm25: a replayed batch id re-merges idempotently (r7)") {
@@ -552,5 +560,30 @@ class StreamsSpec extends SparkSpec {
     val after = graft.sources.KeyedParquetStore.read(spark, s"$store/bands").get
       .select($"doc_id").distinct().as[Long].collect().toSet
     assert(after === indexed) // dry run: index untouched
+  }
+
+  test("dedupIngestStream threads the LSH structural params — a sink " +
+      "locked to defaults cannot feed a non-default index (r8)") {
+    val dir = Files.createTempDirectory("docs_stream_p").toFile
+    val ckpt = Files.createTempDirectory("dedup_ckpt_p").toString
+    val store = Files.createTempDirectory("dedup_store_p").toString
+    val t1 = "the quick brown fox jumps over the lazy dog near the river bank today"
+    val b1 = Seq((1L, t1)).toDF("doc_id", "text")
+    // the index is BUILT at non-default structural params via the batch face
+    graft.pipeline.IncrementalDedup.ingestBatch(spark, b1, "seed",
+      s"$store/bands", s"$store/shingles", numHashes = 32, shingleN = 4)
+    // the stream feeds the same index with MATCHING params: a near-dup of
+    // the seeded doc must be rejected (drifted params would band-join the
+    // stored rows and match nothing — the fingerprinted corruption mode)
+    Seq((10L, t1)).toDF("doc_id", "text")
+      .coalesce(1).write.mode("overwrite").parquet(dir.toString)
+    val stream = spark.readStream.schema(b1.schema).parquet(dir.toString)
+    val q = Streams.dedupIngestStream(stream, s"$store/bands",
+      s"$store/shingles", ckpt, numHashes = 32, shingleN = 4)
+    q.processAllAvailable(); q.stop()
+    val indexed = graft.sources.KeyedParquetStore.read(spark, s"$store/bands").get
+      .select($"doc_id").distinct().as[Long].collect().toSet
+    assert(indexed === Set(1L), "the streamed near-dup was not rejected " +
+      "against the non-default-parameter index")
   }
 }
