@@ -16,7 +16,10 @@ import org.apache.spark.sql.functions._
   */
 object Multimodal {
 
-  /** One media row: payload stays opaque; metadata travels alongside. */
+  /** One media row: payload stays opaque; metadata travels alongside.
+    * CONTRACT: `payload` is never null — absent media is an EMPTY array
+    * ([[fromDocuments]] normalizes at the boundary); the per-partition
+    * decoders rely on it. */
   final case class MediaRow(media_id: Long, kind: String, payload: Array[Byte],
                             meta_lang: String, meta_chars: Long)
 
@@ -32,16 +35,25 @@ object Multimodal {
     docs.select(
       col("doc_id").as("media_id"),
       lit("text/plain").as("kind"),
-      encode(col("text"), "UTF-8").as("payload"),
+      // null text normalizes to an EMPTY payload at the boundary — the
+      // typed MediaRow contract is a non-null byte array (a null payload
+      // would NPE inside every mapPartitions task, killing the job after
+      // retries), and "no media bytes" decodes the same as zero bytes
+      encode(coalesce(col("text"), lit("")), "UTF-8").as("payload"),
       col("lang").as("meta_lang"),
       col("n_chars").as("meta_chars"))
 
   /** STUB decoder — deterministic fake standing in for the real codec
     * call (`???` boundary). A production build links an actual decoder
-    * here; signature and batch shape stay identical. */
+    * here; signature and batch shape stay identical. `n_frames` is
+    * ceil(bytes / 100) — EXACTLY the number of FrameRows [[sampleFrames]]
+    * emits at its default frameSize, so `count(frames) == n_frames` holds
+    * per document (the previous `len/100 + 1` over-counted by one on
+    * empty payloads and exact multiples of 100, breaking any consumer
+    * joining the two faces). */
   private def decodeStub(payload: Array[Byte]): (Int, Long, Long) = {
     val first = if (payload.isEmpty) -1 else payload(0) & 0xff
-    val frames = payload.length / 100L + 1L          // "frame-sample" stub
+    val frames = (payload.length + 99L) / 100L       // "frame-sample" stub
     var sum = 0L
     var i = 0
     while (i < payload.length) { sum += (payload(i) & 0xffL); i += 1 }
@@ -81,6 +93,9 @@ object Multimodal {
     * a `frameSize`-byte slice with an unsigned-byte checksum; a real
     * build swaps the slicer for a codec and keeps the row shape. */
   def sampleFrames(media: Dataset[MediaRow], frameSize: Int = 100): Dataset[FrameRow] = {
+    // grouped(0) throws inside every executor task (opaque, after
+    // retries); fail on the driver instead
+    require(frameSize > 0, s"frameSize must be positive: $frameSize")
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
       rows.flatMap { r =>

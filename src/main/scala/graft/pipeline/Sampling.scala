@@ -22,10 +22,21 @@ object Sampling {
 
   private val Buckets = 10000
 
-  /** The row's deterministic bucket in [0, 10000): hash(id || '_' || salt). */
+  /** ONE definition of the salt-hash deal — every bucketing below (and
+    * packBudget's pack deal) routes through it, so the id serialization
+    * and salt join can never drift between operators. `concat` (not
+    * concat_ws) PROPAGATES a null id: the bucket is null, null fails
+    * every `<` threshold, and the row joins NO sample — the same verdict
+    * the DuckDB oracles' null-propagating `||` reaches, where concat_ws
+    * would silently deal every null-id row into one shared bucket. */
+  private def bucketMod(id: Column, salt: String, n: Long): Column =
+    pmod(TextAnalysis.md5Hash60(concat(id.cast("string"), lit("_" + salt))),
+      lit(n))
+
+  /** The row's deterministic bucket in [0, 10000): hash(id || '_' || salt).
+    * Null ids bucket to null (see [[bucketMod]]). */
   def bucket(id: Column, salt: String): Column =
-    pmod(TextAnalysis.md5Hash60(concat_ws("", id.cast("string"), lit("_" + salt))),
-      lit(Buckets.toLong))
+    bucketMod(id, salt, Buckets.toLong)
 
   /** Assign each row a named split by cumulative weight over its bucket —
     * the train/val/test deal. Weights must sum to 1 (±1e-9); boundaries
@@ -36,6 +47,10 @@ object Sampling {
                   salt: String = "split"): DataFrame = {
     require(weights.nonEmpty && math.abs(weights.map(_._2).sum - 1.0) < 1e-9,
       s"split weights must sum to 1, got $weights")
+    // sum-to-1 alone admits negative weights, whose cumulative bounds go
+    // non-monotone and silently mis-deal neighboring splits
+    require(weights.forall(w => w._2 >= 0 && w._2 <= 1),
+      s"split weights must each be in [0,1], got $weights")
     val b = bucket(col(idCol), salt)
     val bounds = weights.map(_._2).scanLeft(0.0)(_ + _).tail
       .map(w => math.round(w * Buckets))
@@ -86,12 +101,17 @@ object Sampling {
     * kept set is MONOTONE in the weight (raising a row's weight can only
     * add it, never re-roll it — [[deterministicSample]]'s nesting
     * property, per-row), and a weight of 1 keeps everything, 0 nothing.
-    * Weights are clamped to [0, 1]; same retry-safe hash buckets as the
-    * other deals, so task retries and engine re-runs agree row-for-row. */
+    * Weights are clamped to [0, 1], and a NaN weight DROPS the row
+    * (`nanvl` → 0): both Spark and DuckDB order NaN above every number,
+    * so without the guard a corrupt score (0.0/0.0 quality division)
+    * silently up-samples to keep-always — the opposite of what a broken
+    * weight should do. Same retry-safe hash buckets as the other deals,
+    * so task retries and engine re-runs agree row-for-row. */
   def weightedSample(df: DataFrame, idCol: String, weight: Column,
                      salt: String = "wsample"): DataFrame =
     df.filter(bucket(col(idCol), salt) <
-      least(greatest(weight, lit(0.0)), lit(1.0)) * Buckets)
+      least(greatest(nanvl(weight.cast("double"), lit(0.0)), lit(0.0)), lit(1.0))
+        * Buckets)
 
   /** Deterministic sequence PACKING: group documents into fixed
     * token-budget packs — the batch-construction step before training.
@@ -118,9 +138,10 @@ object Sampling {
                  budget: Long, packBuckets: Int = 16,
                  salt: String = "pack"): DataFrame = {
     require(budget > 0, s"budget must be positive: $budget")
-    val b = pmod(TextAnalysis.md5Hash60(
-      concat_ws("", col(idCol).cast("string"), lit("_" + salt))),
-      lit(packBuckets.toLong))
+    // pmod(x, 0) is null in non-ANSI mode: a zero bucket count would
+    // yield an all-null pack_id column with no error
+    require(packBuckets > 0, s"packBuckets must be positive: $packBuckets")
+    val b = bucketMod(col(idCol), salt, packBuckets.toLong)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("pack_bucket")).orderBy(col(idCol))
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,

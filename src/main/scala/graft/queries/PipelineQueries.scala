@@ -686,8 +686,8 @@ object PipelineQueries {
           frameSize = 100).toDF()
           .withColumnRenamed("offset", "frame_offset"),
       Some("""WITH b AS (
-        |  SELECT doc_id, hex(encode(text)) AS h,
-        |         octet_length(encode(text)) AS n FROM documents),
+        |  SELECT doc_id, hex(encode(coalesce(text, ''))) AS h,
+        |         octet_length(encode(coalesce(text, ''))) AS n FROM documents),
         |f AS (
         |  SELECT doc_id, CAST(fi AS INT) AS frame_idx, fi * 100 AS off,
         |         LEAST(n - fi * 100, 100) AS nb, h
@@ -765,13 +765,13 @@ object PipelineQueries {
       // characters — an ascii()/character formulation would diverge on
       // any non-ASCII document.
       Some("""WITH b AS (
-        |  SELECT doc_id, hex(encode(text)) AS h,
-        |         octet_length(encode(text)) AS n FROM documents)
+        |  SELECT doc_id, hex(encode(coalesce(text, ''))) AS h,
+        |         octet_length(encode(coalesce(text, ''))) AS n FROM documents)
         |SELECT doc_id AS media_id, 'text/plain' AS kind,
         |  CAST(n AS BIGINT) AS n_bytes,
         |  CASE WHEN n = 0 THEN -1
         |       ELSE CAST(('0x' || substr(h, 1, 2)) AS INT) END AS first_byte,
-        |  n // 100 + 1 AS n_frames,
+        |  (n + 99) // 100 AS n_frames,
         |  CAST(COALESCE(list_sum(list_transform(range(0, n),
         |       i -> CAST(('0x' || substr(h, CAST(i * 2 + 1 AS INT), 2)) AS BIGINT))), 0) AS BIGINT) AS checksum
         |FROM b""".stripMargin)),

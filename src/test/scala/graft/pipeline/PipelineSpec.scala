@@ -399,6 +399,24 @@ class SamplingSpec extends SparkSpec {
     // out-of-range weights behave as the clamped extremes
     assert(Sampling.weightedSample(df, "doc_id", lit(5.0)).count() === 1000)
     assert(Sampling.weightedSample(df, "doc_id", lit(-1.0)).count() === 0)
+    // a NaN weight DROPS the row: both engines order NaN above every
+    // number, so an unguarded clamp would keep-always on a corrupt score
+    assert(Sampling.weightedSample(df, "doc_id", lit(Double.NaN)).count() === 0)
+  }
+
+  test("the deals refuse out-of-range structural arguments up front (r8)") {
+    val df = (1L to 10L).toDF("doc_id").withColumn("n", lit(5L))
+    // negative split weights sum to 1 but mis-deal silently if admitted
+    val neg = intercept[IllegalArgumentException] {
+      Sampling.assignSplit(df, "doc_id",
+        Seq("a" -> 0.5, "b" -> -0.3, "c" -> 0.8))
+    }
+    assert(neg.getMessage.contains("[0,1]"))
+    // pmod(x, 0) is null: zero pack buckets would emit all-null pack_ids
+    val zb = intercept[IllegalArgumentException] {
+      Sampling.packBudget(df, "doc_id", $"n", budget = 16, packBuckets = 0)
+    }
+    assert(zb.getMessage.contains("packBuckets"))
   }
 
   test("packBudget: contiguous budget-aligned packs, ≤ one straddling doc over (r4)") {
@@ -1064,6 +1082,32 @@ class MultimodalSpec extends SparkSpec {
       .toDF("doc_id", "text", "lang", "source", "n_chars")
     val f = Multimodal.documentFeatures(spark, docs).head()
     assert(f.first_byte === -1 && f.n_bytes === 0L && f.checksum === 0L)
+    assert(f.n_frames === 0L) // == frames sampleFrames emits (none)
+  }
+
+  test("n_frames equals the frame fan-out on every boundary; null text " +
+      "normalizes to an empty payload instead of an executor NPE (r8)") {
+    // exact multiple of the frame size — the old len/100+1 said 3 here
+    // while sampleFrames emits 2
+    val docs = Seq((1L, "x" * 200, "en", "s", 200L),
+      (2L, null.asInstanceOf[String], "en", "s", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val feats = Multimodal.documentFeatures(spark, docs)
+      .collect().map(f => f.media_id -> f).toMap
+    val media = Multimodal.fromDocuments(docs).as[Multimodal.MediaRow]
+    val frameCounts = Multimodal.sampleFrames(media)
+      .groupBy($"media_id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(feats(1L).n_frames === 2L)
+    assert(frameCounts(1L) === 2L)
+    // the null-text doc decodes as empty media on BOTH faces, no NPE
+    assert(feats(2L).n_bytes === 0L && feats(2L).first_byte === -1)
+    assert(feats(2L).n_frames === 0L && !frameCounts.contains(2L))
+    // a zero frame size fails on the driver, not inside retried tasks
+    val zf = intercept[IllegalArgumentException] {
+      Multimodal.sampleFrames(media, frameSize = 0)
+    }
+    assert(zf.getMessage.contains("frameSize"))
   }
 
   test("sampleFrames fans one media row out to exact byte windows") {
