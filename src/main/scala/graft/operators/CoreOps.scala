@@ -47,13 +47,29 @@ object CoreOps {
     * replaced rows — exactly `INSERT OR REPLACE`'s whole-row-replace
     * semantics after an `ALTER TABLE ADD COLUMN`. */
   def upsertLastWins(existing: DataFrame, incoming: DataFrame,
-                     keys: Seq[String], version: Seq[Column]): DataFrame =
-    latestPerGroup(
-      existing.withColumn("__incoming", lit(0))
-        .unionByName(incoming.withColumn("__incoming", lit(1)),
-          allowMissingColumns = true),
-      keys.map(col), version.map(_.desc) :+ col("__incoming").desc)
+                     keys: Seq[String], version: Seq[Column]): DataFrame = {
+    // the merge machinery adds these two names; a caller relation that
+    // already carries one would be silently overwritten and then dropped
+    Seq("__incoming", "rn").foreach { reserved =>
+      require(!existing.columns.contains(reserved) &&
+        !incoming.columns.contains(reserved),
+        s"upsertLastWins reserves column name '$reserved' for the merge " +
+          "window; rename it in the input relation")
+    }
+    val unioned = existing.withColumn("__incoming", lit(0))
+      .unionByName(incoming.withColumn("__incoming", lit(1)),
+        allowMissingColumns = true)
+    // trailing content-hash tiebreak: two incoming rows with the same key
+    // AND version tie on (version, __incoming); without a total order
+    // row_number picks a survivor per-execution and two runs of the same
+    // upsert can persist different rows. Identical duplicates hash equal
+    // and either survivor is the same row — still deterministic.
+    val contentTiebreak = xxhash64(unioned.columns.map(col): _*)
+    latestPerGroup(unioned,
+      keys.map(col), version.map(_.desc) :+ col("__incoming").desc
+        :+ contentTiebreak.desc)
       .drop("__incoming")
+  }
 
   /** W3: lag-1 percent return over `order` within `part` partitions
     * (`dashboard.py:196`). First row per partition is null. */
@@ -105,8 +121,22 @@ object CoreOps {
     val w = if (part.isEmpty) Window.orderBy(order: _*)
             else Window.partitionBy(part: _*).orderBy(order: _*)
     df.withColumn("prev", lag(arr, 1).over(w))
-      .withColumn("added", filter(arr, x => !array_contains(col("prev"), x)))
-      .withColumn("removed", filter(col("prev"), x => !array_contains(arr, x)))
+      // coalesce closes array_contains' three-valued hole: ONE null
+      // member in the other side makes contains return null for every
+      // non-member, and `!null` silently drops genuinely added/removed
+      // members from the diff. Under the coalesce a null member simply
+      // never matches (it reads as added/removed while present) instead
+      // of blanking the whole diff.
+      // The prev-null FIRST row keeps its case explicit (the coalesce
+      // would otherwise turn its added into the whole array): added = []
+      // and removed = null there — the documented contract changeString
+      // renders as '-'.
+      .withColumn("added",
+        when(col("prev").isNull, filter(arr, _ => lit(false)))
+          .otherwise(filter(arr,
+            x => !coalesce(array_contains(col("prev"), x), lit(false)))))
+      .withColumn("removed",
+        filter(col("prev"), x => !coalesce(array_contains(arr, x), lit(false))))
   }
 
   /** W6 at scale: like [[lagArrayDiff]] but for SET-valued arrays

@@ -11,7 +11,15 @@ import org.apache.spark.sql.functions._
   */
 object TextAnalysis {
 
-  /** Whitespace tokens (the baseline tokenizer). */
+  /** Whitespace tokens (the baseline tokenizer). DELIBERATE boundary
+    * semantics, shared verbatim by every DuckDB oracle
+    * (`regexp_split_to_array(text, '\s+')`): leading whitespace yields a
+    * leading "" token and empty text yields [""] — so token counts over
+    * un-scrubbed text include those boundary empties IN BOTH ENGINES.
+    * The pipeline answer is ordering, not a special case here: [[scrub]]
+    * normalizes whitespace upstream, after which the split is exact.
+    * Changing this unilaterally would silently break every text oracle
+    * and the persisted BM25 indexes' stored dl/df. */
   def tokens(text: Column): Column = split(text, "\\s+")
 
   /** BPE-ish regex token count: letter runs, digit runs, and single
@@ -29,7 +37,12 @@ object TextAnalysis {
     graft.functions.Md5Hash60.md5_hash60(c)
 
   /** Quality-score feature columns over a `text` column. All ratios are
-    * exact-integer-derived doubles (deterministic across engines). */
+    * exact-integer-derived doubles (deterministic across engines).
+    * `avg_token_len`'s (length − nTok + 1)/nTok closed form assumes
+    * single-space separators — exact on scrubbed text, overstated on raw
+    * whitespace runs; the oracle mirrors the same formula, so the pair
+    * stays engine-identical either way (scrub first for the exact
+    * number). */
   def qualityFeatures(text: Column): Seq[(String, Column)] = {
     val toks = tokens(text)
     val nTok = size(toks).cast("long")
@@ -57,7 +70,10 @@ object TextAnalysis {
 
   def predictedLang(cEn: Column, cDe: Column, cFr: Column, cEs: Column): Column = {
     val top = greatest(cEn, cDe, cFr, cEs)
-    when(top === 0, lit("und"))
+    // null counts (null text): every three-valued `when` below evaluates
+    // to null and falls through — without the explicit guard a null
+    // document lands in the otherwise() and is confidently labeled 'fr'
+    when(top.isNull || top === 0, lit("und"))
       .when(cDe === top, lit("de"))
       .when(cEn === top, lit("en"))
       .when(cEs === top, lit("es"))
@@ -99,25 +115,28 @@ object TextAnalysis {
     * and long digit runs (phone/account-number shaped) with TYPED
     * placeholder tokens — a training pipeline wants `<EMAIL>` markers
     * that preserve sentence structure, where [[scrub]] deletes — plus
-    * per-document match counts for the privacy audit trail (counted on
-    * the ORIGINAL text, so counts and redactions always agree). Email
-    * runs first; its domain needs an alphabetic TLD, so it can never
-    * consume an IP, and the placeholders contain no digits for later
-    * patterns to re-match. Pure per-row codegen'd regex work, zero
-    * shuffle; the patterns are RE2-compatible so an oracle applies them
-    * verbatim. */
+    * per-document match counts for the privacy audit trail. Each count
+    * is taken on the text AS THE MATCHING STAGE SEES IT (n_ips on the
+    * email-redacted text, n_long_nums on the email+ip-redacted text),
+    * so counts equal replacements BY CONSTRUCTION — counting on the
+    * original over-reports whenever an earlier stage consumes a later
+    * pattern's match (a 7-digit local part inside an email counts as a
+    * long number but is never replaced as one). Email runs first; its
+    * domain needs an alphabetic TLD, so it can never consume an IP, and
+    * the placeholders contain no digits for later patterns to re-match.
+    * Pure per-row codegen'd regex work, zero shuffle; the patterns are
+    * RE2-compatible so an oracle applies them verbatim. */
   def redactPii(text: Column): Seq[(String, Column)] = {
     val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
     val ipv4 = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
     val longNum = "\\b\\d{7,}\\b"
+    val afterEmail = regexp_replace(text, lit(email), lit("<EMAIL>"))
+    val afterIp = regexp_replace(afterEmail, lit(ipv4), lit("<IP>"))
     Seq(
-      "redacted" -> regexp_replace(regexp_replace(regexp_replace(text,
-        lit(email), lit("<EMAIL>")),
-        lit(ipv4), lit("<IP>")),
-        lit(longNum), lit("<NUM>")),
+      "redacted" -> regexp_replace(afterIp, lit(longNum), lit("<NUM>")),
       "n_emails" -> regexp_count(text, lit(email)).cast("long"),
-      "n_ips" -> regexp_count(text, lit(ipv4)).cast("long"),
-      "n_long_nums" -> regexp_count(text, lit(longNum)).cast("long"))
+      "n_ips" -> regexp_count(afterEmail, lit(ipv4)).cast("long"),
+      "n_long_nums" -> regexp_count(afterIp, lit(longNum)).cast("long"))
   }
 
   /** Composite quality gate: keep documents whose features clear the
@@ -164,7 +183,13 @@ object TextAnalysis {
       .select(col(group), explode(tokens(col("text"))).as("tok"))
       .groupBy(col(group))
       .agg(approx_count_distinct(col("tok"), rsd).as("approx_distinct_tokens"))
-    docStats.join(tokStats, Seq(group))
+    // null-safe equality: both aggregations emit a null-group row for
+    // null-keyed docs, and a plain equi-join would drop exactly that
+    // cohort (null never equals null) — often the one a curation audit
+    // cares about most
+    docStats.join(tokStats.withColumnRenamed(group, "__g"),
+        docStats(group) <=> col("__g"))
+      .drop("__g")
   }
 
   /** TF-IDF keyword extraction: top-`k` terms per document by
@@ -252,8 +277,13 @@ object TextAnalysis {
   def bm25SearchMany(docs: DataFrame, queries: DataFrame, k: Int,
                      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     val vocab = queries.select(col("term")).distinct()
+    // distinct: a natural-language query tokenized with repeats ("to be
+    // or to be") must score each term once, as bm25Search's isin does —
+    // a non-distinct fan-out join would sum duplicated terms twice and
+    // the two faces would rank differently for the same query
     val perQuery = bm25Scored(docs, _.join(broadcast(vocab), Seq("term"), "left_semi"), k1, b)
-      .join(broadcast(queries.select(col("query_id"), col("term"))), Seq("term"))
+      .join(broadcast(queries.select(col("query_id"), col("term")).distinct()),
+        Seq("term"))
       .groupBy(col("query_id"), col("doc_id"))
       .agg(sum(col("score").cast(org.apache.spark.sql.types.DecimalType(30, 6)))
         .cast("double").as("bm25"))
@@ -465,7 +495,11 @@ object TextAnalysis {
   /** Rolling-hash document fingerprint: min / max / count over the shingle
     * hashes — a compact signature for shard-level pre-clustering. Runs on
     * `hashedShingles` so the hash is computed once per shingle (separate
-    * agg expressions would defeat common-subexpression elimination). */
+    * agg expressions would defeat common-subexpression elimination).
+    * Documents shorter than `n` tokens shingle to nothing and emit NO
+    * row — the same absent-from-the-relation verdict the dedup paths
+    * give them (they never pair); a consumer needing every doc present
+    * left-joins and treats null as "too short to fingerprint". */
   def fingerprint(docs: DataFrame, n: Int = 4): DataFrame =
     hashedShingles(docs, n)
       .groupBy(col("doc_id"))

@@ -328,12 +328,14 @@ object PipelineQueries {
         |    CAST(len(regexp_extract_all(text, '\bel\b')) + len(regexp_extract_all(text, '\blos\b')) AS BIGINT) AS c_es
         |  FROM documents)
         |SELECT doc_id, lang, c_en, c_de, c_fr, c_es,
-        |  CASE WHEN greatest(c_en, c_de, c_fr, c_es) = 0 THEN 'und'
+        |  CASE WHEN greatest(c_en, c_de, c_fr, c_es) IS NULL
+        |            OR greatest(c_en, c_de, c_fr, c_es) = 0 THEN 'und'
         |       WHEN c_de = greatest(c_en, c_de, c_fr, c_es) THEN 'de'
         |       WHEN c_en = greatest(c_en, c_de, c_fr, c_es) THEN 'en'
         |       WHEN c_es = greatest(c_en, c_de, c_fr, c_es) THEN 'es'
         |       ELSE 'fr' END AS pred_lang,
-        |  (CASE WHEN greatest(c_en, c_de, c_fr, c_es) = 0 THEN 'und'
+        |  (CASE WHEN greatest(c_en, c_de, c_fr, c_es) IS NULL
+        |             OR greatest(c_en, c_de, c_fr, c_es) = 0 THEN 'und'
         |        WHEN c_de = greatest(c_en, c_de, c_fr, c_es) THEN 'de'
         |        WHEN c_en = greatest(c_en, c_de, c_fr, c_es) THEN 'en'
         |        WHEN c_es = greatest(c_en, c_de, c_fr, c_es) THEN 'es'
@@ -1203,23 +1205,31 @@ object PipelineQueries {
           .foldLeft(injected) { case (acc, (n, c)) => acc.withColumn(n, c) }
           .drop("text")
       },
+      // staged counts, mirroring redactPii: n_ips counts on the
+      // email-redacted text and n_long_nums on the email+ip-redacted
+      // text, so counts equal replacements by construction
       Some("""WITH w AS (
         |  SELECT doc_id,
         |    text || ' contact user' || CAST(doc_id AS VARCHAR) ||
         |    '@example.com at 10.0.' || CAST(doc_id % 256 AS VARCHAR) ||
         |    '.7 ref 99887766' || CAST(doc_id AS VARCHAR) AS text
-        |  FROM documents)
+        |  FROM documents),
+        |e AS (
+        |  SELECT doc_id, text, regexp_replace(text,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS t1
+        |  FROM w),
+        |i AS (
+        |  SELECT *, regexp_replace(t1,
+        |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g') AS t2
+        |  FROM e)
         |SELECT doc_id,
-        |  regexp_replace(regexp_replace(regexp_replace(text,
-        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
-        |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
-        |    '\b\d{7,}\b', '<NUM>', 'g') AS redacted,
+        |  regexp_replace(t2, '\b\d{7,}\b', '<NUM>', 'g') AS redacted,
         |  CAST(len(regexp_extract_all(text,
         |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
-        |  CAST(len(regexp_extract_all(text,
+        |  CAST(len(regexp_extract_all(t1,
         |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ips,
-        |  CAST(len(regexp_extract_all(text, '\b\d{7,}\b')) AS BIGINT) AS n_long_nums
-        |FROM w""".stripMargin)),
+        |  CAST(len(regexp_extract_all(t2, '\b\d{7,}\b')) AS BIGINT) AS n_long_nums
+        |FROM i""".stripMargin)),
 
     // Corpus MIXTURE accounting: docs/tokens per (lang, source) with
     // ROLLUP subtotals — the planning table behind every data-mixture

@@ -65,6 +65,41 @@ class CoreOpsSpec extends SparkSpec {
     assert(got.toSeq === Seq("fresh"))
   }
 
+  test("upsertLastWins: duplicate incoming keys at the same version " +
+      "collapse to one deterministic survivor (r8)") {
+    val existing = Seq(("k1", 1, "old")).toDF("k", "ver", "v")
+    // a retried append concatenated into one batch: same key twice at the
+    // same version — (ver, __incoming) alone is not a total order and an
+    // arbitrary row_number pick could differ between runs
+    val incoming = Seq(("k1", 2, "dupA"), ("k1", 2, "dupB")).toDF("k", "ver", "v")
+    val r1 = CoreOps.upsertLastWins(existing, incoming, Seq("k"), Seq($"ver"))
+      .select($"v").as[String].collect().toSeq
+    val r2 = CoreOps.upsertLastWins(existing,
+        incoming.repartition(7), Seq("k"), Seq($"ver"))
+      .select($"v").as[String].collect().toSeq
+    assert(r1.length === 1 && r1 === r2,
+      "survivor must not depend on execution/partitioning")
+    // and the reserved merge column names fail loud instead of silently
+    // overwriting caller data
+    val rn = Seq(("k1", 1, 9)).toDF("k", "ver", "rn")
+    val e = intercept[IllegalArgumentException] {
+      CoreOps.upsertLastWins(rn, rn, Seq("k"), Seq($"ver"))
+    }
+    assert(e.getMessage.contains("reserves column name"))
+  }
+
+  test("lagArrayDiff: one null member must not blank the whole diff (r8)") {
+    // array_contains(prev, x) is NULL (not false) when prev holds a null
+    // member and x is absent — unguarded, !NULL drops every genuinely
+    // added/removed element
+    val df = Seq(
+      (1, Seq[String]("b", null)), (2, Seq[String]("a"))).toDF("i", "arr")
+    val got = CoreOps.lagArrayDiff(df, Nil, Seq($"i"), $"arr")
+      .orderBy($"i").select($"added", $"removed").collect()
+    assert(got(1).getSeq[String](0) === Seq("a"), "added blanked by null member")
+    assert(got(1).getSeq[String](1).toSet === Set[String]("b", null))
+  }
+
   test("lagArrayDiff with partition columns diffs per group independently") {
     val df = Seq(
       ("A", 1, Seq("x", "y")), ("A", 2, Seq("y", "z")),

@@ -225,6 +225,19 @@ class DedupSpec extends SparkSpec {
 class CorpusSketchSpec extends SparkSpec {
   import spark.implicits._
 
+  test("the null-group cohort appears in the profile (null-safe join, r8)") {
+    // a plain equi-join between the two aggregations drops exactly the
+    // null-keyed row (null never equals null) — in a curation audit the
+    // unlabeled cohort is often the interesting one
+    val docs = Seq((1L, "s0", "a b"), (2L, null.asInstanceOf[String], "c d e"))
+      .toDF("doc_id", "source", "text")
+    val sk = TextAnalysis.corpusSketch(docs, "source").collect()
+    assert(sk.length === 2)
+    val nullRow = sk.find(_.isNullAt(0)).getOrElse(
+      fail("null-source cohort missing from the sketch"))
+    assert(nullRow.getLong(1) === 1L) // approx_docs exact at this size
+  }
+
   test("sketch statistics land within tolerance of the exact aggregation") {
     val docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
       .select($"source", $"doc_id", $"text")
@@ -876,6 +889,19 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got(3L)._2 === "")
   }
 
+  test("redactPii audit counts equal actual replacements on overlapping " +
+      "patterns (staged counting, r8)") {
+    // the 7-digit local part is consumed by the EMAIL stage; counting
+    // long numbers on the original text would report 1 while the output
+    // carries no <NUM> — the audit must describe what was replaced
+    val df = Seq((1L, "reach 1234567@example.com today")).toDF("doc_id", "text")
+    val got = TextAnalysis.redactPii(col("text"))
+      .foldLeft(df) { case (acc, (n, c)) => acc.withColumn(n, c) }
+      .select(col("redacted"), col("n_emails"), col("n_ips"), col("n_long_nums"))
+      .as[(String, Long, Long, Long)].head()
+    assert(got === (("reach <EMAIL> today", 1L, 0L, 0L)))
+  }
+
   test("mixture rollup emits every grain with consistent subtotals (r7)") {
     val docs = Seq(
       (1L, "en", "s0", "one two three"), (2L, "en", "s0", "four five"),
@@ -956,13 +982,17 @@ class TextAnalysisSpec extends SparkSpec {
   }
 
   test("language-ID picks the marker-majority language deterministically") {
-    val df = Seq((1L, "der hund und die katze"), (2L, "xyz qrs")).toDF("doc_id", "text")
+    // doc 3: null text — null marker counts make every when() branch
+    // three-valued-null; the guard must land it on 'und', not the
+    // otherwise('fr') fall-through
+    val df = Seq((1L, "der hund und die katze"), (2L, "xyz qrs"),
+      (3L, null.asInstanceOf[String])).toDF("doc_id", "text")
     val scored = TextAnalysis.langIdScores(col("text"))
       .foldLeft(df) { case (acc, (n, c)) => acc.withColumn(n, c) }
     val got = scored.withColumn("p", TextAnalysis.predictedLang(
       col("c_en"), col("c_de"), col("c_fr"), col("c_es")))
       .orderBy($"doc_id").select($"p").as[String].collect()
-    assert(got.toSeq === Seq("de", "und"))
+    assert(got.toSeq === Seq("de", "und", "und"))
   }
 
   test("repetitionSignals computes dup-token/dup-bigram/top-bigram fractions (r4)") {
@@ -992,6 +1022,13 @@ class TextAnalysisSpec extends SparkSpec {
     val b = TextAnalysis.bm25Search(docs, Seq("hash", "scan"), k = 5)
       .as[(Long, Double)].collect().toSet
     assert(many("a") === a && many("b") === b)
+    // duplicate query terms (a tokenized natural-language query) must
+    // score once each, like bm25Search's isin — not sum twice
+    val dup = Seq(("a", "spark"), ("a", "merge"), ("a", "spark"))
+      .toDF("query_id", "term")
+    val dedup = TextAnalysis.bm25SearchMany(docs, dup, k = 5)
+      .select($"doc_id", $"bm25").as[(Long, Double)].collect().toSet
+    assert(dedup === a)
   }
 
   test("persisted BM25 index searches identically and prunes to term buckets (r7)") {
