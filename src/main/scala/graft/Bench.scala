@@ -99,8 +99,17 @@ object Bench {
         // Full materialization through the noop sink: unlike .count(),
         // Catalyst cannot prune top-level sorts/projections out of the
         // timed plan — every declared output row is produced and consumed.
+        // A throwing query must not abort the bench (the stdout contract
+        // is one JSON line for the whole registry) but must not FAIL
+        // SILENTLY either: an exception here means the run's timing is a
+        // partial plan — near-zero and flattering — so say so on stderr
+        // and in the evidence sidecar, where the adjudication looks first.
+        var failed: String = null
         try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
-        catch { case _: Throwable => () }
+        catch { case e: Throwable =>
+          failed = e.getClass.getSimpleName
+          System.err.println(s"[bench] $name run $r FAILED ($failed): ${e.getMessage}")
+        }
         val sec = (System.nanoTime() - t0) / 1e9
         // Outside the timed window: listener events deliver async, so
         // without a drain a run's trailing job/stage/task events land in
@@ -108,7 +117,8 @@ object Bench {
         org.apache.spark.GraftSparkInternals.drainListenerBus(spark.sparkContext)
         ev.println(s"""{"q":"$name","run":$r,"sec":$sec,"jobs":$jobs,"stages":$stages,"tasks":$tasks,""" +
           s""""gc_ms":${gcMillis - gc0},"compile_n":${compileCount - cc0},""" +
-          s""""bytecode_n":${bytecodeCount - bc0},"heap_mb":$heapUsedMb}""")
+          s""""bytecode_n":${bytecodeCount - bc0},"heap_mb":$heapUsedMb""" +
+          (if (failed == null) "}" else s""","failed":"$failed"}"""))
         ev.flush()
         sec
       }

@@ -64,7 +64,7 @@ object CoreOps {
     // row_number picks a survivor per-execution and two runs of the same
     // upsert can persist different rows. Identical duplicates hash equal
     // and either survivor is the same row — still deterministic.
-    val contentTiebreak = xxhash64(unioned.columns.map(col): _*)
+    val contentTiebreak = xxhash64(unioned.columns.toIndexedSeq.map(col): _*)
     latestPerGroup(unioned,
       keys.map(col), version.map(_.desc) :+ col("__incoming").desc
         :+ contentTiebreak.desc)

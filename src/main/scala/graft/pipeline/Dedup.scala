@@ -104,6 +104,15 @@ object Dedup {
     * shuffle over the shingle relation), then each run of `rowsPerBand`
     * consecutive minhash values collapses to an md5 band signature. */
   def bandSigs(sh: DataFrame, numHashes: Int, rowsPerBand: Int): DataFrame = {
+    // A non-dividing rowsPerBand would silently DROP the trailing
+    // numHashes % rowsPerBand minhashes from every signature (computed,
+    // paid for, banded into nothing) — a quieter cousin of the structural
+    // drifts the store fingerprints refuse: two populations signed with
+    // (16, 5) and (15, 5) would be indistinguishable on disk.
+    require(rowsPerBand > 0 && numHashes % rowsPerBand == 0,
+      s"bandSigs: numHashes ($numHashes) must be a positive multiple of " +
+        s"rowsPerBand ($rowsPerBand) — a remainder would silently vanish " +
+        "from every band signature")
     val mins = (0 until numHashes).map { i =>
       min((lit(2L * i + 1) * (col("h") % P) + lit(i * 12347L + 89L)) % P).as(s"mh$i")
     }
@@ -146,7 +155,16 @@ object Dedup {
     * quadratic all-pairs baseline (q24, whose candidate set is dominated
     * by low-overlap pairs) benched ~2× slower after the r7 rewrite
     * (0.7 → 1.4 s) while the LSH-gated callers — whose candidates
-    * overlap by construction — kept their exchange-count win. */
+    * overlap by construction — kept their exchange-count win.
+    *
+    * One residual asymmetry of the inner join on `sh`: a pair whose BOTH
+    * members have no shingles at all (sub-shingle docs, absent from `sh`
+    * by [[TextAnalysis.shingles]]' contract) joins nothing and VANISHES
+    * from the output rather than scoring 0. Unreachable from the
+    * in-engine callers — their candidate pairs are derived from shingle
+    * signatures, so every member has ≥ 1 shingle — but an external
+    * caller probing arbitrary pairs should left-join the result and read
+    * absent as "no shingles on either side". */
   def exactJaccard(pairs: DataFrame, sh: DataFrame): DataFrame =
     pairs.select(col("doc_a"), col("doc_b"),
       explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
@@ -395,6 +413,19 @@ object Dedup {
                          bands: Int = 4, bitsPerBand: Int = 15): DataFrame = {
     require(maxHamming < bands,
       s"pigeonhole guarantee needs maxHamming ($maxHamming) < bands ($bands)")
+    // Signatures carry 60 meaningful bits ([[simhash]]); a band starting
+    // at or past bit 60 reads all-zero for EVERY document, so that band's
+    // equi-join puts the whole corpus in one bucket — the quadratic blowup
+    // banding exists to avoid, with no error and a still-correct answer.
+    // (Completeness needs no full coverage: uncovered differing bits only
+    // leave MORE bands untouched.) Callers banding a narrower signature
+    // must keep (bands-1)·bitsPerBand below its real width for the same
+    // reason.
+    require(bitsPerBand > 0 && (bands - 1) * bitsPerBand < 60,
+      s"simhashPairsBanded: band ${bands - 1} starts at bit " +
+        s"${(bands - 1) * bitsPerBand} ≥ 60 — beyond the 60-bit signature " +
+        "every document shares that all-zero band and the bucket join " +
+        "degenerates to the quadratic cross product")
     val mask = (1L << bitsPerBand) - 1
     val bandCols = (0 until bands).map { b =>
       struct(lit(b).as("b"),

@@ -17,12 +17,12 @@ class GraftFunctionsSpec extends SparkSpec {
       .as[(String, Double)].collect().toSeq
     assert(sqlAgg === Seq(("g", 24.0), ("h", 5.0)))
 
-    val sqlHash = spark.sql("SELECT md5_hash60('abc') AS h").head.getLong(0)
+    val sqlHash = spark.sql("SELECT md5_hash60('abc') AS h").head().getLong(0)
     assert(sqlHash === java.lang.Long.parseLong("900150983cd24fb", 16))
 
     val sqlDot = spark.sql(
       "SELECT dot_product(array(1.0d, 2.0d, 3.0d), array(4.0d, 5.0d, 6.0d)) AS d")
-      .head.getDouble(0)
+      .head().getDouble(0)
     assert(sqlDot === 32.0)
 
     // window usage through SQL, vs the Column API over the same frame
@@ -65,7 +65,7 @@ class GraftFunctionsSpec extends SparkSpec {
     // equal dims still answer on both paths
     val ok = Seq((Seq(1.0, 2.0), Seq(3.0, 4.0))).toDF("a", "b")
       .select(VectorExpressions.dot_product(col("a"), col("b")).as("d"))
-      .head.getDouble(0)
+      .head().getDouble(0)
     assert(ok === 11.0)
   }
 }

@@ -17,13 +17,13 @@ class Md5Hash60Spec extends SparkSpec {
   }
 
   test("matches a known md5 value ('abc' -> 0x900150983cd24fb)") {
-    val got = Seq("abc").toDF("s").select(Md5Hash60.md5_hash60($"s")).head.getLong(0)
+    val got = Seq("abc").toDF("s").select(Md5Hash60.md5_hash60($"s")).head().getLong(0)
     assert(got === java.lang.Long.parseLong("900150983cd24fb", 16))
   }
 
   test("null input yields null") {
     val got = Seq[Option[String]](None).toDF("s")
-      .select(Md5Hash60.md5_hash60($"s")).head
+      .select(Md5Hash60.md5_hash60($"s")).head()
     assert(got.isNullAt(0))
   }
 }

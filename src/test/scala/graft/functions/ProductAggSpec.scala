@@ -28,8 +28,8 @@ class ProductAggSpec extends SparkSpec {
 
   test("partial/merge path (many partitions) matches single-partition result") {
     val vals = (1 to 100).map(i => 1.0 + (i % 7) * 0.01)
-    val one = vals.toDF("v").coalesce(1).agg(product_agg($"v")).head.getDouble(0)
-    val many = vals.toDF("v").repartition(7).agg(product_agg($"v")).head.getDouble(0)
+    val one = vals.toDF("v").coalesce(1).agg(product_agg($"v")).head().getDouble(0)
+    val many = vals.toDF("v").repartition(7).agg(product_agg($"v")).head().getDouble(0)
     assert(math.abs(one - many) / one < 1e-12)
   }
 
@@ -47,7 +47,7 @@ class ProductAggSpec extends SparkSpec {
       val clean = List.fill(rnd.nextInt(12) + 1)(rnd.nextDouble() * 4 - 2)
         .map(x => if (math.abs(x) < 1e-3) 1.0 else x)
       val expected = clean.foldLeft(1.0)(_ * _)
-      val got = clean.toDF("v").repartition(3).agg(product_agg($"v")).head.getDouble(0)
+      val got = clean.toDF("v").repartition(3).agg(product_agg($"v")).head().getDouble(0)
       assert(math.abs(got - expected) <= math.abs(expected) * 1e-9 + 1e-12,
         s"case $clean: got $got expected $expected")
     }

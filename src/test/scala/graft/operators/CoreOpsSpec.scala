@@ -41,7 +41,7 @@ class CoreOpsSpec extends SparkSpec {
   test("ratioToTotal sums to 1 within a partition") {
     val df = Seq(("g", 1.0), ("g", 3.0)).toDF("k", "v")
     val got = CoreOps.ratioToTotal(df, Seq($"k"), $"v", "share")
-      .agg(sum($"share")).head.getDouble(0)
+      .agg(sum($"share")).head().getDouble(0)
     assert(math.abs(got - 1.0) < 1e-12)
   }
 

@@ -77,6 +77,29 @@ class DedupSpec extends SparkSpec {
     assert(banded.nonEmpty) // the exact-dup pair qualifies
   }
 
+  test("structural-parameter guards: non-dividing rowsPerBand and " +
+    "out-of-signature simhash bands are refused, not silently degraded") {
+    // a remainder minhash would vanish from every band signature
+    val sh = TextAnalysis.hashedShingles(docs, 3)
+    val rem = intercept[IllegalArgumentException] {
+      Dedup.bandSigs(sh, numHashes = 16, rowsPerBand = 5)
+    }
+    assert(rem.getMessage.contains("multiple of"))
+    // band 4 of 5×15 starts at bit 60: all-zero for every doc — the
+    // bucket join would put the whole corpus in one bucket
+    val sigs = Dedup.simhash(docs)
+    val beyond = intercept[IllegalArgumentException] {
+      Dedup.simhashPairsBanded(sigs, maxHamming = 3, bands = 5, bitsPerBand = 15)
+    }
+    assert(beyond.getMessage.contains("60"))
+    // the largest legal coverage still works and stays exact
+    val wide = Dedup.simhashPairsBanded(sigs, maxHamming = 3,
+      bands = 5, bitsPerBand = 12).collect().map(_.toSeq).toSet
+    val allPairs5 = Dedup.simhashPairs(sigs, maxHamming = 3)
+      .collect().map(_.toSeq).toSet
+    assert(wide === allPairs5)
+  }
+
   test("incremental dedup: a second batch dedups against the STORED index, " +
     "bodies unread (r4)") {
     val dir = java.nio.file.Files.createTempDirectory("inc_dedup").toString
