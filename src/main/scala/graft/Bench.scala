@@ -35,10 +35,21 @@ object Bench {
     @volatile var jobs = 0
     @volatile var stages = 0
     @volatile var tasks = 0
+    // Summed task wall-time: separates "the tasks themselves ran slower"
+    // (ambient CPU/IO contention — task_ms grows with the wall spike)
+    // from "fixed-size tasks with dead air between them" (driver/
+    // scheduler stall — task_ms flat while sec spikes). q37's recurring
+    // 1.3–6 s spread has identical jobs/stages/tasks and near-zero
+    // GC/compile deltas, so this is the discriminator the sidecar lacked.
+    val taskMs = new java.util.concurrent.atomic.AtomicLong(0)
     spark.sparkContext.addSparkListener(new SparkListener {
       override def onJobEnd(e: SparkListenerJobEnd): Unit = jobs += 1
       override def onStageCompleted(e: SparkListenerStageCompleted): Unit = stages += 1
-      override def onTaskEnd(e: SparkListenerTaskEnd): Unit = tasks += 1
+      override def onTaskEnd(e: SparkListenerTaskEnd): Unit = {
+        tasks += 1
+        if (e.taskInfo != null) taskMs.addAndGet(e.taskInfo.duration)
+        ()
+      }
     })
     def gcMillis: Long = {
       import scala.jdk.CollectionConverters._
@@ -93,7 +104,7 @@ object Bench {
       // shared VM carry ±50% variance (observed round-over-round), which
       // the median absorbs without averaging in a cold outlier.
       val times = (0 until runs).map { r =>
-        jobs = 0; stages = 0; tasks = 0
+        jobs = 0; stages = 0; tasks = 0; taskMs.set(0)
         val (gc0, cc0, bc0) = (gcMillis, compileCount, bytecodeCount)
         val t0 = System.nanoTime()
         // Full materialization through the noop sink: unlike .count(),
@@ -115,7 +126,7 @@ object Bench {
         // without a drain a run's trailing job/stage/task events land in
         // the NEXT run's counters and the evidence misattributes.
         org.apache.spark.GraftSparkInternals.drainListenerBus(spark.sparkContext)
-        ev.println(s"""{"q":"$name","run":$r,"sec":$sec,"jobs":$jobs,"stages":$stages,"tasks":$tasks,""" +
+        ev.println(s"""{"q":"$name","run":$r,"sec":$sec,"jobs":$jobs,"stages":$stages,"tasks":$tasks,"task_ms":${taskMs.get},""" +
           s""""gc_ms":${gcMillis - gc0},"compile_n":${compileCount - cc0},""" +
           s""""bytecode_n":${bytecodeCount - bc0},"heap_mb":$heapUsedMb""" +
           (if (failed == null) "}" else s""","failed":"$failed"}"""))
