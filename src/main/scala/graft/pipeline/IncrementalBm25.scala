@@ -60,7 +60,11 @@ object IncrementalBm25 {
     * relations under partition `batch=<batchId>` in the three stores.
     *
     * PRECONDITION (caller-vouched, like the store's own `incomingUnique`):
-    * each doc_id lives in exactly ONE batch id, ever. The partial
+    * each doc_id lives in exactly ONE batch id, ever, and appears at most
+    * ONCE within its batch (a within-batch duplicate row collapses inside
+    * the tokenize aggregations into unique-keyed rows with silently
+    * doubled tf / n_docs / sum_dl — the one duplication the store's own
+    * incomingUnique check can never see). The partial
     * arithmetic depends on it — a doc re-delivered under a DIFFERENT
     * batch id lands in a different `(batch, tbucket)` partition, so the
     * partition-scoped last-wins merge never sees the old rows: postings,
@@ -90,6 +94,22 @@ object IncrementalBm25 {
           "have NULL text — such docs count in n_docs/sum_dl but write no " +
           "postings, so the one-batch-per-doc check cannot see them; drop " +
           "or scrub null texts upstream")
+      // WITHIN-batch duplicate rows are the one shape the store's own
+      // incomingUnique vouch check cannot see here: the tf/df/stats
+      // aggregations COLLAPSE the duplicates into single rows whose
+      // values are silently doubled (tf×2, df counts the doc once but
+      // n_docs/sum_dl count it twice), so every downstream relation has
+      // perfectly unique keys and inflated numbers. An at-least-once
+      // source can redeliver a record inside one micro-batch; refuse it
+      // here, at the only point the duplication is still visible.
+      val dupInBatch = docs.groupBy(col("doc_id")).agg(count(lit(1)).as("__n"))
+        .filter(col("__n") > 1).select(col("doc_id")).limit(3)
+        .collect().map(_.getLong(0))
+      require(dupInBatch.isEmpty,
+        s"BM25 ingest precondition violated: doc_id(s) ${dupInBatch.mkString(", ")} " +
+          s"appear more than once within batch '$batchId' — the tokenize " +
+          "aggregations would silently double tf/n_docs/sum_dl (dedup the " +
+          "batch upstream, e.g. dropDuplicates(\"doc_id\"))")
       KeyedParquetStore.read(spark, postingsPath, schema = Some(postingsSchema))
         .foreach { stored =>
           val clash = stored.filter(col("batch") =!= lit(batchId))

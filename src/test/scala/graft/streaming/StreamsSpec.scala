@@ -437,6 +437,16 @@ class StreamsSpec extends SparkSpec {
         schema = Some(batches.postingsSchema)).get
         .select($"batch").distinct().as[String].collect().toSet
       assert(stored === Set("e0"))
+      // WITHIN-batch duplicate rows: the tf/df/stats aggregations would
+      // collapse them into unique-keyed rows with doubled values — the
+      // one duplication the store's incomingUnique vouch check can't
+      // see, so the ingest face refuses it before any write
+      val dup = intercept[IllegalArgumentException] {
+        graft.pipeline.IncrementalBm25.ingestBatch(spark,
+          Seq((7L, "dup text"), (7L, "dup text")).toDF("doc_id", "text"),
+          "e7", pP, tP, sP)
+      }
+      assert(dup.getMessage.contains("more than once within batch"))
     } finally spark.conf.unset("spark.graft.store.debugChecks")
   }
 
