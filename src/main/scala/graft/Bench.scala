@@ -103,7 +103,7 @@ object Bench {
       // Median of `runs` timings per query: single-shot numbers on a
       // shared VM carry ±50% variance (observed round-over-round), which
       // the median absorbs without averaging in a cold outlier.
-      val times = (0 until runs).map { r =>
+      val timed = (0 until runs).map { r =>
         jobs = 0; stages = 0; tasks = 0; taskMs.set(0)
         val (gc0, cc0, bc0) = (gcMillis, compileCount, bytecodeCount)
         val t0 = System.nanoTime()
@@ -131,7 +131,7 @@ object Bench {
           s""""bytecode_n":${bytecodeCount - bc0},"heap_mb":$heapUsedMb""" +
           (if (failed == null) "}" else s""","failed":"$failed"}"""))
         ev.flush()
-        sec
+        (sec, failed)
       }
       // Attribute cleanup to its OWNER, not its successor: queries that
       // cache/localCheckpoint (q37's edge list, q49's pinned shingles)
@@ -146,17 +146,27 @@ object Bench {
       spark.catalog.clearCache()
       System.gc()
       Thread.sleep(200)
-      name -> times.sorted.apply(runs / 2)
+      // A failed run's elapsed time is a partial plan — near zero and
+      // flattering — so it must not enter the median. Median over the
+      // successful runs only; a query whose EVERY run failed reports -1
+      // (loudly poisoning the stdout total rather than shrinking it) and
+      // is named in the top-level "failed" map either way.
+      val ok = timed.collect { case (s, null) => s }
+      val med = if (ok.nonEmpty) ok.sorted.apply(ok.size / 2) else -1.0
+      (name, med, timed.count(_._2 != null))
     }
     ev.close()
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val failed = results.collect { case (k, _, n) if n > 0 => s"\"" + k + "\":" + n }
+    val failedJson =
+      if (failed.isEmpty) "" else failed.mkString(""","failed":{""", ",", "}")
     val total = results.map(_._2).sum
     // method flags the timing basis: per-query median of N full noop
     // materializations over page-cache-warmed inputs (count()-based r1
     // pruned top-level work, single-run r2 carried VM variance, unwarmed
     // r3 charged cold file reads to arbitrary queries — none compare 1:1).
-    println(s"""{"metric":"total","value":$total,"unit":"sec","method":"noop-median$runs-warm","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","method":"noop-median$runs-warm","queries":$qs$failedJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

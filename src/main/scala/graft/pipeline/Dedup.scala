@@ -410,22 +410,26 @@ object Dedup {
     * cross join — same blocking idea as `lshCandidates`, exact rather
     * than probabilistic. Returns exactly `simhashPairs`' result. */
   def simhashPairsBanded(sigs: DataFrame, maxHamming: Int,
-                         bands: Int = 4, bitsPerBand: Int = 15): DataFrame = {
+                         bands: Int = 4, bitsPerBand: Int = 15,
+                         signatureBits: Int = 60): DataFrame = {
     require(maxHamming < bands,
       s"pigeonhole guarantee needs maxHamming ($maxHamming) < bands ($bands)")
-    // Signatures carry 60 meaningful bits ([[simhash]]); a band starting
-    // at or past bit 60 reads all-zero for EVERY document, so that band's
-    // equi-join puts the whole corpus in one bucket — the quadratic blowup
-    // banding exists to avoid, with no error and a still-correct answer.
-    // (Completeness needs no full coverage: uncovered differing bits only
-    // leave MORE bands untouched.) Callers banding a narrower signature
-    // must keep (bands-1)·bitsPerBand below its real width for the same
-    // reason.
-    require(bitsPerBand > 0 && (bands - 1) * bitsPerBand < 60,
+    // A band starting at or past the signature's real width reads
+    // all-zero for EVERY document, so that band's equi-join puts the
+    // whole corpus in one bucket — the quadratic blowup banding exists to
+    // avoid, with no error and a still-correct answer. (Completeness
+    // needs no full coverage: uncovered differing bits only leave MORE
+    // bands untouched.) `signatureBits` defaults to [[simhash]]'s 60;
+    // callers banding a narrower `simhash(docs, bits)` pass that width so
+    // the guard stays honest for non-default signatures.
+    require(signatureBits > 0 && signatureBits <= 60,
+      s"simhashPairsBanded: signatureBits ($signatureBits) must be in " +
+        "1..60 — simhash signatures carry at most 60 md5-derived bits")
+    require(bitsPerBand > 0 && (bands - 1) * bitsPerBand < signatureBits,
       s"simhashPairsBanded: band ${bands - 1} starts at bit " +
-        s"${(bands - 1) * bitsPerBand} ≥ 60 — beyond the 60-bit signature " +
-        "every document shares that all-zero band and the bucket join " +
-        "degenerates to the quadratic cross product")
+        s"${(bands - 1) * bitsPerBand} ≥ $signatureBits — beyond the " +
+        s"$signatureBits-bit signature every document shares that all-zero " +
+        "band and the bucket join degenerates to the quadratic cross product")
     val mask = (1L << bitsPerBand) - 1
     val bandCols = (0 until bands).map { b =>
       struct(lit(b).as("b"),

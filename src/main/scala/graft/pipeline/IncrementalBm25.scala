@@ -82,6 +82,15 @@ object IncrementalBm25 {
                   nBuckets: Int = 16): Unit = {
     val docs = batch.select(col("doc_id"), col("text"))
     if (KeyedParquetStore.debugChecksOn(spark)) {
+      // Checked FIRST: a null doc_id is not a key at all, and the
+      // downstream diagnostics read the column as Long — two null-id rows
+      // would trip the duplicate check and then NPE inside its own error
+      // path instead of raising the explanatory message.
+      val nullId = docs.filter(col("doc_id").isNull).limit(1).count()
+      require(nullId == 0L,
+        s"BM25 ingest precondition violated: batch '$batchId' contains rows " +
+          "with NULL doc_id — postings are keyed by doc_id, so null-id rows " +
+          "can neither merge nor be duplicate-checked; drop or key them upstream")
       // The clash check keys on postings, and a NULL-text doc writes
       // NONE (explode drops the null token array) while still counting
       // in n_docs — it would evade the check yet still double-count the

@@ -98,6 +98,28 @@ class DedupSpec extends SparkSpec {
     val allPairs5 = Dedup.simhashPairs(sigs, maxHamming = 3)
       .collect().map(_.toSeq).toSet
     assert(wide === allPairs5)
+    // a NARROWER simhash(docs, bits) hits the same all-zero-band
+    // degeneracy below bit 60 — the guard must honor the declared width,
+    // not the default (r8 ADVICE)
+    val narrow = Dedup.simhash(docs, bits = 30)
+    val past30 = intercept[IllegalArgumentException] {
+      Dedup.simhashPairsBanded(narrow, maxHamming = 3,
+        bands = 4, bitsPerBand = 15, signatureBits = 30)
+    }
+    assert(past30.getMessage.contains("30"))
+    // and a legal banding of the narrow signature stays exact vs its
+    // own all-pairs baseline
+    val narrowBanded = Dedup.simhashPairsBanded(narrow, maxHamming = 3,
+      bands = 4, bitsPerBand = 7, signatureBits = 30)
+      .collect().map(_.toSeq).toSet
+    val narrowAll = Dedup.simhashPairs(narrow, maxHamming = 3)
+      .collect().map(_.toSeq).toSet
+    assert(narrowBanded === narrowAll)
+    // declared widths outside the md5-derived 60 bits are refused
+    val over = intercept[IllegalArgumentException] {
+      Dedup.simhashPairsBanded(sigs, maxHamming = 3, signatureBits = 64)
+    }
+    assert(over.getMessage.contains("1..60"))
   }
 
   test("incremental dedup: a second batch dedups against the STORED index, " +

@@ -447,6 +447,17 @@ class StreamsSpec extends SparkSpec {
           "e7", pP, tP, sP)
       }
       assert(dup.getMessage.contains("more than once within batch"))
+      // NULL doc_id rows are not keys at all — two of them would trip
+      // the duplicate diagnostic and NPE inside its own error path
+      // (getLong on a null cell, r8 ADVICE); refused FIRST with the
+      // explanatory message instead
+      val nul = intercept[IllegalArgumentException] {
+        graft.pipeline.IncrementalBm25.ingestBatch(spark,
+          Seq((Option.empty[Long], "null id"), (None, "null id too"),
+            (Some(8L), "a keyed row")).toDF("doc_id", "text"),
+          "e8", pP, tP, sP)
+      }
+      assert(nul.getMessage.contains("NULL doc_id"))
     } finally spark.conf.unset("spark.graft.store.debugChecks")
   }
 
