@@ -192,19 +192,15 @@ object Dedup {
     * minhash aggregation and the Jaccard confirm's single join — r7
     * collapsed the confirm's three consumptions into one), so it is
     * materialized ONCE per call via an
-    * eager `localCheckpoint` — recomputing it paid the md5-per-shingle
-    * scan 4× (the round-3 driver bench recorded q37 at 15.7 s, dominated
-    * by exactly that; a builder-side "recompute beats persist" measurement
-    * did not hold at driver config). `localCheckpoint` over `.cache()` is
-    * deliberate: it is scoped to this call (no CacheManager entry for
-    * identical re-plans to silently hit, no leaked pin), and the blocks
-    * are GC'd with the returned plan. Trade-off: checkpoint blocks don't
-    * recompute on executor loss — a cluster deployment that needs that
-    * resilience swaps in `persist(MEMORY_AND_DISK_2)` with an explicit
-    * unpersist after the sink. */
+    * eager serialized checkpoint ([[graft.Pin.ser]]) — recomputing it
+    * paid the md5-per-shingle scan 4× (the round-3 driver bench recorded
+    * q37 at 15.7 s, dominated by exactly that; a builder-side "recompute
+    * beats persist" measurement did not hold at driver config). See
+    * [[graft.Pin]] for why checkpoint-over-cache and serialized-over-
+    * deserialized, and for the executor-loss trade-off. */
   def minhashLsh(docs: DataFrame, numHashes: Int = 16, rowsPerBand: Int = 4,
                  shingleN: Int = 3, threshold: Double = 0.5): DataFrame = {
-    val sh = TextAnalysis.hashedShingles(docs, shingleN).localCheckpoint()
+    val sh = graft.Pin.ser(TextAnalysis.hashedShingles(docs, shingleN))
     val sigs = bandSigs(sh, numHashes, rowsPerBand)
     val cands = sigs.select(col("band"), col("sig"), col("doc_id").as("doc_a"))
       .join(sigs.select(col("band"), col("sig"), col("doc_id").as("doc_b")),
@@ -244,12 +240,19 @@ object Dedup {
   def dedupClusters(pairs: DataFrame, maxIters: Int = 25,
                     driverEdgeLimit: Long = 1000000L): DataFrame = {
     val spark = pairs.sparkSession
-    val p = pairs.select(col("doc_a").cast("long").as("src"),
-      col("doc_b").cast("long").as("dst")).cache()
-    // ONE materialization of the (expensive) pair producer, counting null
-    // casts in the same pass: a non-numeric id column would otherwise
-    // surface as an opaque NPE on the driver path or silently null-keyed
-    // joins on the distributed path.
+    // ONE materialization of the (expensive) pair producer, into an id-
+    // width (src, dst) relation. [[graft.Pin.ser]] over `.cache()` (r9):
+    // the cached plan was exempt from AQE coalescing, so every exchange
+    // under the pair producer ran full-shuffle-width no matter how small
+    // the data — q37's 133-task bench fan-out, and the multiplier that
+    // turned ambient machine load into its wall-clock spread. The
+    // checkpoint lets AQE size those exchanges to the data while a
+    // 100 TB run keeps its width.
+    val p = graft.Pin.ser(pairs.select(col("doc_a").cast("long").as("src"),
+      col("doc_b").cast("long").as("dst")))
+    // Null casts counted over the pinned longs: a non-numeric id column
+    // would otherwise surface as an opaque NPE on the driver path or
+    // silently null-keyed joins on the distributed path.
     val firstPass = p.agg(count(lit(1)).as("n"),
       count(when(col("src").isNull || col("dst").isNull, 1)).as("nulls")).head()
     val nEdges = firstPass.getLong(0)
@@ -278,12 +281,11 @@ object Dedup {
         if (ra < rb) parent(rb) = ra else if (rb < ra) parent(ra) = rb
       }
       val labels = parent.keysIterator.map(id => (id, find(id))).toSeq
-      p.unpersist()
       labels.toDF("doc_id", "label")
     } else {
       val edges = p.unionByName(p.select(col("dst").as("src"), col("src").as("dst")))
-      var labels = edges.select(col("src").as("doc_id")).distinct()
-        .withColumn("label", col("doc_id")).localCheckpoint()
+      var labels = graft.Pin.ser(edges.select(col("src").as("doc_id")).distinct()
+        .withColumn("label", col("doc_id")))
       var converged = false
       var i = 0
       while (i < maxIters && !converged) {
@@ -297,20 +299,18 @@ object Dedup {
         // pointer jump: label := label(label). Every label value is some
         // member's doc_id (labels only ever move to an existing id), so
         // the self-join always finds its row; "left" is belt-and-braces.
-        val next = prop.join(
+        val next = graft.Pin.ser(prop.join(
             prop.select(col("doc_id").as("label"), col("label").as("__ll")),
             Seq("label"), "left")
           .select(col("doc_id"),
             least(col("label"), coalesce(col("__ll"), col("label"))).as("label"),
-            (col("__chg") || col("__ll") < col("label")).as("__changed"))
-          .localCheckpoint()
+            (col("__chg") || col("__ll") < col("label")).as("__changed")))
         // change detection costs one filter over the checkpoint — not an
         // extra join of two label snapshots per round
         converged = next.filter(col("__changed")).isEmpty
         labels = next.drop("__changed")
         i += 1
       }
-      p.unpersist()
       if (!converged) throw new IllegalStateException(
         s"dedupClusters did not converge within $maxIters rounds " +
           s"($nEdges edges) — raise maxIters; returning partial labels would under-dedup")
@@ -361,7 +361,7 @@ object Dedup {
   def allPairsJaccard(docs: DataFrame, shingleN: Int = 3, threshold: Double = 0.1): DataFrame = {
     // Consumed 3× (both sides of the pair self-join + the confirm);
     // materialized once, same rationale as [[minhashLsh]].
-    val sh = TextAnalysis.hashedShingles(docs, shingleN).localCheckpoint()
+    val sh = graft.Pin.ser(TextAnalysis.hashedShingles(docs, shingleN))
     val pairs = sh.select(col("doc_id").as("doc_a"), col("h"))
       .join(sh.select(col("doc_id").as("doc_b"), col("h")), Seq("h"))
       .filter(col("doc_a") < col("doc_b"))

@@ -144,11 +144,11 @@ object IncrementalBm25 {
     // and because it doesn't lean on empty-string split semantics.
     val lens = docs.select(col("doc_id"),
       size(TextAnalysis.tokens(col("text"))).cast("long").as("dl"))
-      .localCheckpoint()
+      .localCheckpoint(true, org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     val tf = docs
       .select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("term"))
       .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
-      .localCheckpoint()
+      .localCheckpoint(true, org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     val tb = pmod(Sampling.bucket(col("term"), "bm25"), lit(nBuckets)).cast("int")
     val postings = tf.join(lens, Seq("doc_id"))
       .withColumn("tbucket", tb).withColumn("batch", lit(batchId))

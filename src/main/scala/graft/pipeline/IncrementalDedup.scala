@@ -157,8 +157,8 @@ object IncrementalDedup {
     // Materialized once per call: consumed by the band build, the
     // vs-store confirm and the in-batch confirm (see minhashLsh's
     // rationale for localCheckpoint over cache()).
-    val sh = TextAnalysis.hashedShingles(batch, shingleN).localCheckpoint()
-    val bands = Dedup.bandSigs(sh, numHashes, rowsPerBand).localCheckpoint()
+    val sh = TextAnalysis.hashedShingles(batch, shingleN).localCheckpoint(true, org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    val bands = Dedup.bandSigs(sh, numHashes, rowsPerBand).localCheckpoint(true, org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
 
     // In-batch candidates + confirm: minhashLsh's own shape.
     val selfCands = bands.select(col("band"), col("sig"), col("doc_id").as("doc_a"))
@@ -202,7 +202,7 @@ object IncrementalDedup {
           Seq("band", "sig"))
         .filter(col("doc_id") =!= col("doc_b"))
         .select(col("doc_id").as("doc_a"), col("doc_b")).distinct()
-        .localCheckpoint()
+        .localCheckpoint(true, org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
       val storedSh = KeyedParquetStore.read(spark, shinglesPath,
           schema = Some(shingleStoreSchema))
         // unreachable via this module's own writes since the r8
@@ -241,7 +241,7 @@ object IncrementalDedup {
       .drop("__stored_dup", "__batch_dup")
       // ingestBatch's upserts re-derive from the checkpointed relations;
       // the caller's view is pinned so all consumers agree
-      .localCheckpoint()
+      .localCheckpoint(true, org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     (labeled, bands, sh)
   }
 }

@@ -159,7 +159,7 @@ object IncrementalIvf {
     // the store mid-replace
     val index = Similarity.buildIvfIndex(corpus, numCells, trainIters)
       .withColumn("iv", lit(v))
-      .localCheckpoint()
+      .localCheckpoint(true, org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     val keep = keepBatches.toSeq
     val reassigned = Similarity
       .assignIvfCells(corpus, index, passthrough = Seq("batch"))
