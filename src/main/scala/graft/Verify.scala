@@ -5,6 +5,16 @@ import java.nio.file.{Files, Paths}
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
   def main(args: Array[String]): Unit = {
+    // Exactly two args, checked loudly: extra args used to die as an
+    // opaque MatchError BEFORE any dump, which left a previous run's
+    // parquet in outDir for check.py to silently re-verify as if fresh
+    // (bitten in r9 — a "targeted" re-verification of changed code
+    // actually compared the unchanged binaries' stale output). Query
+    // filtering belongs to check.py, which takes names as extra args.
+    require(args.length == 2,
+      s"usage: graft.Verify <sfDir> <outDir> (got ${args.length} args: " +
+        s"${args.mkString(" ")}) — to check a subset, pass query names " +
+        "to tools/check.py instead; Verify always dumps the full registry")
     val Array(sfDir, outDir) = args
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()

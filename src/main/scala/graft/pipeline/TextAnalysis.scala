@@ -192,6 +192,35 @@ object TextAnalysis {
       .drop("__g")
   }
 
+  /** EXACT corpus profile per `group` — the oracle-checkable counterpart
+    * of [[corpusSketch]] (same row grain, same null-safe group join):
+    * exact distinct documents/tokens and exact interpolated length
+    * percentiles (`percentile`, the standard `p·(n−1)` linear
+    * interpolation DuckDB's `quantile_cont` shares; rounded to 6 dp so
+    * the cross-engine comparison is ulp-robust). At 100 TB this is the
+    * audit face you run on a SAMPLE or a single shard — the exact
+    * distincts shuffle every value and the exact percentile collects
+    * per-group value multisets — while [[corpusSketch]] is the full-
+    * corpus face whose sketches shuffle KBs. Keeping both faces behind
+    * one shape lets a profiling job swap exactness for scale without
+    * changing consumers. */
+  def corpusExact(docs: DataFrame, group: String): DataFrame = {
+    val q = percentile(length(col("text")).cast("double"),
+      array(lit(0.5), lit(0.9), lit(0.99)))
+    val docStats = docs.groupBy(col(group)).agg(
+      countDistinct(col("doc_id")).as("n_docs"),
+      round(q.getItem(0), 6).as("len_p50"),
+      round(q.getItem(1), 6).as("len_p90"),
+      round(q.getItem(2), 6).as("len_p99"))
+    val tokStats = docs
+      .select(col(group), explode(tokens(col("text"))).as("tok"))
+      .groupBy(col(group))
+      .agg(countDistinct(col("tok")).as("n_distinct_tokens"))
+    docStats.join(tokStats.withColumnRenamed(group, "__g"),
+        docStats(group) <=> col("__g"))
+      .drop("__g")
+  }
+
   /** TF-IDF keyword extraction: top-`k` terms per document by
     * `tf · ln((N+1)/(df+1))` (smoothed idf), deterministic tiebreak on
     * the term. Shuffle profile: one (doc_id, term) aggregation for TF,

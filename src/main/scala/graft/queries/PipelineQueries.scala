@@ -703,15 +703,46 @@ object PipelineQueries {
 
     // Sketch-based corpus profiling (HLL++ distincts + GK quantiles): the
     // 100 TB way to profile a corpus — sketches shuffle KBs, not values.
-    // No oracle by design (sketch algorithms differ across engines); the
-    // driver records the rows-only check, and TextAnalysisSpec bounds the
-    // approximation error against the exact aggregation.
+    // EVERY output column here is estimate-only by construction —
+    // approx_docs / approx_distinct_tokens are HLL++ (rsd 0.02), the
+    // len percentiles are GK sketches (rank error ≤ n/accuracy) — so no
+    // oracle CAN exist (sketch algorithms differ across engines by
+    // design); the driver records the rows-only check, and
+    // CorpusSketchSpec ("sketch statistics land within tolerance of the
+    // exact aggregation") bounds each estimate against the exact
+    // aggregation. The EXACT face of this profile is q41b below, which
+    // carries the real oracle.
     Q("q41_corpus_sketch",
       (s, dir) =>
         TextAnalysis.corpusSketch(
           Tables.documents(s, dir).select(col("source"), col("doc_id"), col("text")),
           group = "source"),
       None),
+
+    // The exact counterpart of q41's profile (verdict r8 item 4): same
+    // row grain, exact distincts and exact interpolated percentiles —
+    // DuckDB-expressible, so the sketch family's one rows-only row is
+    // now flanked by a hash-checked exact twin.
+    Q("q41b_corpus_exact",
+      (s, dir) =>
+        TextAnalysis.corpusExact(
+          Tables.documents(s, dir).select(col("source"), col("doc_id"), col("text")),
+          group = "source"),
+      Some("""WITH ds AS (
+        |  SELECT source,
+        |    COUNT(DISTINCT doc_id) AS n_docs,
+        |    ROUND(quantile_cont(CAST(len(text) AS DOUBLE), 0.5), 6) AS len_p50,
+        |    ROUND(quantile_cont(CAST(len(text) AS DOUBLE), 0.9), 6) AS len_p90,
+        |    ROUND(quantile_cont(CAST(len(text) AS DOUBLE), 0.99), 6) AS len_p99
+        |  FROM documents GROUP BY source),
+        |ts AS (
+        |  SELECT source, COUNT(DISTINCT tok) AS n_distinct_tokens
+        |  FROM (SELECT source, UNNEST(regexp_split_to_array(text, '\s+')) AS tok
+        |        FROM documents)
+        |  GROUP BY source)
+        |SELECT ds.source, ds.n_docs, ds.len_p50, ds.len_p90, ds.len_p99,
+        |       ts.n_distinct_tokens
+        |FROM ds JOIN ts ON ds.source IS NOT DISTINCT FROM ts.source""".stripMargin)),
 
     // Apply the exact-dedup decision back to the corpus: semi-join the
     // planted-duplicate corpus onto its per-hash survivors (§2.3's
