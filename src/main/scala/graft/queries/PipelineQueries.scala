@@ -1451,26 +1451,35 @@ object PipelineQueries {
       },
       Some(bm25SearchOracle)),
 
-    // INCREMENTALLY-BUILT IVF index, searched — the correctness face of
-    // frozen-centroid insertion: centroids train ONCE on the full corpus
-    // (q32's training set, so the shared oracle holds verbatim), then
-    // the vectors arrive in three batches assigned against the frozen
-    // store and appended under (iv, cell, batch) partitions. Assignment
-    // is per-row, so batch-wise ingest ≡ one-shot assignment — any drift
-    // in the insertion path (cell argmax, version stamping, partition
-    // merge) hash-fails against q32's oracle. Search also proves the
-    // store-pair version check passes on a healthy index.
+    // INCREMENTALLY-BUILT IVF index with a MID-STREAM RETRAIN, searched —
+    // the full maintenance lifecycle as one correctness face (r8 verdict
+    // item 5). Centroids seed on the FIRST batch only (the Faiss
+    // train-on-a-sample shape — deliberately NOT q32's training set, so
+    // a retrain that failed to move them would hash-fail), three batches
+    // ingest against the frozen seed, then `retrain` re-trains on the
+    // accumulated store with b2 on the `keepBatches` replay horizon, and
+    // b2 REPLAYS after the retrain — the at-least-once redelivery the
+    // horizon exists for, landing as a post-retrain ingest that must
+    // re-merge idempotently against the NEW centroids. Training is
+    // hash-bucket-seeded and decimal-exact, so retraining on the full
+    // stored corpus reproduces exactly the one-shot q32 build — the
+    // shared oracle holds verbatim, and any drift in re-train,
+    // re-assignment, horizon labeling, or the replay's merge hash-fails.
+    // Search also proves the `iv` store-pair check passes post-retrain.
     Q("q72_ivf_incremental",
       (s, dir) => {
         import graft.pipeline.IncrementalIvf
         val tmp = java.nio.file.Files.createTempDirectory("graft_q72").toString
         val (cP, aP) = (s"$tmp/centroids", s"$tmp/assigned")
         val emb = Tables.embeddings(s, dir)
-        IncrementalIvf.buildCentroids(s, emb, cP, numCells = 8, trainIters = 2)
         def slice(r: Int) = emb.filter(pmod(col("vec_id"), lit(3)) === r)
+        IncrementalIvf.buildCentroids(s, slice(0), cP, numCells = 8, trainIters = 2)
         IncrementalIvf.ingestBatch(s, slice(0), "b0", cP, aP)
         IncrementalIvf.ingestBatch(s, slice(1), "b1", cP, aP)
         IncrementalIvf.ingestBatch(s, slice(2), "b2", cP, aP)
+        IncrementalIvf.retrain(s, cP, aP, numCells = 8, trainIters = 2,
+          keepBatches = Set("b2"))
+        IncrementalIvf.ingestBatch(s, slice(2), "b2", cP, aP) // replay
         IncrementalIvf.searchStored(s, cP, aP,
           emb.filter(col("vec_id") < 5), k = 5, nProbe = 2)
           .select(col("probe_id"), col("neighbor_id"), col("cos_sim"),
