@@ -79,13 +79,37 @@ object IncrementalDedup {
     * the self-pair exemption (a retried doc must not read as its own
     * duplicate) means a re-sent doc is never compared against its
     * stored copy, so it re-indexes as "kept" and the store holds two
-    * rows per key. Replays under the ORIGINAL batch id are the
-    * sanctioned idempotent path for both. */
+    * rows per key; (3) a doc_id appears at most ONCE within its batch —
+    * differing texts under one id would fuse into a chimera signature
+    * matching neither document, and even identical duplicate rows
+    * produce duplicate shingle-store keys (the shingle relation dedups
+    * only within one row). Replays under the ORIGINAL batch id are the
+    * sanctioned idempotent path for all three. */
   def ingestBatch(spark: SparkSession, batch: DataFrame, batchId: String,
                   bandsPath: String, shinglesPath: String,
                   numHashes: Int = 16, rowsPerBand: Int = 4,
                   shingleN: Int = 3, threshold: Double = 0.5): DataFrame = {
-    if (KeyedParquetStore.debugChecksOn(spark))
+    if (KeyedParquetStore.debugChecksOn(spark)) {
+      // WITHIN-batch duplicate doc_ids, refused in both variants: with
+      // DIFFERENT texts, the per-doc band aggregation fuses them into a
+      // chimera signature matching neither document (with perfectly
+      // unique band-store keys — invisible to the store's vouch check);
+      // with IDENTICAL text the signatures are unharmed, but the shingle
+      // relation dedups only within one row ([[TextAnalysis.shingles]]'
+      // array_distinct), so the duplicate rows reach the shingle store
+      // as duplicate (doc_id, h) keys and would break the
+      // `incomingUnique` vouch anyway. One module-level check, one
+      // actionable message, mirroring the BM25 ingest's contract.
+      val dupInBatch = batch.groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("__n"))
+        .filter(col("__n") > 1).select(col("doc_id")).limit(3)
+        .collect().map(_.getLong(0))
+      require(dupInBatch.isEmpty,
+        s"dedup ingest precondition violated: doc_id(s) ${dupInBatch.mkString(", ")} " +
+          s"appear more than once within batch '$batchId' — differing texts " +
+          "would fuse into a chimera signature matching neither document; " +
+          "identical texts would store duplicate shingle keys (dedup the " +
+          "batch upstream, e.g. dropDuplicates(\"doc_id\"))")
       KeyedParquetStore.read(spark, bandsPath, schema = Some(bandStoreSchema))
         .foreach { sb =>
           val resent = sb.filter(col("batch") =!= lit(batchId))
@@ -99,6 +123,7 @@ object IncrementalDedup {
               "stored copy and would duplicate its keys (replays must reuse " +
               "the original batch id)")
         }
+    }
     val (labeled, bands, sh) = labelBatch(spark, batch, bandsPath, shinglesPath,
       numHashes, rowsPerBand, shingleN, threshold)
     val keptIds = labeled.filter(col("status") === "kept").select("doc_id")

@@ -78,6 +78,32 @@ object IncrementalIvf {
     * partitions of the assigned-corpus store. */
   def ingestBatch(spark: SparkSession, batch: DataFrame, batchId: String,
                   centroidsPath: String, assignedPath: String): Unit = {
+    // PRECONDITION (caller-vouched, enforced under debugChecks like the
+    // BM25/dedup ingest faces): a vec_id is never re-delivered under a
+    // DIFFERENT batch id. The keyed merge is (iv, cell, batch)-partition-
+    // scoped, so a re-sent vector's old rows live in another partition
+    // the merge never sees — the same vector then sits under TWO batch
+    // partitions and searches return it twice (until a retrain's
+    // one-row-per-vector collapse heals the store). Replays under the
+    // ORIGINAL batch id are the sanctioned idempotent path. Within-batch
+    // duplicate rows need no check here: they reach the store as
+    // duplicate neighbor_id keys and fail its own incomingUnique vouch
+    // check under the same flag.
+    if (KeyedParquetStore.debugChecksOn(spark))
+      KeyedParquetStore.read(spark, assignedPath, schema = Some(assignedSchema))
+        .foreach { stored =>
+          val resent = stored.filter(col("batch") =!= lit(batchId))
+            .join(batch.select(col("vec_id").as("neighbor_id")).distinct(),
+              Seq("neighbor_id"), "left_semi")
+            .select(col("neighbor_id")).distinct().limit(3)
+            .collect().map(_.getLong(0))
+          require(resent.isEmpty,
+            s"IVF ingest precondition violated: vec_id(s) ${resent.mkString(", ")} " +
+              s"already assigned under a different batch than '$batchId' — the " +
+              "partition-scoped merge never sees the old rows, so the vector " +
+              "would be stored (and returned by searches) twice (replays must " +
+              "reuse the original batch id)")
+        }
     val index = centroidsOf(spark, centroidsPath)
     // ONE driver action over the KB-sized centroid store serves both the
     // version stamp and the static partition hint (a second agg job per
