@@ -175,8 +175,19 @@ object Dedup {
       .groupBy(col("doc_a"), col("doc_b"))
       .agg(sum(col("in_a") * col("in_b")).as("n_inter"),
         sum(col("in_a")).as("n_a"), sum(col("in_b")).as("n_b"))
+      // 6-dp rounding in exact integer micro-units, not round(double, 6):
+      // ni/union is a small-denominator rational, and e.g. union = 128
+      // with odd ni is an EXACT half-way tie at 6 dp (1/128 = 0.0078125),
+      // where double-based round is engine-dependent (Spark rounds the
+      // double's decimal form, DuckDB rounds x·10⁶ in floats — they split
+      // ties differently; hit for real by q62's mean, see
+      // TextAnalysis.unigramLogProb). Half-up on the exact rational:
+      // (2·10⁶·ni + u) div (2·u), all non-negative. Away from ties the
+      // result is bit-identical to the old round() — a nonzero distance
+      // from a boundary is ≥ 1/(2·10⁶·u), far above double error.
       .select(col("doc_a"), col("doc_b"),
-        round(col("n_inter") / (col("n_a") + col("n_b") - col("n_inter")), 6).as("jaccard"))
+        (expr("(2000000 * n_inter + (n_a + n_b - n_inter)) div " +
+          "(2 * (n_a + n_b - n_inter))") / lit(1000000.0)).as("jaccard"))
 
   /** MinHash-LSH near-dup detection end to end: shingle → minhash → banded
     * candidates → exact-Jaccard confirm at `threshold`.

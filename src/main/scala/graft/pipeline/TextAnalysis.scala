@@ -456,7 +456,18 @@ object TextAnalysis {
     * sidesteps the stopword skew a shuffle join on term would hit —
     * every document contains "the". Per-term contributions round to 6 dp
     * and sum through DECIMAL (order-insensitive — the q54 trick), so the
-    * score is bit-identical across engines and partitionings. */
+    * score is bit-identical across engines and partitionings. The final
+    * per-document mean is rounded to 6 dp in INTEGER micro-units
+    * (`(2·s_micro + n) div (2·n)`, half-up for the all-positive scores)
+    * rather than by `round(s/n, 6)` on a double: the sum s has exactly
+    * 6 dp, so s/n can land EXACTLY on a half-way tie (observed at the
+    * 10× corpus: 125.523827/22 = 5.7056285 precisely), where
+    * double-based round is engine-dependent — the nearest double sits
+    * below the tie, and an engine rounding that double's decimal form
+    * (Spark's BigDecimal path) answers …28 while one rounding
+    * `x·10⁶` in floats (DuckDB) answers …29. Integer arithmetic on the
+    * exact micro-units is tie-deterministic and, away from ties, equals
+    * the old result bit-for-bit. */
   def unigramLogProb(docs: DataFrame): DataFrame = {
     val tf = docs.select(col("doc_id"), explode(tokens(col("text"))).as("t"))
       .groupBy(col("doc_id"), col("t")).agg(count(lit(1)).as("c"))
@@ -466,11 +477,13 @@ object TextAnalysis {
       .select(col("t"), round(-log(col("tf") / col("n")), 6).as("neg_logp"))
     tf.join(broadcast(lp), Seq("t"))
       .groupBy(col("doc_id"))
-      .agg(graft.operators.CoreOps.exactSum(
-        round(col("c") * col("neg_logp"), 6), 6).as("s"),
+      .agg(sum(round(col("c") * col("neg_logp"), 6)
+          .cast(org.apache.spark.sql.types.DecimalType(30, 6))).as("sd"),
         sum(col("c")).as("n_tokens"))
+      .withColumn("s_micro", (col("sd") * lit(1000000)).cast("long"))
       .select(col("doc_id"), col("n_tokens"),
-        round(col("s") / col("n_tokens"), 6).as("avg_neg_logp"))
+        (expr("(2 * s_micro + n_tokens) div (2 * n_tokens)") / lit(1000000.0))
+          .as("avg_neg_logp"))
   }
 
   /** Split documents into fixed-size token windows with overlap — the

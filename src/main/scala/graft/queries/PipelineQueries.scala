@@ -168,7 +168,7 @@ object PipelineQueries {
        |  SELECT i.doc_a, i.doc_b FROM inter$tag i
        |  JOIN sizes$tag sa ON i.doc_a = sa.doc_id
        |  JOIN sizes$tag sb ON i.doc_b = sb.doc_id
-       |  WHERE round(i.ni * 1.0 / (sa.n + sb.n - i.ni), 6) >= 0.5),
+       |  WHERE ((2000000 * i.ni + (sa.n + sb.n - i.ni)) // (2 * (sa.n + sb.n - i.ni))) / 1000000.0 >= 0.5),
        |edges$tag AS (
        |  SELECT doc_a AS src, doc_b AS dst FROM pairs$tag
        |  UNION ALL SELECT doc_b AS src, doc_a AS dst FROM pairs$tag),
@@ -210,7 +210,7 @@ object PipelineQueries {
       |  GROUP BY 1, 2),
       |jac AS (
       |  SELECT i.doc_a, i.doc_b,
-      |         round(i.ni * 1.0 / (sa.n + sb.n - i.ni), 6) AS jaccard
+      |         ((2000000 * i.ni + (sa.n + sb.n - i.ni)) // (2 * (sa.n + sb.n - i.ni))) / 1000000.0 AS jaccard
       |  FROM inter i
       |  JOIN sizes sa ON i.doc_a = sa.doc_id
       |  JOIN sizes sb ON i.doc_b = sb.doc_id)""".stripMargin
@@ -224,7 +224,7 @@ object PipelineQueries {
       |  JOIN hsh b ON b.doc_id = p.doc_b AND b.h = a.h
       |  GROUP BY 1, 2)
       |SELECT i.doc_a, i.doc_b,
-      |       round(i.ni * 1.0 / (sa.n + sb.n - i.ni), 6) AS jaccard
+      |       ((2000000 * i.ni + (sa.n + sb.n - i.ni)) // (2 * (sa.n + sb.n - i.ni))) / 1000000.0 AS jaccard
       |FROM inter i
       |JOIN sizes sa ON i.doc_a = sa.doc_id
       |JOIN sizes sb ON i.doc_b = sb.doc_id""".stripMargin
@@ -377,7 +377,7 @@ object PipelineQueries {
         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
         |  FROM hsh a JOIN hsh b ON a.h = b.h AND a.doc_id < b.doc_id),
         |$jaccardTailSql
-        |WHERE round(i.ni * 1.0 / (sa.n + sb.n - i.ni), 6) >= 0.5""".stripMargin)),
+        |WHERE ((2000000 * i.ni + (sa.n + sb.n - i.ni)) // (2 * (sa.n + sb.n - i.ni))) / 1000000.0 >= 0.5""".stripMargin)),
 
     // MinHash + banded LSH near-dup: shingle → 16 minhashes → 4-row bands
     // → bucket join → exact-Jaccard confirm. The candidate join touches
@@ -859,7 +859,7 @@ object PipelineQueries {
         |  SELECT DISTINCT i.doc_a AS doc_id FROM interS i
         |  JOIN sizes2 sa ON i.doc_a = sa.doc_id
         |  JOIN sizes1 sb ON i.doc_b = sb.doc_id
-        |  WHERE round(i.ni * 1.0 / (sa.n + sb.n - i.ni), 6) >= 0.5)
+        |  WHERE ((2000000 * i.ni + (sa.n + sb.n - i.ni)) // (2 * (sa.n + sb.n - i.ni))) / 1000000.0 >= 0.5)
         |SELECT b2.doc_id,
         |  CASE WHEN ds.doc_id IS NOT NULL THEN 'dup_of_stored'
         |       WHEN nc.doc_id IS NOT NULL THEN 'dup_in_batch'
@@ -1382,7 +1382,12 @@ object PipelineQueries {
     // the corpus-statistical quality filter beside q21's per-doc
     // heuristics. Vocabulary + corpus total broadcast; per-term
     // contributions round(6) then DECIMAL-sum so the score is
-    // order-insensitive (the q54 trick).
+    // order-insensitive (the q54 trick), and the final mean rounds in
+    // exact integer micro-units because the 6-dp sum divided by
+    // n_tokens can land exactly on a half-way tie where double-based
+    // round() is engine-dependent (hit at the 10× corpus — see
+    // unigramLogProb's scaladoc; `div` / `//` agree for the
+    // all-positive scores).
     Q("q62_unigram_logprob",
       (s, dir) =>
         TextAnalysis.unigramLogProb(
@@ -1396,10 +1401,12 @@ object PipelineQueries {
         |lp AS (SELECT t, round(-ln(tf * 1.0 / n), 6) AS neg_logp FROM vocab, tot),
         |ds AS (
         |  SELECT tf.doc_id,
-        |    CAST(sum(CAST(round(tf.c * lp.neg_logp, 6) AS DECIMAL(30,6))) AS DOUBLE) AS s,
+        |    sum(CAST(round(tf.c * lp.neg_logp, 6) AS DECIMAL(30,6))) AS sd,
         |    CAST(sum(tf.c) AS BIGINT) AS n_tokens
         |  FROM tf JOIN lp USING (t) GROUP BY 1)
-        |SELECT doc_id, n_tokens, round(s / n_tokens, 6) AS avg_neg_logp
+        |SELECT doc_id, n_tokens,
+        |  ((2 * CAST(sd * 1000000 AS BIGINT) + n_tokens) // (2 * n_tokens))
+        |    / 1000000.0 AS avg_neg_logp
         |FROM ds""".stripMargin)),
 
     // Quality-WEIGHTED sampling: per-row keep probability (here a

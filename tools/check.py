@@ -6,12 +6,20 @@ Usage: python3 tools/check.py <sfDir> <outDir> [query ...]
 (Expects Verify to have already written <outDir>/<name>/ parquet dirs and
 <outDir>/oracle_sql.json.)
 """
-import json, sys, glob
+import json, os, sys, glob
 import duckdb
 import pandas as pd
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
+
+
+def table_path(sf_dir: str, t: str) -> str:
+    """A table is a single parquet file in the driver's testdata, but a
+    directory of part files when Spark wrote it (e.g. the ScaleUp 10×
+    corpus) — glob the parts in that case."""
+    p = f"{sf_dir}/{t}.parquet"
+    return f"{p}/*.parquet" if os.path.isdir(p) else p
 
 
 def canon(df: pd.DataFrame) -> pd.DataFrame:
@@ -26,7 +34,7 @@ def main():
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{table_path(sf_dir, t)}')")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_pass = n_fail = 0
     for name, sql in sorted(oracle.items()):
