@@ -265,6 +265,24 @@ class DedupSpec extends SparkSpec {
     assert(pairs.contains((1L, 2L)))
     assert(!pairs.contains((1L, 4L)))
   }
+
+  test("exactJaccard rounds half-up on an exact 6-dp grid tie (r9)") {
+    // 1/128 = 0.0078125 sits EXACTLY on the 6-dp rounding boundary — the
+    // case where double-based round() is engine-dependent (the nearest
+    // double is below the tie, so an engine rounding the double's decimal
+    // form answers ...812 while one rounding x·10⁶ answers ...813; q62's
+    // mean hit this for real at the 10× corpus). The integer micro-unit
+    // formula must answer half-up, and away from the boundary must agree
+    // with plain round() — 1/3 stays 0.333333.
+    val pairs = Seq((1L, 2L), (3L, 4L)).toDF("doc_a", "doc_b")
+    // docs 1∩2 share 1 of 128 shingles; docs 3∩4 share 1 of 3
+    val sh = (Seq((1L, 0L)) ++ (0L until 128L).map(h => (2L, h)) ++
+      Seq((3L, 200L), (4L, 200L), (4L, 201L), (4L, 202L)))
+      .toDF("doc_id", "h")
+    val got = Dedup.exactJaccard(pairs, sh).orderBy($"doc_a")
+      .select($"jaccard").as[Double].collect().toSeq
+    assert(got === Seq(0.007813, 0.333333))
+  }
 }
 
 class CorpusSketchSpec extends SparkSpec {
@@ -987,6 +1005,43 @@ class TextAnalysisSpec extends SparkSpec {
     val re = TextAnalysis.unigramLogProb(docs.repartition(7))
       .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
     assert(re === got.map { case (k, v) => k -> v._2 })
+  }
+
+  test("unigramLogProb rounds its mean half-up on an exact 6-dp tie (r9)") {
+    // The engine-dependent case the r9 micro-unit rewrite fixed: the
+    // per-doc DECIMAL sum has exactly 6 dp, so s/n can sit EXACTLY on
+    // the 6-dp grid's half-way point, where round(s/n, 6) on a double
+    // splits by engine (q62 hit s/n = 125.523827/22 = 5.7056285 at the
+    // 10× corpus). A doc "a b" has mean (L_a + L_b)/2 in micro-units
+    // (L_t = round6(-ln(tf_t/n))·10⁶), an exact tie whenever
+    // L_a + L_b is odd — search a one-filler-doc family for such a
+    // corpus (skipping candidates whose ln values land near their OWN
+    // 6-dp boundary, so the model's round6 mirror is unambiguous), then
+    // assert the engine answers the model's half-up value bit-for-bit.
+    def round6micro(x: Double): Long =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+        .*(BigDecimal(1000000)).toLongExact
+    def boundarySafe(x: Double): Boolean = {
+      val f = (BigDecimal(math.abs(x)) * BigDecimal(1000000)) % BigDecimal(1)
+      (f - BigDecimal("0.5")).abs > BigDecimal("0.001") &&
+        f.min(BigDecimal(1) - f) > BigDecimal("0.001")
+    }
+    val found = (for {
+      d1 <- 1 to 20; d2 <- 1 to 20
+      tfA = 1 + d1; tfB = 1 + d2; n = tfA + tfB
+      lnA = -math.log(tfA.toDouble / n); lnB = -math.log(tfB.toDouble / n)
+      if boundarySafe(lnA) && boundarySafe(lnB)
+      la = round6micro(lnA); lb = round6micro(lnB)
+      if (la + lb) % 2 == 1 // odd sum -> doc "a b" mean ties at 6 dp
+    } yield (d1, d2, la, lb)).headOption
+    assert(found.nonEmpty, "no tie-producing corpus in the search family")
+    val (d1, d2, la, lb) = found.get
+    val filler = (Seq.fill(d1)("a") ++ Seq.fill(d2)("b")).mkString(" ")
+    val docs = Seq((1L, "a b"), (2L, filler)).toDF("doc_id", "text")
+    val got = TextAnalysis.unigramLogProb(docs)
+      .filter($"doc_id" === 1L).select($"avg_neg_logp").as[Double].head()
+    val tieHalfUp = ((la + lb) / 2 + 1) / 1000000.0 // (sum odd) div 2, + 1
+    assert(got === tieHalfUp)
   }
 
   test("quality features compute exact token stats") {
