@@ -71,6 +71,9 @@ object Bench {
       val rt = Runtime.getRuntime
       (rt.totalMemory - rt.freeMemory) / (1024 * 1024)
     }
+    // One loud schema-drift message up front (see Tables.verifySchemas)
+    // beats per-query failures scattered through the bench loop.
+    Tables.verifySchemas(spark, sfDir)
     // Warm the session (scheduler, parquet reader, codegen) AND the OS
     // page cache for EVERY input table, so the first-in-sort-order queries
     // don't absorb the cold start for whichever files they happen to touch

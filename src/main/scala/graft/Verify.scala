@@ -25,6 +25,10 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // One loud schema-drift message up front beats N analysis errors
+    // scattered through the registry dump (r9: regenerated events.parquet
+    // silently failed 7 queries one at a time).
+    Tables.verifySchemas(spark, sfDir)
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")

@@ -10,7 +10,9 @@ trait SparkSpec extends AnyFunSuite {
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.ui.enabled", "false")
-    // events.parquet is TIMESTAMP(NANOS); Tables.events requires this flag
+    // lets Tables.events read TIMESTAMP(NANOS)-encoded testdata (the
+    // r≤8 driver encoding) as nanos-longs; harmless for the micros
+    // encodings, which the reader adapts to by schema (r9 regression)
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     // keep saveAsTable's default warehouse out of the repo tree
     .config("spark.sql.warehouse.dir",

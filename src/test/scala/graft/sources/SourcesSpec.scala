@@ -601,4 +601,60 @@ class SourcesSpec extends SparkSpec {
     assert(plan.contains("PartitionFilters: [isnotnull(date"),
       s"expected partition pruning in plan:\n$plan")
   }
+
+  // r9 regression: the driver regenerated events.parquet from
+  // TIMESTAMP(NANOS) to plain micros and the encoding-pinned reader broke
+  // 7 registry queries at ANALYSIS time. Pin the adaptive contract here,
+  // where the fix lives: all physical encodings of `ts` the driver has
+  // shipped (or could) must surface identical TimestampType instants.
+  test("Tables.events adapts to tz-micros, NTZ-micros, and nanos-long ts encodings") {
+    import org.apache.spark.sql.types.TimestampType
+    val base = Seq(
+      (1L, "2024-01-03 12:34:56.789012", 10L, "click", 1.5, """{"k":1}"""),
+      (2L, "2024-01-04 00:00:00.000001", 11L, "view", 2.5, """{"k":2}"""))
+      .toDF("event_id", "tss", "user_id", "event_type", "value", "props")
+    def writeDir(ts: org.apache.spark.sql.Column): String = {
+      val dir = Files.createTempDirectory("events_enc").toString
+      base.withColumn("ts", ts)
+        .select($"event_id", $"ts", $"user_id", $"event_type", $"value", $"props")
+        .coalesce(1).write.parquet(s"$dir/events.parquet")
+      dir
+    }
+    val tzMicros = writeDir($"tss".cast("timestamp"))
+    val ntzMicros = writeDir($"tss".cast("timestamp_ntz"))
+    // What a TIMESTAMP(NANOS) column surfaces as under nanosAsLong=true:
+    // a BIGINT of nanos-since-epoch (Spark cannot WRITE physical NANOS,
+    // so the long column stands in for the post-read shape directly).
+    val nanosLong = writeDir(unix_micros($"tss".cast("timestamp")) * lit(1000L))
+    val got = Seq(tzMicros, ntzMicros, nanosLong).map { dir =>
+      val df = graft.Tables.events(spark, dir)
+      assert(df.schema("ts").dataType === TimestampType, s"dir=$dir")
+      df.orderBy($"event_id").select($"event_id", $"ts".cast("string"))
+        .as[(Long, String)].collect().toSeq
+    }
+    assert(got(0) === got(1), "tz-micros vs NTZ-micros mismatch")
+    assert(got(0) === got(2), "tz-micros vs nanos-long mismatch")
+    assert(got(0).map(_._2) ===
+      Seq("2024-01-03 12:34:56.789012", "2024-01-04 00:00:00.000001"))
+  }
+
+  test("verifySchemas: green on testdata, one loud diff naming table.column on drift") {
+    graft.Tables.verifySchemas(spark, "/root/testdata/sf0.001")
+    // Perturbed snapshot: symlink the 9 healthy tables, replace events
+    // with a cross-family ts (string) — the drift the reader cannot absorb.
+    val dir = Files.createTempDirectory("drift").toString
+    Seq("region", "nation", "customer", "supplier", "part", "orders",
+      "lineitem", "documents", "embeddings").foreach { t =>
+      Files.createSymbolicLink(
+        java.nio.file.Paths.get(s"$dir/$t.parquet"),
+        java.nio.file.Paths.get(s"/root/testdata/sf0.001/$t.parquet"))
+    }
+    Seq((1L, "not-a-timestamp", 10L, "click", 1.5, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$dir/events.parquet")
+    val e = intercept[IllegalStateException] {
+      graft.Tables.verifySchemas(spark, dir)
+    }
+    assert(e.getMessage.contains("events.ts"), e.getMessage)
+  }
 }
