@@ -154,4 +154,140 @@ object Sampling {
           + floor((col("__cum") - col("n_tok")) / budget).cast("long"))
       .drop("__cum")
   }
+
+  // ---- exact GLOBAL-ORDER operators without a global window ----------
+  //
+  // A training pipeline needs two global-order facts about a corpus: the
+  // deterministic shuffle position of every document (training order),
+  // and the running token total in quality order (budgeted data
+  // selection). Both are one `row_number()/sum() OVER (ORDER BY …)` in
+  // SQL — and that plan is the single-task funnel PlanAuditSpec bans:
+  // at 100 TB one executor sorts the world. The scale shape used by
+  // both operators below:
+  //   1. assign each row a coarse bucket MONOTONE in the target order
+  //      (so bucket boundaries respect the global order);
+  //   2. aggregate one KB-sized summary row per bucket, prefix-sum the
+  //      summaries driver-side (bounded by the bucket count — the same
+  //      sanctioned model-state pattern as the IVF centroids), and
+  //      broadcast the per-bucket offsets back;
+  //   3. finish with a window PARTITIONED BY bucket: offset + within-
+  //      bucket rank/cumsum = the EXACT global quantity.
+  // Two narrow passes over the scan (columns: id/score/tokens only),
+  // one bucket exchange, no global sort, exact results.
+
+  /** Exact 1-based deterministic-shuffle rank per row — the training
+    * ORDER deal: `shuffle_rank` is `row_number() OVER (ORDER BY
+    * hash(id||salt), id)` computed without a global window. The hash
+    * key is uniform in [0, 2^60), so buckets are fixed arithmetic
+    * ranges of the key space (`key >> (60-log2 B)`) — monotone in the
+    * order by construction, balanced by uniformity, no quantile step
+    * needed. Re-salting re-deals the whole order (a new epoch's
+    * shuffle); the deal is retry-safe and engine-reproducible like
+    * every hash deal in this module. Null ids hash to null, join no
+    * bucket offset, and surface a NULL rank (the module's null-id
+    * verdict). Shuffle profile: one KB-sized bucket-count aggregation
+    * + one bucket exchange for the window; the driver touches `shuffleBuckets`
+    * longs, never rows. Pass the ID-WIDTH projection (the rank annotates
+    * every input column, and the pinned two-pass input plus the bucket
+    * exchange carry whatever you pass — attach bodies afterwards by
+    * joining the rank back on the id, the keepCanonical pattern). */
+  def deterministicShuffleRank(df: DataFrame, idCol: String,
+                               salt: String = "shuffle",
+                               shuffleBuckets: Int = 64): DataFrame = {
+    require(shuffleBuckets > 0 && (shuffleBuckets & (shuffleBuckets - 1)) == 0
+        && shuffleBuckets <= 4096,
+      s"shuffleBuckets must be a power of two in [1, 4096]: $shuffleBuckets")
+    val shift = 60 - java.lang.Long.numberOfTrailingZeros(shuffleBuckets.toLong)
+    val key = TextAnalysis.md5Hash60(
+      concat(col(idCol).cast("string"), lit("_" + salt)))
+    // pinned: the count pass and the ranked output both consume it
+    val keyed = graft.Pin.ser(df.withColumn("__sk", key)
+      .withColumn("__sb", shiftright(col("__sk"), shift)))
+    // KB-sized driver round-trip: one count per bucket -> prefix offsets
+    val counts = keyed.filter(col("__sb").isNotNull)
+      .groupBy(col("__sb")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).sortBy(_._1)
+    val offsets = counts.map(_._1)
+      .zip(counts.scanLeft(0L)(_ + _._2).dropRight(1))
+    val spark = df.sparkSession
+    import spark.implicits._
+    val offsetRel = broadcast(
+      offsets.toSeq.toDF("__sb_o", "__off"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__sb")).orderBy(col("__sk"), col(idCol))
+    keyed.join(offsetRel, col("__sb") === col("__sb_o"), "left")
+      .withColumn("shuffle_rank",
+        (col("__off") + row_number().over(w)).cast("long"))
+      .drop("__sk", "__sb", "__sb_o", "__off")
+  }
+
+  /** Exact token-BUDGET selection in score order — the curation move
+    * that keeps the best documents until a global token budget fills
+    * (quality-threshold dataset selection): order rows by (`scoreCol`
+    * ASC, id ASC), keep each row iff the EXACT sum of `tokensCol` over
+    * all rows strictly before it is `< budget`. The straddling document
+    * is KEPT (bounded overflow of one document — [[packBudget]]'s
+    * convention), a zero budget keeps nothing, and rows with a null
+    * score or null tokens are EXCLUDED (a null would poison the running
+    * sum; excluding matches the null-id verdict of the hash deals).
+    * Returns the ID-WIDTH selection only — (`idCol`, `n_tok`,
+    * `cum_before`) — never the payload columns: the selection is what
+    * shuffles through the bucket exchange, and consumers re-attach
+    * bodies with a semi-join on the id (the [[Dedup.keepCanonical]]
+    * application pattern), so document text crosses no exchange at any
+    * scale. `cum_before` is the exact global running token total before
+    * the row, so consumers (and the oracle) see the prefix arithmetic.
+    *
+    * Scale shape: score buckets come from `approx_quantile` boundaries
+    * (driver-side KBs) — APPROXIMATE boundaries only affect bucket
+    * BALANCE, never the result, because the cross-bucket prefix is
+    * exact; equal scores always land in one bucket (boundary compare is
+    * on score alone), so heavy score ties cost skew, not correctness.
+    * At 100 TB: two narrow passes (score+tokens columns), one bucket
+    * exchange, driver holds `scoreBuckets` doubles. */
+  def takeTokenBudget(df: DataFrame, idCol: String, scoreCol: Column,
+                      tokensCol: Column, budget: Long,
+                      scoreBuckets: Int = 64): DataFrame = {
+    require(budget >= 0, s"budget must be non-negative: $budget")
+    require(scoreBuckets > 0 && scoreBuckets <= 4096,
+      s"scoreBuckets must be in [1, 4096]: $scoreBuckets")
+    // Pin the narrow (id, score, tokens) projection ONCE: the quantile
+    // sketch, the per-bucket sums, and the final ranked output each
+    // consume it, and score/tokens are typically derived from the full
+    // text — without the pin the corpus re-tokenizes three times. Pinned
+    // width is id+16 bytes/row regardless of document size (graft.Pin:
+    // serialized blocks, AQE-coalescible).
+    val typed = graft.Pin.ser(df
+      .select(col(idCol),
+        scoreCol.cast("double").as("__score"),
+        tokensCol.cast("long").as("n_tok"))
+      .filter(col("__score").isNotNull && col("n_tok").isNotNull))
+    // Driver-side model state, KB-sized: approximate score boundaries.
+    // relativeError 0 would collect the column; 1e-4 keeps the sketch
+    // mergeable and the buckets near-balanced for any distribution.
+    val probes = (1 until scoreBuckets).map(_.toDouble / scoreBuckets).toArray
+    val bounds =
+      if (probes.isEmpty) Array.empty[Double] // 1 bucket: no boundaries
+      else typed.stat.approxQuantile("__score", probes, 1e-4).distinct.sorted
+    val bucketExpr = bounds.zipWithIndex.foldRight(lit(bounds.length): Column) {
+      case ((b, i), rest) => when(col("__score") <= b, lit(i)).otherwise(rest)
+    }
+    val bucketed = typed.withColumn("__qb", bucketExpr)
+    val sums = bucketed.groupBy(col("__qb")).agg(sum(col("n_tok")).as("t"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+    val offsets = sums.map(_._1)
+      .zip(sums.scanLeft(0L)(_ + _._2).dropRight(1))
+    val spark = df.sparkSession
+    import spark.implicits._
+    val offsetRel = broadcast(offsets.toSeq.toDF("__qb_o", "__off"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__qb")).orderBy(col("__score"), col(idCol))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    bucketed.join(offsetRel, col("__qb") === col("__qb_o"), "left")
+      .withColumn("cum_before",
+        (coalesce(col("__off"), lit(0L))
+          + coalesce(sum(col("n_tok")).over(w), lit(0L))).cast("long"))
+      .filter(col("cum_before") < budget)
+      .drop("__score", "__qb", "__qb_o", "__off")
+  }
 }

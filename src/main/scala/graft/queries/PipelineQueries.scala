@@ -1142,6 +1142,64 @@ object PipelineQueries {
         |    + CAST(floor((cum - n_tokens) / 2048.0) AS BIGINT) AS pack_id
         |FROM c""".stripMargin)),
 
+    // Deterministic corpus SHUFFLE rank — the training-order deal: every
+    // document's exact 1-based position in the hash-shuffled order,
+    // WITHOUT the single-task global window the naive row_number() plan
+    // funnels into (PlanAuditSpec bans it). Scale shape: arithmetic
+    // key-range buckets (monotone in the order), KB-sized per-bucket
+    // counts prefix-summed driver-side, within-bucket row_number + the
+    // broadcast offset = the exact global rank. The oracle IS the naive
+    // global window — fine in DuckDB at sf, which is the point: same
+    // result, scalable plan.
+    Q("q73_corpus_shuffle",
+      (s, dir) =>
+        Sampling.deterministicShuffleRank(
+          Tables.documents(s, dir).select(col("doc_id")), "doc_id")
+          .select(col("doc_id"), col("shuffle_rank")),
+      Some("""SELECT doc_id,
+        |  CAST(row_number() OVER (
+        |    ORDER BY CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '_shuffle'), 1, 15)) AS BIGINT),
+        |             doc_id) AS BIGINT) AS shuffle_rank
+        |FROM documents""".stripMargin)),
+
+    // Token-BUDGET dataset selection — keep documents in quality order
+    // (stopword-ratio ascending, the q21 informativeness proxy) until a
+    // global 20k-token budget fills; the straddling doc is kept (bounded
+    // overflow, packBudget's convention). cum_before is the EXACT global
+    // running token total before each kept row, computed via
+    // approx-quantile score buckets + driver-prefixed per-bucket sums +
+    // a bucket-partitioned window — approximate boundaries affect only
+    // bucket balance, never the arithmetic, so the oracle's naive global
+    // window agrees row-for-row. The absolute budget keeps selected-set
+    // size roughly constant across SFs (the q49 bounding trick).
+    Q("q74_token_budget",
+      (s, dir) => {
+        val toks = TextAnalysis.tokens(col("text"))
+        val nTok = size(toks).cast("long")
+        val score = round(
+          size(filter(toks, t => t.isin(TextAnalysis.Stopwords: _*)))
+            .cast("double") / nTok, 8)
+        Sampling.takeTokenBudget(
+          Tables.documents(s, dir).select(col("doc_id"), col("text")),
+          "doc_id", score, nTok, budget = 20000L)
+          .select(col("doc_id"), col("n_tok"), col("cum_before"))
+      },
+      Some("""WITH t AS (
+        |  SELECT doc_id, regexp_split_to_array(text, '\s+') AS toks,
+        |    CAST(len(regexp_split_to_array(text, '\s+')) AS BIGINT) AS n_tok
+        |  FROM documents),
+        |sc AS (
+        |  SELECT doc_id, n_tok,
+        |    round(len(list_filter(toks, x -> x IN ('the','a','of','and','to','in')))
+        |          / CAST(n_tok AS DOUBLE), 8) AS score
+        |  FROM t),
+        |o AS (
+        |  SELECT doc_id, n_tok,
+        |    CAST(COALESCE(SUM(n_tok) OVER (ORDER BY score, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before
+        |  FROM sc)
+        |SELECT doc_id, n_tok, cum_before FROM o WHERE cum_before < 20000""".stripMargin)),
+
     // Test-set decontamination: drop training docs sharing ≥10 distinct
     // 3-gram shingles with any "eval" doc (docs 0-19 stand in for a
     // benchmark) — the guard against eval leakage into a training corpus.

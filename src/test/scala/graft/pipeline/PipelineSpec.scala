@@ -518,6 +518,74 @@ class SamplingSpec extends SparkSpec {
       .agg(countDistinct($"pack_bucket").as("nb"))
       .filter($"nb" > 1).isEmpty)
   }
+
+  test("deterministicShuffleRank: exact 1..n permutation, bucket-count " +
+      "invariant, null id ranks null (r10)") {
+    val ranked = Sampling.deterministicShuffleRank(docs, "doc_id")
+    val n = docs.count()
+    val ranks = ranked.select($"shuffle_rank").as[Long].collect().sorted
+    assert(ranks.toSeq === (1L to n).toSeq) // a permutation, no gaps/dups
+    // the bucketed computation IS the global order: 1 bucket (a single
+    // within-bucket window == the naive global plan) and 64 buckets
+    // (the scale path) must agree row-for-row
+    val one = Sampling.deterministicShuffleRank(docs, "doc_id",
+      shuffleBuckets = 1).select($"doc_id", $"shuffle_rank")
+      .as[(Long, Long)].collect().toMap
+    val sixtyFour = ranked.select($"doc_id", $"shuffle_rank")
+      .as[(Long, Long)].collect().toMap
+    assert(one === sixtyFour)
+    // null ids join no offset and surface a null rank; others unaffected
+    val withNull = Seq(Some(1L), Some(2L), None).toDF("doc_id")
+    val got = Sampling.deterministicShuffleRank(withNull, "doc_id")
+      .select($"doc_id", $"shuffle_rank").collect()
+    assert(got.filter(_.isNullAt(0)).forall(_.isNullAt(1)))
+    assert(got.filter(!_.isNullAt(0)).map(_.getLong(1)).sorted.toSeq === Seq(1L, 2L))
+    // power-of-two bucket guard
+    val e = intercept[IllegalArgumentException] {
+      Sampling.deterministicShuffleRank(docs, "doc_id", shuffleBuckets = 48)
+    }
+    assert(e.getMessage.contains("power of two"))
+  }
+
+  test("takeTokenBudget: exact prefix vs a driver-side reference, " +
+      "straddler kept, bucket-count invariant (r10)") {
+    val scored = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+      .select($"doc_id",
+        round(($"n_chars" % 97).cast("double") / 97.0, 8).as("score"),
+        size(split($"text", "\\s+")).cast("long").as("n_tokens"))
+    val budget = 5000L
+    val got = Sampling.takeTokenBudget(scored, "doc_id", $"score",
+      $"n_tokens", budget)
+      .select($"doc_id", $"cum_before").as[(Long, Long)].collect().toMap
+    // reference: sort all rows driver-side, exact running total
+    val ref = scored.select($"doc_id", $"score", $"n_tokens")
+      .as[(Long, Double, Long)].collect().sortBy(r => (r._2, r._1))
+    var cum = 0L
+    val want = scala.collection.mutable.Map[Long, Long]()
+    ref.foreach { case (id, _, t) =>
+      if (cum < budget) want(id) = cum
+      cum += t
+    }
+    assert(got === want.toMap)
+    // the last kept row STARTS under budget (straddler convention) and
+    // the selection is non-trivial at this corpus/budget
+    assert(got.nonEmpty && got.size < ref.length)
+    assert(got.values.forall(_ < budget))
+    // approximate boundaries never change the arithmetic: 1 bucket (the
+    // naive single-window plan) agrees with the 64-bucket scale path
+    val one = Sampling.takeTokenBudget(scored, "doc_id", $"score",
+      $"n_tokens", budget, scoreBuckets = 1)
+      .select($"doc_id", $"cum_before").as[(Long, Long)].collect().toMap
+    assert(one === got)
+    // a zero budget keeps nothing; null scores are excluded
+    assert(Sampling.takeTokenBudget(scored, "doc_id", $"score",
+      $"n_tokens", 0L).isEmpty)
+    val withNull = Seq((1L, Some(0.5), 10L), (2L, None, 10L))
+      .toDF("doc_id", "score", "n_tokens")
+    val kept = Sampling.takeTokenBudget(withNull, "doc_id", $"score",
+      $"n_tokens", 100L).select($"doc_id").as[Long].collect().toSeq
+    assert(kept === Seq(1L))
+  }
 }
 
 class SimilaritySpec extends SparkSpec {
