@@ -73,7 +73,13 @@ object Bench {
     }
     // One loud schema-drift message up front (see Tables.verifySchemas)
     // beats per-query failures scattered through the bench loop.
-    Tables.verifySchemas(spark, sfDir)
+    // DIAGNOSE, don't abort: queries not touching the drifted column
+    // still bench; the broken ones land in the "failed" map as usual.
+    try Tables.verifySchemas(spark, sfDir)
+    catch { case e: IllegalStateException =>
+      System.err.println(s"[bench] SCHEMA PREFLIGHT FAILED — expect " +
+        s"failures in queries touching these columns:\n${e.getMessage}")
+    }
     // Warm the session (scheduler, parquet reader, codegen) AND the OS
     // page cache for EVERY input table, so the first-in-sort-order queries
     // don't absorb the cold start for whichever files they happen to touch
