@@ -230,7 +230,7 @@ object Sampling {
     * convention), a zero budget keeps nothing, and rows with a null
     * score or null tokens are EXCLUDED (a null would poison the running
     * sum; excluding matches the null-id verdict of the hash deals).
-    * Returns the ID-WIDTH selection only — (`idCol`, `n_tok`,
+    * Returns the ID-WIDTH selection only — (`idCol`, `n_tokens`,
     * `cum_before`) — never the payload columns: the selection is what
     * shuffles through the bucket exchange, and consumers re-attach
     * bodies with a semi-join on the id (the [[Dedup.keepCanonical]]
@@ -260,8 +260,8 @@ object Sampling {
     val typed = graft.Pin.ser(df
       .select(col(idCol),
         scoreCol.cast("double").as("__score"),
-        tokensCol.cast("long").as("n_tok"))
-      .filter(col("__score").isNotNull && col("n_tok").isNotNull))
+        tokensCol.cast("long").as("n_tokens"))
+      .filter(col("__score").isNotNull && col("n_tokens").isNotNull))
     // Driver-side model state, KB-sized: approximate score boundaries.
     // relativeError 0 would collect the column; 1e-4 keeps the sketch
     // mergeable and the buckets near-balanced for any distribution.
@@ -273,7 +273,7 @@ object Sampling {
       case ((b, i), rest) => when(col("__score") <= b, lit(i)).otherwise(rest)
     }
     val bucketed = typed.withColumn("__qb", bucketExpr)
-    val sums = bucketed.groupBy(col("__qb")).agg(sum(col("n_tok")).as("t"))
+    val sums = bucketed.groupBy(col("__qb")).agg(sum(col("n_tokens")).as("t"))
       .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
     val offsets = sums.map(_._1)
       .zip(sums.scanLeft(0L)(_ + _._2).dropRight(1))
@@ -286,7 +286,7 @@ object Sampling {
     bucketed.join(offsetRel, col("__qb") === col("__qb_o"), "left")
       .withColumn("cum_before",
         (coalesce(col("__off"), lit(0L))
-          + coalesce(sum(col("n_tok")).over(w), lit(0L))).cast("long"))
+          + coalesce(sum(col("n_tokens")).over(w), lit(0L))).cast("long"))
       .filter(col("cum_before") < budget)
       .drop("__score", "__qb", "__qb_o", "__off")
   }

@@ -1182,23 +1182,23 @@ object PipelineQueries {
         Sampling.takeTokenBudget(
           Tables.documents(s, dir).select(col("doc_id"), col("text")),
           "doc_id", score, nTok, budget = 20000L)
-          .select(col("doc_id"), col("n_tok"), col("cum_before"))
+          .select(col("doc_id"), col("n_tokens"), col("cum_before"))
       },
       Some("""WITH t AS (
         |  SELECT doc_id, regexp_split_to_array(text, '\s+') AS toks,
-        |    CAST(len(regexp_split_to_array(text, '\s+')) AS BIGINT) AS n_tok
+        |    CAST(len(regexp_split_to_array(text, '\s+')) AS BIGINT) AS n_tokens
         |  FROM documents),
         |sc AS (
-        |  SELECT doc_id, n_tok,
+        |  SELECT doc_id, n_tokens,
         |    round(len(list_filter(toks, x -> x IN ('the','a','of','and','to','in')))
-        |          / CAST(n_tok AS DOUBLE), 8) AS score
+        |          / CAST(n_tokens AS DOUBLE), 8) AS score
         |  FROM t),
         |o AS (
-        |  SELECT doc_id, n_tok,
-        |    CAST(COALESCE(SUM(n_tok) OVER (ORDER BY score, doc_id
+        |  SELECT doc_id, n_tokens,
+        |    CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY score, doc_id
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before
         |  FROM sc)
-        |SELECT doc_id, n_tok, cum_before FROM o WHERE cum_before < 20000""".stripMargin)),
+        |SELECT doc_id, n_tokens, cum_before FROM o WHERE cum_before < 20000""".stripMargin)),
 
     // Test-set decontamination: drop training docs sharing ≥10 distinct
     // 3-gram shingles with any "eval" doc (docs 0-19 stand in for a
