@@ -1,0 +1,93 @@
+package graft.pipeline
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** End-to-end CURATION pipeline over real testdata — the chain a
+  * library user actually runs, stage by stage, in the order the ops are
+  * designed to compose:
+  *
+  *   redact → scrub → quality-filter → exact-dedup → decontaminate
+  *     → token-budget select → deterministic shuffle → sequence pack
+  *
+  * Unit specs pin each operator; THIS spec pins the interfaces between
+  * them — column contracts surviving the handoffs, id-width decision
+  * relations applying back to bodies, and the whole chain being
+  * deterministic when re-run (every stage is a hash deal or an exact
+  * computation, so two runs must agree byte-for-byte). */
+class PipelineEndToEndSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def curate(): (Seq[(String, Long)], DataFrame) = {
+    val base = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select($"doc_id", $"text")
+    // plant exact duplicates at shifted ids: dedup must remove ALL of
+    // them (min-id election keeps the originals)
+    val corpus = base.unionByName(
+      base.filter($"doc_id" < 10)
+        .select(($"doc_id" + 500000L).as("doc_id"), $"text"))
+    val stages = scala.collection.mutable.ArrayBuffer[(String, Long)]()
+    def stage(name: String, df: DataFrame): DataFrame = {
+      stages += name -> df.count(); df
+    }
+    val s0 = stage("corpus", corpus)
+    // 1-2: PII redaction then scrub, composed on the text column
+    val cleaned = stage("cleaned", s0.withColumn("text",
+      TextAnalysis.scrub(
+        TextAnalysis.redactPii($"text").toMap.apply("redacted"))))
+    // 3: quality gate (lenient — the synthetic corpus is clean-ish)
+    val quality = stage("quality", TextAnalysis.qualityFilter(
+      cleaned, minTokens = 10, maxStopwordRatio = 0.9,
+      maxShortTokenRatio = 0.9).select($"doc_id", $"text", $"n_tokens"))
+    // 4: exact dedup decision (id-width) applied back with a semi-join
+    val deduped = stage("deduped", Dedup.keepCanonical(quality,
+      Dedup.exact(quality).select($"kept_id".as("doc_id"))))
+    // 5: decontaminate against an "eval set" (first 3 docs stand in)
+    val evalSet = base.filter($"doc_id" < 3)
+    val decon = stage("decontaminated",
+      Dedup.decontaminate(deduped, evalSet, shingleN = 3, minOverlap = 5))
+    // 6: token-budget selection (id-width) re-attached by semi-join
+    val budget = 2000L
+    val selection = Sampling.takeTokenBudget(
+      decon, "doc_id", $"n_tokens".cast("double"), $"n_tokens", budget)
+    val selected = stage("selected",
+      decon.join(selection.select($"doc_id", $"cum_before"), Seq("doc_id")))
+    // 7-8: shuffle order + packs over the surviving id-width projection
+    val ranked = Sampling.deterministicShuffleRank(
+      selected.select($"doc_id", $"n_tokens"), "doc_id")
+    val packed = stage("packed", Sampling.packBudget(
+      ranked, "doc_id", $"n_tokens", budget = 256, packBuckets = 4))
+    (stages.toSeq, packed.select($"doc_id", $"shuffle_rank", $"pack_id"))
+  }
+
+  test("curation chain: stages compose, shrink monotonically, and keep ids unique") {
+    val (stages, finalDf) = curate()
+    val byName = stages.toMap
+    // the chain only ever removes rows (redact/scrub rewrite in place)
+    val order = Seq("corpus", "cleaned", "quality", "deduped",
+      "decontaminated", "selected")
+    order.sliding(2).foreach { case Seq(a, b) =>
+      assert(byName(a) >= byName(b), s"$a(${byName(a)}) < $b(${byName(b)})")
+    }
+    assert(byName("packed") === byName("selected"))
+    // every planted duplicate died in dedup; the originals survived it
+    assert(byName("deduped") <= byName("quality") - 10)
+    // decontamination removed at least the eval docs themselves (exact
+    // overlap >> 5 shingles), and the budget stage made a real cut
+    assert(byName("decontaminated") < byName("deduped"))
+    assert(byName("selected") < byName("decontaminated"))
+    val rows = finalDf.collect()
+    assert(rows.map(_.getLong(0)).distinct.length === rows.length)
+    assert(rows.forall(!_.isNullAt(1)), "a surviving doc lost its rank")
+    // ranks are the 1..n permutation over the final survivors
+    assert(rows.map(_.getLong(1)).sorted.toSeq === (1L to rows.length).toSeq)
+  }
+
+  test("curation chain is deterministic end-to-end across re-runs") {
+    val a = curate()._2.as[(Long, Long, Long)].collect().toSet
+    val b = curate()._2.as[(Long, Long, Long)].collect().toSet
+    assert(a === b)
+    assert(a.nonEmpty)
+  }
+}
