@@ -29,10 +29,19 @@ import org.apache.spark.sql.functions._
   *    degeneracy (all-identical vectors make every distance tie),
   *    nothing that changes the computational shape of train/assign/
   *    search.
+  *  - `events` replica k > 0 (r10 — the events family was the one
+  *    unmeasured-at-10× surface) offsets event_ids by k·10⁸ and
+  *    user_ids by k·10⁶ over the SAME time range: scale arrives as new
+  *    users with the original per-user behavior, which is the realistic
+  *    growth direction for the windowed/sessionization/funnel/cohort
+  *    plans (their exchanges key on user_id — 10× the partitions, the
+  *    same per-partition work; calendar windows get 10× rows each).
+  *    ts/event_type/value/props stay verbatim, so per-user session and
+  *    cohort structure replicates exactly.
   *
   * Every OTHER table is symlinked from the source dir: the heavy
-  * families read only documents/embeddings, but Bench's page-cache
-  * warm-up touches the full table set.
+  * families read only documents/embeddings/events, but Bench's
+  * page-cache warm-up touches the full table set.
   *
   * Usage: `runMain graft.ScaleUp <srcSfDir> <dstDir> <factor>`.
   * The output is measurement input, NOT testdata — dstDir lives under
@@ -84,14 +93,28 @@ object ScaleUp {
     embScaled.repartition(4 * factor / 2 max 4)
       .write.mode("overwrite").parquet(s"$dst/embeddings.parquet")
 
+    // write ts as NTZ micros — the driver testdata's own physical
+    // encoding (session is UTC, so wall values are unchanged); a plain
+    // TimestampType write would come back tz-adjusted, a third encoding
+    // the oracle engine would then re-interpret through its session tz
+    val ev = Tables.events(spark, src)
+      .withColumn("ts", col("ts").cast("timestamp_ntz"))
+    val evScaled = replicas(ev, (e, k) => e.select(
+      (col("event_id") + lit(k * offset)).as("event_id"),
+      col("ts"),
+      (col("user_id") + lit(k * 1000000L)).as("user_id"),
+      col("event_type"), col("value"), col("props")))
+    evScaled.repartition(4 * factor / 2 max 4)
+      .write.mode("overwrite").parquet(s"$dst/events.parquet")
+
     Seq("region", "nation", "customer", "supplier", "part", "orders",
-      "lineitem", "events").foreach { t =>
+      "lineitem").foreach { t =>
       val link = java.nio.file.Paths.get(s"$dst/$t.parquet")
       java.nio.file.Files.deleteIfExists(link)
       java.nio.file.Files.createSymbolicLink(link,
         java.nio.file.Paths.get(s"$src/$t.parquet"))
     }
-    println(s"""{"scaled":"$dst","factor":$factor,"docs":${docsScaled.count()},"vecs":${embScaled.count()}}""")
+    println(s"""{"scaled":"$dst","factor":$factor,"docs":${docsScaled.count()},"vecs":${embScaled.count()},"events":${evScaled.count()}}""")
     spark.stop()
   }
 }
