@@ -39,9 +39,16 @@ import org.apache.spark.sql.functions._
   *    ts/event_type/value/props stay verbatim, so per-user session and
   *    cohort structure replicates exactly.
   *
-  * Every OTHER table is symlinked from the source dir: the heavy
-  * families read only documents/embeddings/events, but Bench's
-  * page-cache warm-up touches the full table set.
+  *  - `orders`/`lineitem` replicas (r10) offset o_orderkey/l_orderkey
+  *    by the same k·10⁸ (join stays closed) with every other column
+  *    verbatim: fact growth against UNCHANGED dim tables — per-day and
+  *    per-nation groups get `factor`× rows while group counts and dim
+  *    cardinalities stay fixed, which is exactly how a fact table
+  *    grows to 100 TB.
+  *
+  * The DIM tables (region/nation/customer/supplier/part) are symlinked
+  * from the source dir — fixed dims are the point, and Bench's
+  * page-cache warm-up still touches the full table set.
   *
   * Usage: `runMain graft.ScaleUp <srcSfDir> <dstDir> <factor>`.
   * The output is measurement input, NOT testdata — dstDir lives under
@@ -97,6 +104,23 @@ object ScaleUp {
     // encoding (session is UTC, so wall values are unchanged); a plain
     // TimestampType write would come back tz-adjusted, a third encoding
     // the oracle engine would then re-interpret through its session tz
+    // r10: replicate the TPC-H FACT side too (orders+lineitem, offsets
+    // aligned so the l_orderkey↔o_orderkey join stays closed) against
+    // UNCHANGED dim tables — fact growth over fixed customers/parts/
+    // suppliers/dates, i.e. the 100 TB shape for the join/agg family
+    // (q08/q31/q69 shuffle on fact keys, dims broadcast; per-day and
+    // per-nation groups get 10× rows, group COUNTS stay fixed).
+    val ord = spark.read.parquet(s"$src/orders.parquet")
+    val ordScaled = replicas(ord, (o, k) => o.withColumn(
+      "o_orderkey", col("o_orderkey") + lit(k * offset)))
+    ordScaled.repartition(4 * factor / 2 max 4)
+      .write.mode("overwrite").parquet(s"$dst/orders.parquet")
+    val li = spark.read.parquet(s"$src/lineitem.parquet")
+    val liScaled = replicas(li, (l, k) => l.withColumn(
+      "l_orderkey", col("l_orderkey") + lit(k * offset)))
+    liScaled.repartition(8 * factor / 2 max 8)
+      .write.mode("overwrite").parquet(s"$dst/lineitem.parquet")
+
     val ev = Tables.events(spark, src)
       .withColumn("ts", col("ts").cast("timestamp_ntz"))
     val evScaled = replicas(ev, (e, k) => e.select(
@@ -107,14 +131,13 @@ object ScaleUp {
     evScaled.repartition(4 * factor / 2 max 4)
       .write.mode("overwrite").parquet(s"$dst/events.parquet")
 
-    Seq("region", "nation", "customer", "supplier", "part", "orders",
-      "lineitem").foreach { t =>
+    Seq("region", "nation", "customer", "supplier", "part").foreach { t =>
       val link = java.nio.file.Paths.get(s"$dst/$t.parquet")
       java.nio.file.Files.deleteIfExists(link)
       java.nio.file.Files.createSymbolicLink(link,
         java.nio.file.Paths.get(s"$src/$t.parquet"))
     }
-    println(s"""{"scaled":"$dst","factor":$factor,"docs":${docsScaled.count()},"vecs":${embScaled.count()},"events":${evScaled.count()}}""")
+    println(s"""{"scaled":"$dst","factor":$factor,"docs":${docsScaled.count()},"vecs":${embScaled.count()},"events":${evScaled.count()},"orders":${ordScaled.count()},"lineitem":${liScaled.count()}}""")
     spark.stop()
   }
 }
