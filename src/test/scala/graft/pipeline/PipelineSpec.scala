@@ -547,6 +547,20 @@ class SamplingSpec extends SparkSpec {
     assert(e.getMessage.contains("power of two"))
   }
 
+  test("deterministicShuffleRank: a new salt re-deals the order (the " +
+      "per-epoch shuffle); the same salt reproduces it (r10)") {
+    def deal(salt: String) = Sampling
+      .deterministicShuffleRank(docs, "doc_id", salt = salt)
+      .select($"doc_id", $"shuffle_rank").as[(Long, Long)].collect().toMap
+    val e0 = deal("epoch0")
+    assert(deal("epoch0") === e0) // reproducible within a salt
+    val e1 = deal("epoch1")
+    assert(e0.keySet === e1.keySet) // same corpus, both full permutations
+    // different epochs genuinely reorder (identical orders would mean
+    // the salt never reached the hash)
+    assert(e0.count { case (id, r) => e1(id) == r } < e0.size / 2)
+  }
+
   test("takeTokenBudget: exact prefix vs a driver-side reference, " +
       "straddler kept, bucket-count invariant (r10)") {
     val scored = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
