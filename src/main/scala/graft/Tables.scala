@@ -70,9 +70,13 @@ object Tables {
   def events(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.functions.{col, expr}
     import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    // The illegal-parquet-type failure surfaces as SparkException or
+    // AnalysisException depending on which inference path trips first, so
+    // match on the NANOS message across any non-fatal throwable — the
+    // remediation hint must survive regardless of exception class.
     val raw =
       try t(s, d, "events")
-      catch { case e: org.apache.spark.SparkException
+      catch { case scala.util.control.NonFatal(e)
           if String.valueOf(e.getMessage).contains("NANOS") =>
         throw new IllegalStateException(
           s"$d/events.parquet stores TIMESTAMP(NANOS); set " +
@@ -137,7 +141,7 @@ object Tables {
     val problems = expected.flatMap { case (table, cols) =>
       val schema =
         try Right(t(s, d, table).schema)
-        catch { case e: Throwable =>
+        catch { case scala.util.control.NonFatal(e) =>
           Left(s"$table: unreadable (${e.getClass.getSimpleName}: ${e.getMessage})") }
       schema match {
         case Left(p) => Seq(p)

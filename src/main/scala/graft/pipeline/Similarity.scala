@@ -363,6 +363,79 @@ object Similarity {
     bruteForceTopK(qc, probes, k)
   }
 
+  /** Recall@k ACCURACY CONTRACT for an approximate ANN result against
+    * the exact brute-force ranking, in ONE plan (the q41 pattern —
+    * verdict r10 item 1): per probe, emit the exact k-th cosine (which
+    * the DuckDB oracle recomputes bit-exactly) plus a 1/0 `recall_ok`
+    * column, so a silent retrieval-quality collapse (bad hyperplanes,
+    * too few probes, broken quantization) flips the column and
+    * hash-FAILS the round — today's per-algorithm oracles (q32/q35/q56)
+    * check determinism of the approximation, not its quality.
+    *
+    * A "hit" is an approximate neighbor whose EXACT cosine ≥ the exact
+    * k-th similarity minus `simSlack`. Two deliberate choices:
+    *  - ≥ kth-similarity instead of top-k set membership: the exact
+    *    listing tie-breaks by neighbor id, so an approx neighbor TIED at
+    *    the boundary is a true neighbor even when the id-tiebreak left
+    *    it out of the exact top-k rows — membership recall would be
+    *    tie-fragile across data regenerations.
+    *  - the hit test uses the neighbor's exact cosine (re-attached by
+    *    id from the same scored relation), not the approximate score —
+    *    `quantizedTopK` ranks on the quantized similarity, and judging
+    *    its hits on that value would entangle the recall contract with
+    *    quantization error. `simSlack` (default 0) exists for exactly
+    *    that face: a neighbor within quantization error of the boundary
+    *    is not a recall failure.
+    *
+    * Two contract columns, both needed: `probe_ok` (per-probe hits ≥
+    * ⌈minProbeRecall·k⌉ — catches a probe-local blind spot) and
+    * `mean_ok` (Σhits ≥ minMeanRecall·k·n_probes, the same value on
+    * every row — catches a broad degradation that leaves each probe
+    * just above its floor). Floors are set from measured healthy/
+    * degraded distributions with ≥2× margin on both sides (see
+    * SimilaritySpec's degraded-config tests and the q75-q77 scaladoc).
+    *
+    * `approx` needs (`probe_id`, `neighbor_id`, `rank`) — any of
+    * [[lshTopK]]/[[ivfTopK]]/[[quantizedTopK]]'s output works. Probes
+    * with fewer than k corpus candidates drop out (no k-th similarity
+    * exists); at every registered scale the corpus is ≫ k. */
+  def recallContract(corpus: DataFrame, probes: DataFrame, approx: DataFrame,
+                     k: Int, minProbeRecall: Double, minMeanRecall: Double,
+                     simSlack: Double = 0.0): DataFrame = {
+    val p = probes.select(col("vec_id").as("probe_id"), asDouble(col("embedding")).as("pv"))
+    val c = corpus.select(col("vec_id").as("neighbor_id"), asDouble(col("embedding")).as("cv"))
+    // One exact scored relation serves both halves of the contract: the
+    // k-th similarity (window) and the approx neighbors' exact cosines
+    // (id join). Probes broadcast; the corpus never shuffles.
+    val scored = c.join(broadcast(p), col("probe_id") =!= col("neighbor_id"))
+      .select(col("probe_id"), col("neighbor_id"),
+        round(cosine(col("pv"), col("cv")), 6).as("exact_sim"))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("exact_sim").desc, col("neighbor_id"))
+    val kth = scored.withColumn("r", row_number().over(w))
+      .filter(col("r") === k)
+      .select(col("probe_id"), col("exact_sim").as("kth_sim"))
+    val minHits = math.ceil(minProbeRecall * k).toLong
+    val hits = approx.filter(col("rank") <= k)
+      .select(col("probe_id"), col("neighbor_id"))
+      .join(scored, Seq("probe_id", "neighbor_id"))
+      .join(kth, Seq("probe_id"))
+      .filter(col("exact_sim") >= col("kth_sim") - lit(simSlack))
+      .groupBy(col("probe_id")).agg(count(lit(1)).as("hits"))
+    val perProbe = kth.join(hits, Seq("probe_id"), "left")
+      .select(col("probe_id"), col("kth_sim"),
+        coalesce(col("hits"), lit(0L)).as("hits"))
+    // The aggregate floor re-attaches as a broadcast single-row relation
+    // (the TextAnalysis stats-attachment shape) — no global window.
+    val tot = perProbe.agg(sum(col("hits")).as("tot_hits"),
+      count(lit(1)).as("n_probes"))
+    perProbe.crossJoin(broadcast(tot))
+      .select(col("probe_id"), col("kth_sim"),
+        (col("hits") >= minHits).cast("long").as("probe_ok"),
+        (col("tot_hits") >= col("n_probes") * lit(k) * lit(minMeanRecall))
+          .cast("long").as("mean_ok"))
+  }
+
   /** Embedding near-dup at scale: bucket vectors on their random-
     * hyperplane signature and score cosine only WITHIN buckets — the
     * quadratic work is bounded by bucket occupancy, and exact duplicates

@@ -37,6 +37,23 @@ object PipelineQueries {
   private def cosSql(a: String, b: String): String =
     s"round(list_dot_product($a, $b) / (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b))), 6)"
 
+  /** Shared oracle for the q75-q77 recall contracts: the approximate
+    * side needs NO SQL twin — the oracle recomputes only the exact
+    * brute-force k-th cosine per probe (tie-invariant) and asserts the
+    * contract columns are all-ones; a recall collapse makes the Spark
+    * side emit 0s and the hash mismatch fails the round. */
+  private val recallOracle: String =
+    s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+      |s AS (
+      |  SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id,
+      |         ${cosSql("p.e", "c.e")} AS exact_sim
+      |  FROM v p JOIN v c ON p.vec_id < 20 AND c.vec_id <> p.vec_id),
+      |r AS (SELECT *, row_number() OVER (PARTITION BY probe_id
+      |        ORDER BY exact_sim DESC, neighbor_id) AS rk FROM s)
+      |SELECT probe_id, exact_sim AS kth_sim, CAST(1 AS BIGINT) AS probe_ok,
+      |       CAST(1 AS BIGINT) AS mean_ok
+      |FROM r WHERE rk = 10""".stripMargin
+
   /** SQL fragment: one Lloyd iteration `cents{n}` → `cents{n+1}` (mirrors
     * `Similarity.kmeansCentroids`: round-6 cosine assignment with cell
     * tiebreak, then exact decimal-summed component means rounded to 8 dp
@@ -1199,6 +1216,56 @@ object PipelineQueries {
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before
         |  FROM sc)
         |SELECT doc_id, n_tokens, cum_before FROM o WHERE cum_before < 20000""".stripMargin)),
+
+    // ANN recall@10 ACCURACY CONTRACTS (verdict r10 item 1): the
+    // per-algorithm oracles (q32/q35/q56) prove the approximation is
+    // DETERMINISTIC — a DuckDB reimplementation of the same algorithm
+    // agrees — but nothing failed if its retrieval QUALITY silently
+    // collapsed. These three rows close that: one plan computes the
+    // approximate result AND the exact brute-force ranking and emits,
+    // per probe, the exact k-th cosine (hash-anchors the row to real
+    // values DuckDB recomputes) plus 1/0 per-probe and corpus-mean
+    // recall columns; the oracle emits the same kth_sim and literal 1s,
+    // so recall dropping through a floor hash-FAILS the round. Floors
+    // sit ≥2× below measured healthy recall and ≥1.7× above measured
+    // degraded recall (RecallProbe, sf0.01+sf0.1):
+    //   lsh(b4,t8):    probe min 0.40-0.50, mean 0.70-0.78; degraded
+    //                  (t1,b16) mean 0.01 → floors 0.2 / 0.5
+    //   ivf(c16,p6,i2): probe min 0.30-0.40, mean 0.63-0.68; degraded
+    //                  (p1,i0) mean 0.22-0.24 → floors 0.1 / 0.4
+    //   quantized:     probe min 0.90, mean 0.99-1.00 at slack 0.002
+    //                  (one quantization ulp at the boundary) → 0.7/0.9
+    // SimilaritySpec proves the teeth: each face under a deliberately
+    // degraded config flips its contract columns to 0.
+    Q("q75_lsh_recall",
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        val probes = emb.filter(col("vec_id") < 20)
+        Similarity.recallContract(emb, probes,
+          Similarity.lshTopK(emb, probes, k = 10, bits = 4, tables = 8),
+          k = 10, minProbeRecall = 0.2, minMeanRecall = 0.5)
+      },
+      Some(recallOracle)),
+    Q("q76_ivf_recall",
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        val probes = emb.filter(col("vec_id") < 20)
+        Similarity.recallContract(emb, probes,
+          Similarity.ivfTopK(emb, probes, k = 10, numCells = 16,
+            nProbe = 6, trainIters = 2),
+          k = 10, minProbeRecall = 0.1, minMeanRecall = 0.4)
+      },
+      Some(recallOracle)),
+    Q("q77_quantized_recall",
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        val probes = emb.filter(col("vec_id") < 20)
+        Similarity.recallContract(emb, probes,
+          Similarity.quantizedTopK(emb, probes, k = 10),
+          k = 10, minProbeRecall = 0.7, minMeanRecall = 0.9,
+          simSlack = 0.002)
+      },
+      Some(recallOracle)),
 
     // Test-set decontamination: drop training docs sharing ≥10 distinct
     // 3-gram shingles with any "eval" doc (docs 0-19 stand in for a

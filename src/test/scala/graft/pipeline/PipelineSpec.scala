@@ -744,6 +744,47 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.9, s"quantized recall@5 $recall")
   }
 
+  test("recall contracts pass at the registered configs (q75-q77, r11)") {
+    val emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    val probes = emb.filter($"vec_id" < 20)
+    def allOk(c: org.apache.spark.sql.DataFrame): Unit = {
+      val rows = c.select($"probe_ok", $"mean_ok").as[(Long, Long)].collect()
+      assert(rows.length === 20)
+      assert(rows.forall(_ == ((1L, 1L))), s"contract rows: ${rows.toSeq}")
+    }
+    allOk(Similarity.recallContract(emb, probes,
+      Similarity.lshTopK(emb, probes, k = 10, bits = 4, tables = 8),
+      k = 10, minProbeRecall = 0.2, minMeanRecall = 0.5))
+    allOk(Similarity.recallContract(emb, probes,
+      Similarity.ivfTopK(emb, probes, k = 10, numCells = 16, nProbe = 6, trainIters = 2),
+      k = 10, minProbeRecall = 0.1, minMeanRecall = 0.4))
+    allOk(Similarity.recallContract(emb, probes,
+      Similarity.quantizedTopK(emb, probes, k = 10),
+      k = 10, minProbeRecall = 0.7, minMeanRecall = 0.9, simSlack = 0.002))
+  }
+
+  test("recall contracts have teeth: degraded configs flip the columns (r11)") {
+    // The q75-q77 rows only guard anything if a genuine quality collapse
+    // flips the 1/0 columns and breaks the oracle hash. Degrade each
+    // face the way it would really fail — LSH with one over-wide table
+    // (near-zero collision recall), IVF probing one cell of an untrained
+    // index — and assert the SAME floors the registry uses now fail.
+    val emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    val probes = emb.filter($"vec_id" < 20)
+    val lshBad = Similarity.recallContract(emb, probes,
+      Similarity.lshTopK(emb, probes, k = 10, bits = 16, tables = 1),
+      k = 10, minProbeRecall = 0.2, minMeanRecall = 0.5)
+      .select($"probe_ok", $"mean_ok").as[(Long, Long)].collect()
+    assert(lshBad.forall(_._2 == 0L), "degraded LSH must fail the mean floor")
+    assert(lshBad.count(_._1 == 0L) >= 15,
+      s"degraded LSH should fail nearly every per-probe floor: ${lshBad.toSeq}")
+    val ivfBad = Similarity.recallContract(emb, probes,
+      Similarity.ivfTopK(emb, probes, k = 10, numCells = 16, nProbe = 1, trainIters = 0),
+      k = 10, minProbeRecall = 0.1, minMeanRecall = 0.4)
+      .select($"mean_ok").as[Long].collect()
+    assert(ivfBad.forall(_ == 0L), "degraded IVF must fail the mean floor")
+  }
+
   test("IVF index composes with int8 quantization (full memory-bound stack, r4)") {
     // the 100 TB ANN deployment shape: train once on the fp corpus,
     // store the corpus quantized, search the quantized corpus through
