@@ -73,6 +73,18 @@ object ScaleUp {
 
     val offset = 100000000L // clear of every literal id bound in the registry
 
+    // The replica offsets only give disjoint id spaces if every SOURCE id
+    // sits below its offset stride — true for all driver-shipped SFs so
+    // far, but a larger SF would silently merge replicas (events would
+    // merge USERS across replicas and fake the per-user scale evidence).
+    // Guard each replicated id against its stride before writing anything.
+    def assertBelow(df: DataFrame, c: String, bound: Long, table: String): Unit = {
+      val mx = df.agg(max(col(c).cast("long"))).head.getLong(0)
+      require(mx < bound,
+        s"ScaleUp: $table.$c max $mx >= replica stride $bound — replicas would collide; " +
+          "raise the stride before scaling this corpus")
+    }
+
     def replicas(base: DataFrame, mk: (DataFrame, Int) => DataFrame): DataFrame =
       (0 until factor).map {
         case 0 => base
@@ -80,6 +92,7 @@ object ScaleUp {
       }.reduce(_.unionByName(_))
 
     val docs = spark.read.parquet(s"$src/documents.parquet")
+    assertBelow(docs, "doc_id", offset, "documents")
     val docsScaled = replicas(docs, (d, k) => d.select(
       (col("doc_id") + lit(k * offset)).as("doc_id"),
       array_join(transform(split(col("text"), "\\s+"),
@@ -92,6 +105,7 @@ object ScaleUp {
       .write.mode("overwrite").parquet(s"$dst/documents.parquet")
 
     val emb = spark.read.parquet(s"$src/embeddings.parquet")
+    assertBelow(emb, "vec_id", offset, "embeddings")
     val embScaled = replicas(emb, (e, k) => e.select(
       (col("vec_id") + lit(k * offset)).as("vec_id"),
       transform(col("embedding"),
@@ -111,11 +125,13 @@ object ScaleUp {
     // (q08/q31/q69 shuffle on fact keys, dims broadcast; per-day and
     // per-nation groups get 10× rows, group COUNTS stay fixed).
     val ord = spark.read.parquet(s"$src/orders.parquet")
+    assertBelow(ord, "o_orderkey", offset, "orders")
     val ordScaled = replicas(ord, (o, k) => o.withColumn(
       "o_orderkey", col("o_orderkey") + lit(k * offset)))
     ordScaled.repartition(4 * factor / 2 max 4)
       .write.mode("overwrite").parquet(s"$dst/orders.parquet")
     val li = spark.read.parquet(s"$src/lineitem.parquet")
+    assertBelow(li, "l_orderkey", offset, "lineitem")
     val liScaled = replicas(li, (l, k) => l.withColumn(
       "l_orderkey", col("l_orderkey") + lit(k * offset)))
     liScaled.repartition(8 * factor / 2 max 8)
@@ -123,6 +139,8 @@ object ScaleUp {
 
     val ev = Tables.events(spark, src)
       .withColumn("ts", col("ts").cast("timestamp_ntz"))
+    assertBelow(ev, "event_id", offset, "events")
+    assertBelow(ev, "user_id", 1000000L, "events")
     val evScaled = replicas(ev, (e, k) => e.select(
       (col("event_id") + lit(k * offset)).as("event_id"),
       col("ts"),

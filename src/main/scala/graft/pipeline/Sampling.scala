@@ -228,8 +228,11 @@ object Sampling {
     * all rows strictly before it is `< budget`. The straddling document
     * is KEPT (bounded overflow of one document — [[packBudget]]'s
     * convention), a zero budget keeps nothing, and rows with a null
-    * score or null tokens are EXCLUDED (a null would poison the running
-    * sum; excluding matches the null-id verdict of the hash deals).
+    * id, score, or tokens are EXCLUDED (a null score/tokens would
+    * poison the running sum; a null ID would ORDER differently across
+    * engines — Spark sorts nulls first by default, DuckDB last — so the
+    * cross-engine prefix would disagree; excluding matches the null-id
+    * verdict of the hash deals and [[deterministicShuffleRank]]).
     * Returns the ID-WIDTH selection only — (`idCol`, `n_tokens`,
     * `cum_before`) — never the payload columns: the selection is what
     * shuffles through the bucket exchange, and consumers re-attach
@@ -261,7 +264,8 @@ object Sampling {
       .select(col(idCol),
         scoreCol.cast("double").as("__score"),
         tokensCol.cast("long").as("n_tokens"))
-      .filter(col("__score").isNotNull && col("n_tokens").isNotNull))
+      .filter(col(idCol).isNotNull && col("__score").isNotNull
+        && col("n_tokens").isNotNull))
     // Driver-side model state, KB-sized: approximate score boundaries.
     // relativeError 0 would collect the column; 1e-4 keeps the sketch
     // mergeable and the buckets near-balanced for any distribution.

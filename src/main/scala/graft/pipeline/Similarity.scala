@@ -464,8 +464,16 @@ object Similarity {
 
   /** Embedding near-dup pairs: cosine ≥ threshold among all pairs
     * (doc_a < doc_b). Quadratic baseline; the LSH signature equi-join is
-    * the scale path. */
-  def cosinePairs(vectors: DataFrame, threshold: Double): DataFrame = {
+    * the scale path. Refuses corpora above `maxRows` (verdict r10 item
+    * 5): called directly on a production corpus this would build the
+    * full pair expansion — fail loudly at the gate instead; the scale
+    * path is [[cosinePairsLsh]]. */
+  def cosinePairs(vectors: DataFrame, threshold: Double,
+                  maxRows: Long = 100000L): DataFrame = {
+    val n = vectors.count()
+    require(n <= maxRows,
+      s"cosinePairs is a quadratic small-scale baseline: $n vectors > maxRows=$maxRows; " +
+        "use Similarity.cosinePairsLsh at scale or raise maxRows deliberately")
     val a = vectors.select(col("vec_id").as("id_a"), asDouble(col("embedding")).as("va"))
     val b = vectors.select(col("vec_id").as("id_b"), asDouble(col("embedding")).as("vb"))
     a.join(b, col("id_a") < col("id_b"))

@@ -67,6 +67,20 @@ class DedupSpec extends SparkSpec {
     assert(lsh === exact)
   }
 
+  test("quadratic baselines refuse corpora above maxRows (r11)") {
+    // The labeled small-scale baselines would happily cross-expand a
+    // production corpus if called directly; the guard makes them fail
+    // loudly at the gate with a pointer to the scale path.
+    val eJac = intercept[IllegalArgumentException] {
+      Dedup.allPairsJaccard(docs, 3, 0.5, maxRows = 2)
+    }
+    assert(eJac.getMessage.contains("minhashLsh"))
+    val eSim = intercept[IllegalArgumentException] {
+      Dedup.simhashPairs(Dedup.simhash(docs), maxHamming = 3, maxRows = 2)
+    }
+    assert(eSim.getMessage.contains("simhashPairsBanded"))
+  }
+
   test("banded simhash pairs equal the all-pairs baseline (pigeonhole blocking)") {
     val sigs = Dedup.simhash(docs)
     val banded = Dedup.simhashPairsBanded(sigs, maxHamming = 3)
@@ -808,6 +822,13 @@ class SimilaritySpec extends SparkSpec {
     val got = Similarity.cosinePairs(vectors, 0.999)
       .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
     assert(got === Set((0L, 3L)))
+  }
+
+  test("cosinePairs refuses corpora above maxRows (r11)") {
+    val e = intercept[IllegalArgumentException] {
+      Similarity.cosinePairs(vectors, 0.999, maxRows = 2)
+    }
+    assert(e.getMessage.contains("cosinePairsLsh"))
   }
 
   test("measured recall@5 vs brute force on real embeddings (LSH and IVF)") {
