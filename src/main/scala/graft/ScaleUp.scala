@@ -50,14 +50,43 @@ import org.apache.spark.sql.functions._
   * from the source dir — fixed dims are the point, and Bench's
   * page-cache warm-up still touches the full table set.
   *
-  * Usage: `runMain graft.ScaleUp <srcSfDir> <dstDir> <factor>`.
+  * SKEW MODE (r11 — verdict item 2: the 10× evidence was uniform, so
+  * the salted/windowed plans' skew story was untested): an optional
+  * 4th arg `skew` applies deterministic hot-key / heavy-tail mutations
+  * AFTER replication, chosen to stress exactly the exchange keys the
+  * registry's skew-sensitive plans shuffle on:
+  *
+  *  - events: every 5th event_id is reassigned to ONE hot user (~20%
+  *    of all rows in a single user_id partition) — the hot-session
+  *    shape for the q43/q68/q70 user-keyed windows;
+  *  - lineitem: every 5th orderkey's rows are reassigned to supplier 1
+  *    (~20% of the fact table under one l_suppkey) — the hot-key shape
+  *    q31's salted aggregation exists for;
+  *  - documents: Zipf-ish length tail (1% of docs ×64 tokens, next 4%
+  *    ×8 — repeating the doc's own tokens, so per-doc shingle/score
+  *    structure survives) plus a TIE CLASS for q74's score buckets:
+  *    one third of docs get their stopwords stripped, making their
+  *    stopword-ratio score EXACTLY 0.0 — a giant equal-score class
+  *    that all lands in one approx-quantile bucket (the documented
+  *    q74 residual, now measurable).
+  *
+  * The mutations are plain column expressions over the same tables, so
+  * the DuckDB oracles recompute identically — the full hash gate can
+  * (and does, see BENCH_NOTES_r11) run green ON the skewed corpus.
+  *
+  * Usage: `runMain graft.ScaleUp <srcSfDir> <dstDir> <factor> [skew]`.
   * The output is measurement input, NOT testdata — dstDir lives under
   * the (gitignored) tmp/ tree; only the evidence JSONL is committed.
   */
 object ScaleUp {
   def main(args: Array[String]): Unit = {
-    require(args.length == 3, "usage: graft.ScaleUp <srcSfDir> <dstDir> <factor>")
-    val Array(src, dst, factorS) = args
+    require(args.length == 3 || args.length == 4,
+      "usage: graft.ScaleUp <srcSfDir> <dstDir> <factor> [skew]")
+    val Array(src, dst, factorS) = args.take(3)
+    val skew = args.length == 4 && {
+      require(args(3) == "skew", s"unknown mode '${args(3)}' (only: skew)")
+      true
+    }
     val factor = factorS.toInt
     require(factor >= 2, s"factor must be >= 2, got $factor")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
@@ -99,9 +128,23 @@ object ScaleUp {
         t => concat(t, lit(s"⊕$k"))), " ").as("text"),
       col("lang"), col("source")
     ).withColumn("n_chars", length(col("text"))))
+    // Skew mutations (see scaladoc): a Zipf-ish length tail + the
+    // score-tie class, both deterministic in doc_id so oracles agree.
+    val docsOut = if (!skew) docsScaled else {
+      val b = pmod(col("doc_id"), lit(100))
+      val tie = pmod(col("doc_id"), lit(3)) === 1
+      val stripped = when(tie,
+        array_join(filter(split(col("text"), "\\s+"),
+          t => !t.isin(graft.pipeline.TextAnalysis.Stopwords: _*)), " "))
+        .otherwise(col("text"))
+      val rep = when(b === 0, lit(64)).when(b < 5, lit(8)).otherwise(lit(1))
+      docsScaled
+        .withColumn("text", array_join(array_repeat(stripped, rep), " "))
+        .withColumn("n_chars", length(col("text")))
+    }
     // file count ~ driver layout: enough splits for scan parallelism,
     // few enough that listing stays trivial
-    docsScaled.repartition(8 * factor / 2 max 8)
+    docsOut.repartition(8 * factor / 2 max 8)
       .write.mode("overwrite").parquet(s"$dst/documents.parquet")
 
     val emb = spark.read.parquet(s"$src/embeddings.parquet")
@@ -134,7 +177,13 @@ object ScaleUp {
     assertBelow(li, "l_orderkey", offset, "lineitem")
     val liScaled = replicas(li, (l, k) => l.withColumn(
       "l_orderkey", col("l_orderkey") + lit(k * offset)))
-    liScaled.repartition(8 * factor / 2 max 8)
+    // Hot supplier: ~20% of the fact table under one l_suppkey — the
+    // aggregation-key skew q31's salted path exists for. Supplier 1
+    // exists in the (unchanged) dim, so every join stays closed.
+    val liOut = if (!skew) liScaled else liScaled.withColumn("l_suppkey",
+      when(pmod(col("l_orderkey"), lit(5)) === 0, lit(1L))
+        .otherwise(col("l_suppkey")))
+    liOut.repartition(8 * factor / 2 max 8)
       .write.mode("overwrite").parquet(s"$dst/lineitem.parquet")
 
     val ev = Tables.events(spark, src)
@@ -146,7 +195,12 @@ object ScaleUp {
       col("ts"),
       (col("user_id") + lit(k * 1000000L)).as("user_id"),
       col("event_type"), col("value"), col("props")))
-    evScaled.repartition(4 * factor / 2 max 4)
+    // Hot user: every 5th event_id lands on ONE user — ~20% of all
+    // events in a single user_id window partition across replicas.
+    val evOut = if (!skew) evScaled else evScaled.withColumn("user_id",
+      when(pmod(col("event_id"), lit(5)) === 0, lit(7L))
+        .otherwise(col("user_id")))
+    evOut.repartition(4 * factor / 2 max 4)
       .write.mode("overwrite").parquet(s"$dst/events.parquet")
 
     Seq("region", "nation", "customer", "supplier", "part").foreach { t =>
@@ -155,7 +209,7 @@ object ScaleUp {
       java.nio.file.Files.createSymbolicLink(link,
         java.nio.file.Paths.get(s"$src/$t.parquet"))
     }
-    println(s"""{"scaled":"$dst","factor":$factor,"docs":${docsScaled.count()},"vecs":${embScaled.count()},"events":${evScaled.count()},"orders":${ordScaled.count()},"lineitem":${liScaled.count()}}""")
+    println(s"""{"scaled":"$dst","factor":$factor,"skew":$skew,"docs":${docsOut.count()},"vecs":${embScaled.count()},"events":${evOut.count()},"orders":${ordScaled.count()},"lineitem":${liOut.count()}}""")
     spark.stop()
   }
 }

@@ -132,6 +132,11 @@ object IncrementalBm25 {
               "postings/df/stats partials (replays must reuse the original batch id)")
         }
     }
+    // The whole per-batch chain (checkpoint materializations + the three
+    // upserts) plans without AQE — see withWritePlanning: these are
+    // batch-sized plans whose AQE stage-materialization jobs were ~24 of
+    // q71's 29 per-ingest jobs (JobProbe, r10).
+    KeyedParquetStore.withWritePlanning(spark) {
     // Consumed twice (postings + stats / postings + term partials):
     // pinned so the tokenize/aggregate runs once per batch. Measured
     // alternative (r8): deriving dl as Σtf per doc from the pinned tf —
@@ -192,6 +197,7 @@ object IncrementalBm25 {
       keys = Seq("batch"), version = Seq(lit(1)),
       partitionCols = Seq("batch"), partitionValues = Seq(Seq(batchId)),
       incomingUnique = true, schema = Some(statsSchema))
+    }
   }
 
   /** Consolidate the term/stat PARTIALS: fold every batch partition not

@@ -124,6 +124,10 @@ object IncrementalDedup {
               "the original batch id)")
         }
     }
+    // Batch-sized plans end to end: the label checkpoints + two upserts
+    // plan without AQE (see KeyedParquetStore.withWritePlanning — the
+    // per-stage materialization jobs are the ingest-path job floor).
+    KeyedParquetStore.withWritePlanning(spark) {
     val (labeled, bands, sh) = labelBatch(spark, batch, bandsPath, shinglesPath,
       numHashes, rowsPerBand, shingleN, threshold)
     val keptIds = labeled.filter(col("status") === "kept").select("doc_id")
@@ -160,6 +164,7 @@ object IncrementalDedup {
       partitionCols = Seq("batch"), partitionValues = Seq(Seq(batchId)),
       incomingUnique = true, schema = Some(bandStoreSchema))
     labeled
+    }
   }
 
   /** Label `batch` against the stored index WITHOUT mutating it — the

@@ -68,10 +68,15 @@ object IncrementalIvf {
   def buildCentroids(spark: SparkSession, corpus: DataFrame,
                      centroidsPath: String, numCells: Int = 8,
                      trainIters: Int = 2): Unit =
-    KeyedParquetStore.upsert(spark, centroidsPath,
-      Similarity.buildIvfIndex(corpus, numCells, trainIters)
-        .withColumn("iv", lit(1L)),
-      keys = Seq("cell"), version = Seq(lit(1L)), incomingUnique = true)
+    // train iterations are driver-folded KB aggregations — AQE's
+    // per-stage materialization jobs are pure overhead here (see
+    // KeyedParquetStore.withWritePlanning)
+    KeyedParquetStore.withWritePlanning(spark) {
+      KeyedParquetStore.upsert(spark, centroidsPath,
+        Similarity.buildIvfIndex(corpus, numCells, trainIters)
+          .withColumn("iv", lit(1L)),
+        keys = Seq("cell"), version = Seq(lit(1L)), incomingUnique = true)
+    }
 
   /** Assign `batch` (columns `vec_id`, `embedding`) to the stored
     * centroids and append it under `(iv=<current>, cell, batch=<batchId>)`
@@ -169,6 +174,7 @@ object IncrementalIvf {
     val assigned = KeyedParquetStore.read(spark, assignedPath,
         schema = Some(assignedSchema))
       .getOrElse(sys.error(s"no assigned-corpus store at $assignedPath"))
+    KeyedParquetStore.withWritePlanning(spark) {
     val v = versionOf(centroidsOf(spark, centroidsPath)) + 1
     // One row per vector even from a crash-skewed store (see scaladoc):
     // newest-assignment-wins collapse per id — the keyed merge is
@@ -200,6 +206,7 @@ object IncrementalIvf {
     KeyedParquetStore.replace(spark, assignedPath, reassigned,
       partitionCols = Seq("iv", "cell", "batch"))
     KeyedParquetStore.replace(spark, centroidsPath, index)
+    }
   }
 
   /** Search the incrementally-built index: the stored centroids pick the

@@ -227,8 +227,10 @@ object KeyedParquetStore {
       "each partitionValues tuple must align with partitionCols")
     val f = fs(spark, path)
     val h = acquireLock(f, new HPath(path + ".lock"), lockTtlMs)
-    try doUpsert(spark, f, path, incoming, keys, version, partitionCols,
-      partitionValues, incomingUnique, h, schema)
+    try withWritePlanning(spark) {
+      doUpsert(spark, f, path, incoming, keys, version, partitionCols,
+        partitionValues, incomingUnique, h, schema)
+    }
     finally h.release()
   }
 
@@ -377,6 +379,69 @@ object KeyedParquetStore {
     * literal would silently disable one guard while the others fire). */
   private[graft] def debugChecksOn(spark: SparkSession): Boolean =
     spark.conf.getOption("spark.graft.store.debugChecks").contains("true")
+
+  /** Run `body` with adaptive query execution OFF, restoring the
+    * caller's setting after. Store write/maintenance actions are
+    * micro-batch-sized by design, and AQE materializes every exchange in
+    * such a plan as its own scheduled job with its own re-plan and
+    * codegen pass — JobProbe (r10) attributed 24 of q71's 29 per-ingest
+    * jobs to AQE query-stage materializations inside store writes. For
+    * KB–MB plans those per-job round-trips dominate anything runtime
+    * re-planning could save, so the ingest path opts out; a deployment
+    * whose ingest batches are large enough to want AQE's skew/coalesce
+    * handling sets `spark.graft.store.aqeWrites=true` (session conf) and
+    * this wrapper becomes a no-op. Re-entrant (nested windows restore
+    * correctly). SESSION-scoped, not thread-scoped: an unrelated query
+    * planned on the same session during the window also skips AQE — it
+    * loses runtime re-planning, never correctness; the store's writer
+    * lock already serializes the writers themselves. */
+  /** Per-session depth counter for [[withWritePlanning]]: the conf keys
+    * are SESSION state, so overlapping windows from two writer threads
+    * (different stores — same-store writers are already lock-serialized)
+    * must save once at the outermost entry and restore once at the last
+    * exit, or the second-to-exit would re-"restore" the first window's
+    * in-window values and leave the session planning without AQE forever.
+    * Weak keys: an entry must not outlive its session. */
+  private case class PlanningState(var depth: Int,
+                                   var saved: Seq[(String, Option[String])])
+  private val planningStates = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession, PlanningState]())
+
+  private[graft] def withWritePlanning[T](spark: SparkSession)(body: => T): T =
+    if (spark.conf.getOption("spark.graft.store.aqeWrites").contains("true")) body
+    else {
+      // AQE-off ALONE is measured slower here (r11): it drops the
+      // per-stage jobs but loses partition coalescing, so every KB-sized
+      // shuffle reads back at the session's full partition count and the
+      // store files multiply. The pair below is what wins: no AQE stage
+      // jobs AND statically write-sized shuffles. `writePartitions`
+      // (default 1) sizes the ingest-path shuffles — micro-batches are
+      // KB–MB by this module's contract; a deployment feeding larger
+      // batches raises it (or re-enables aqeWrites); bulk BACKFILLS
+      // belong on the one-shot builders, which keep full parallelism.
+      // Measured (r11, q49+q71+q72 at the bench config): 12.5 s → 10.4 s,
+      // jobs 47/29/44 → 26/21/30; AQE-off without the partition pin was
+      // SLOWER than stock (16.8 s) — both halves are load-bearing.
+      val keys = Seq("spark.sql.adaptive.enabled" -> "false",
+        "spark.sql.shuffle.partitions" ->
+          spark.conf.getOption("spark.graft.store.writePartitions").getOrElse("1"))
+      val st = planningStates.computeIfAbsent(spark, _ => PlanningState(0, Nil))
+      st.synchronized {
+        if (st.depth == 0) {
+          st.saved = keys.map { case (k, _) => k -> spark.conf.getOption(k) }
+          keys.foreach { case (k, v) => spark.conf.set(k, v) }
+        }
+        st.depth += 1
+      }
+      try body
+      finally st.synchronized {
+        st.depth -= 1
+        if (st.depth == 0) st.saved.foreach {
+          case (k, Some(v)) => spark.conf.set(k, v)
+          case (k, None) => spark.conf.unset(k)
+        }
+      }
+    }
 
   private def verifyVouches(incoming: DataFrame, keys: Seq[String],
                             partitionCols: Seq[String],
@@ -581,7 +646,7 @@ object KeyedParquetStore {
     require(targetFiles >= 1, "targetFiles must be >= 1")
     val f = fs(spark, path)
     val h = acquireLock(f, new HPath(path + ".lock"), lockTtlMs)
-    try {
+    try withWritePlanning(spark) {
       heal(f, path)
       if (!f.exists(new HPath(path))) 0
       else {
@@ -631,7 +696,7 @@ object KeyedParquetStore {
               lockTtlMs: Long = 10L * 60 * 1000): Unit = {
     val f = fs(spark, path)
     val h = acquireLock(f, new HPath(path + ".lock"), lockTtlMs)
-    try {
+    try withWritePlanning(spark) {
       heal(f, path)
       val staging = path + ".staging"
       f.delete(new HPath(staging), true)

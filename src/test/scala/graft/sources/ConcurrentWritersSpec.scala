@@ -1,0 +1,96 @@
+package graft.sources
+
+import graft.SparkSpec
+import graft.pipeline.IncrementalDedup
+import java.nio.file.Files
+import java.util.concurrent.CyclicBarrier
+
+/** Concurrent-writer LIVENESS (r10 verdict item 6): SourcesSpec pins the
+  * lock's fail-fast and stale-takeover behavior, but nothing ran two
+  * LIVE writers to completion. Here two threads ingest disjoint batches
+  * into the SAME dedup index concurrently, retrying on the lock's
+  * fail-fast — the documented client pattern for a contended store —
+  * and the assertion is threefold: both writers commit every batch
+  * (liveness: no deadlock, no lost writer), the final store equals the
+  * serial ingest's row-for-row (the interleaving lost no work), and the
+  * session conf is restored after the overlapping withWritePlanning
+  * windows (the refcounted save/restore — a plain save/restore pair
+  * would leave the session planning without AQE when windows overlap).
+  */
+class ConcurrentWritersSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Retry `body` through lock fail-fasts; returns the retry count. */
+  private def retrying(body: => Unit): Int = {
+    var retries = 0
+    var backoff = 25L
+    while (true) {
+      try { body; return retries }
+      catch {
+        case e: IllegalStateException
+            if e.getMessage.contains("concurrent upsert") =>
+          retries += 1
+          Thread.sleep(backoff)
+          backoff = math.min(backoff * 2, 400L)
+      }
+    }
+    retries // unreachable
+  }
+
+  test("two live ingestBatch writers on one store both commit; " +
+    "store equals the serial result; session conf restored") {
+    val base = Files.createTempDirectory("conc_writers").toString
+    val (bP, shP) = (s"$base/bands", s"$base/shingles")
+
+    // Disjoint, mutually non-duplicate content: the final index is then
+    // independent of interleaving order, so "equals serial" is exact.
+    val idBase = Map("wa" -> 100000L, "wb" -> 200000L)
+    def batchOf(writer: String, i: Int) = Seq(
+      (idBase(writer) + i * 10 + 1,
+        s"$writer batch $i first document about ${writer}x$i topics alpha"),
+      (idBase(writer) + i * 10 + 2,
+        s"$writer batch $i second document covering ${writer}y$i subject beta")
+    ).toDF("doc_id", "text")
+
+    val n = 3
+    val barrier = new CyclicBarrier(2)
+    val errors = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val retried = new java.util.concurrent.atomic.AtomicInteger(0)
+    def writer(name: String): Thread = {
+      val t = new Thread(() =>
+        try {
+          barrier.await() // maximize overlap
+          (0 until n).foreach { i =>
+            retried.addAndGet(retrying {
+              IncrementalDedup.ingestBatch(spark, batchOf(name, i),
+                s"$name$i", bP, shP)
+              ()
+            })
+            ()
+          }
+        } catch { case e: Throwable => errors.add(e); () })
+      t.setDaemon(true); t.start(); t
+    }
+    val (wa, wb) = (writer("wa"), writer("wb"))
+    wa.join(120000); wb.join(120000)
+    assert(!wa.isAlive && !wb.isAlive, "a writer failed to terminate (liveness)")
+    assert(errors.isEmpty, s"writer threw: ${Option(errors.peek()).map(_.toString)}")
+
+    // Serial reference: the same six batches, one writer, fresh store.
+    val (bS, shS) = (s"$base/bands_serial", s"$base/shingles_serial")
+    for (name <- Seq("wa", "wb"); i <- 0 until n)
+      IncrementalDedup.ingestBatch(spark, batchOf(name, i), s"$name$i", bS, shS)
+
+    def rows(p: String, cols: Seq[String]) = KeyedParquetStore.read(spark, p).get
+      .select(cols.head, cols.tail: _*).collect().map(_.toSeq).toSet
+    val bandCols = Seq("doc_id", "band", "sig", "batch")
+    val shCols = Seq("doc_id", "h", "batch")
+    assert(rows(bP, bandCols) === rows(bS, bandCols))
+    assert(rows(shP, shCols) === rows(shS, shCols))
+
+    // The overlapping write-planning windows restored the session conf
+    // (refcounted restore: last window out puts the original back).
+    assert(spark.conf.get("spark.sql.adaptive.enabled", "true") !== "false")
+    assert(spark.conf.get("spark.sql.shuffle.partitions") === "4")
+  }
+}
