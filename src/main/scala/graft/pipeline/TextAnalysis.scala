@@ -528,10 +528,17 @@ object TextAnalysis {
     * well-formed. Pure codegen'd per-row compute — no shuffle. */
   def segments(text: Column, segTokens: Int): Column = {
     require(segTokens > 0, "need segTokens > 0")
-    val t = tokens(text)
-    transform(
-      sequence(lit(0), (ceil(size(t).cast("double") / segTokens)).cast("int") - 1),
-      i => array_join(slice(t, i * segTokens + 1, lit(segTokens)), " "))
+    // The token array is bound ONCE per row via the one-element-transform
+    // binding (Similarity.bindOnce's idiom): naming `tokens(text)` inside
+    // the per-segment lambda inlines the whole split per SEGMENT, making
+    // segmentation O(n²/segTokens) in doc length. Invisible on uniform
+    // corpora (docs ~65 tokens); on the r11 skewed corpus's Zipf length
+    // tail (1% of docs ×64 tokens) it blew q66 up 5.7 s → 153 s at sf1 —
+    // this binding returns it to linear.
+    element_at(transform(array(tokens(text)), t =>
+      transform(
+        sequence(lit(0), (ceil(size(t).cast("double") / segTokens)).cast("int") - 1),
+        i => array_join(slice(t, i * segTokens + 1, lit(segTokens)), " "))), 1)
   }
 
   /** Rolling-hash document fingerprint: min / max / count over the shingle
