@@ -244,16 +244,45 @@ object Sampling {
     * Scale shape: score buckets come from `approx_quantile` boundaries
     * (driver-side KBs) — APPROXIMATE boundaries only affect bucket
     * BALANCE, never the result, because the cross-bucket prefix is
-    * exact; equal scores always land in one bucket (boundary compare is
-    * on score alone), so heavy score ties cost skew, not correctness.
-    * At 100 TB: two narrow passes (score+tokens columns), one bucket
-    * exchange, driver holds `scoreBuckets` doubles. */
+    * exact. Equal scores can never be separated by a score boundary, so
+    * a heavy TIE class (a constant-score corpus third, the r11 skew
+    * corpus' measured residual) would land in ONE bucket and serialize
+    * its sort on one task. Tie classes bigger than ~2× the balanced
+    * bucket size are therefore SPLIT into up to `tieSubBuckets` id-range
+    * sub-cells (boundaries from per-class `percentile_approx` over the
+    * id — exact, because within a tie the order IS id ASC, so id-range
+    * cells are monotone in the (score, id) order by construction; the
+    * same balance-not-arithmetic argument applies to the approximate id
+    * boundaries). Detection costs one narrow (score, count) aggregation
+    * over the pinned projection; `tieSubBuckets = 1` disables it (and
+    * non-numeric ids skip it — there is no quantile space to cut).
+    * At 100 TB: three narrow passes (score+tokens columns), one bucket
+    * exchange, driver holds `scoreBuckets` doubles plus at most
+    * `scoreBuckets/2 × tieSubBuckets` tie boundaries. */
   def takeTokenBudget(df: DataFrame, idCol: String, scoreCol: Column,
                       tokensCol: Column, budget: Long,
-                      scoreBuckets: Int = 64): DataFrame = {
+                      scoreBuckets: Int = 64,
+                      tieSubBuckets: Int = 16): DataFrame = {
     require(budget >= 0, s"budget must be non-negative: $budget")
+    val cells = budgetCells(df, idCol, scoreCol, tokensCol,
+      scoreBuckets, tieSubBuckets)
+    finishBudget(cells, idCol, budget)
+  }
+
+  /** The cell-assignment stage of [[takeTokenBudget]], exposed so specs
+    * can assert the tie-split actually splits (the output drops the
+    * internal columns, so skew immunity would otherwise be
+    * unfalsifiable): returns the pinned narrow projection with `__score`,
+    * `n_tokens`, and the cell key (`__qb`, `__sub`). Concatenating cells
+    * in (`__qb`, `__sub`) order yields exactly the (score, id) order. */
+  private[graft] def budgetCells(df: DataFrame, idCol: String,
+                                 scoreCol: Column, tokensCol: Column,
+                                 scoreBuckets: Int,
+                                 tieSubBuckets: Int): DataFrame = {
     require(scoreBuckets > 0 && scoreBuckets <= 4096,
       s"scoreBuckets must be in [1, 4096]: $scoreBuckets")
+    require(tieSubBuckets > 0 && tieSubBuckets <= 4096,
+      s"tieSubBuckets must be in [1, 4096]: $tieSubBuckets")
     // Pin the narrow (id, score, tokens) projection ONCE: the quantile
     // sketch, the per-bucket sums, and the final ranked output each
     // consume it, and score/tokens are typically derived from the full
@@ -273,25 +302,93 @@ object Sampling {
     val bounds =
       if (probes.isEmpty) Array.empty[Double] // 1 bucket: no boundaries
       else typed.stat.approxQuantile("__score", probes, 1e-4).distinct.sorted
-    val bucketExpr = bounds.zipWithIndex.foldRight(lit(bounds.length): Column) {
-      case ((b, i), rest) => when(col("__score") <= b, lit(i)).otherwise(rest)
+    // Heavy score-TIE classes: a score boundary can never separate equal
+    // scores, so classes above ~2× the balanced bucket size get id-range
+    // sub-cells. scoreBuckets = 1 is the sanctioned naive reference plan
+    // (threshold 2·total — never triggers), so the 1-bucket ≡ N-bucket
+    // spec keeps comparing against the genuinely naive single window.
+    val idNumeric = typed.schema(idCol).dataType
+      .isInstanceOf[org.apache.spark.sql.types.NumericType]
+    val ties: Seq[(Double, Seq[Any])] =
+      if (tieSubBuckets <= 1 || scoreBuckets <= 1 || !idNumeric) Nil
+      else {
+        val total = typed.count()
+        val thr = math.max(2L * total / scoreBuckets, tieSubBuckets.toLong)
+        val hs = typed.groupBy(col("__score")).agg(count(lit(1)).as("__n"))
+          .filter(col("__n") > thr)
+          .select(col("__score")).collect().map(_.getDouble(0))
+        if (hs.isEmpty) Nil
+        else {
+          val subProbes = (1 until tieSubBuckets).map(_.toDouble / tieSubBuckets)
+          typed.filter(col("__score").isin(hs.toSeq: _*))
+            .groupBy(col("__score"))
+            .agg(percentile_approx(col(idCol),
+              typedLit(subProbes), lit(10000)).as("__qs"))
+            .collect()
+            .map(r => r.getDouble(0) ->
+              r.getSeq[Any](1).filter(_ != null).distinct)
+            .toSeq.sortBy(_._1)
+        }
+      }
+    // Merge quantile bounds and tie values into one ascending cut list;
+    // a tie value that is also a quantile bound keeps only the tie form
+    // (its `< v` / `== v` pair covers the plain `<= v`). Cell indices
+    // count up in score order: each cut owns the range BELOW it, a tie
+    // cut additionally owns its equality cell, the final otherwise is
+    // the top range — so (cell, sub) order IS (score, id) order.
+    val tieMap = ties.toMap
+    val cuts: Seq[(Double, Option[Seq[Any]])] =
+      (bounds.toSet ++ ties.map(_._1)).toSeq.sorted.map(v => v -> tieMap.get(v))
+    var nextIdx = 0
+    val indexed = cuts.map { case (v, subs) =>
+      val below = nextIdx; nextIdx += 1
+      val eq = subs.map { s => val i = nextIdx; nextIdx += 1; (i, s) }
+      (v, below, eq)
     }
-    val bucketed = typed.withColumn("__qb", bucketExpr)
-    val sums = bucketed.groupBy(col("__qb")).agg(sum(col("n_tokens")).as("t"))
-      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
-    val offsets = sums.map(_._1)
-      .zip(sums.scanLeft(0L)(_ + _._2).dropRight(1))
-    val spark = df.sparkSession
+    val cellExpr = indexed.foldRight(lit(nextIdx): Column) {
+      case ((v, below, None), rest) =>
+        when(col("__score") <= v, lit(below)).otherwise(rest)
+      case ((v, below, Some((eqIdx, _))), rest) =>
+        when(col("__score") < v, lit(below))
+          .when(col("__score") === v, lit(eqIdx)).otherwise(rest)
+    }
+    def subBucket(subs: Seq[Any]): Column =
+      subs.zipWithIndex.foldRight(lit(subs.length): Column) {
+        case ((q, i), rest) => when(col(idCol) <= lit(q), lit(i)).otherwise(rest)
+      }
+    val subExpr = indexed
+      .collect { case (v, _, Some((_, subs))) if subs.nonEmpty => (v, subs) }
+      .foldRight(lit(0): Column) { case ((v, subs), rest) =>
+        when(col("__score") === v, subBucket(subs)).otherwise(rest)
+      }
+    typed.withColumn("__qb", cellExpr).withColumn("__sub", subExpr)
+  }
+
+  /** Prefix-offset + window finish of [[takeTokenBudget]] over the
+    * [[budgetCells]] output. */
+  private def finishBudget(bucketed: DataFrame, idCol: String,
+                           budget: Long): DataFrame = {
+    require(budget >= 0, s"budget must be non-negative: $budget")
+    val sums = bucketed.groupBy(col("__qb"), col("__sub"))
+      .agg(sum(col("n_tokens")).as("t"))
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2)))
+      .sortBy(t => (t._1, t._2))
+    val offsets = sums.map(t => (t._1, t._2))
+      .zip(sums.scanLeft(0L)(_ + _._3).dropRight(1))
+      .map { case ((qb, sub), off) => (qb, sub, off) }
+    val spark = bucketed.sparkSession
     import spark.implicits._
-    val offsetRel = broadcast(offsets.toSeq.toDF("__qb_o", "__off"))
+    val offsetRel = broadcast(offsets.toSeq.toDF("__qb_o", "__sub_o", "__off"))
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("__qb")).orderBy(col("__score"), col(idCol))
+      .partitionBy(col("__qb"), col("__sub"))
+      .orderBy(col("__score"), col(idCol))
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
-    bucketed.join(offsetRel, col("__qb") === col("__qb_o"), "left")
+    bucketed.join(offsetRel,
+        col("__qb") === col("__qb_o") && col("__sub") === col("__sub_o"), "left")
       .withColumn("cum_before",
         (coalesce(col("__off"), lit(0L))
           + coalesce(sum(col("n_tokens")).over(w), lit(0L))).cast("long"))
       .filter(col("cum_before") < budget)
-      .drop("__score", "__qb", "__qb_o", "__off")
+      .drop("__score", "__qb", "__sub", "__qb_o", "__sub_o", "__off")
   }
 }

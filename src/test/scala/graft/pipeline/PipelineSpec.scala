@@ -614,6 +614,50 @@ class SamplingSpec extends SparkSpec {
       $"n_tokens", 100L).select($"doc_id").as[Long].collect().toSeq
     assert(kept === Seq(1L))
   }
+
+  test("takeTokenBudget: heavy score-tie classes split into id-range " +
+      "sub-cells — same rows, no single-cell pileup (r11)") {
+    // A constant-score corpus is the worst case for score-quantile
+    // bucketing: every row is one tie class, so without the tie-split
+    // the whole corpus sorts in ONE window partition.
+    val n = 8000
+    val scored = spark.range(n.toLong)
+      .select($"id".as("doc_id"), lit(0.0).as("score"),
+        (($"id" % 7) + 1).cast("long").as("n_tokens"))
+    val got = Sampling.takeTokenBudget(scored, "doc_id", $"score",
+      $"n_tokens", budget = 9000L, scoreBuckets = 8, tieSubBuckets = 16)
+      .select($"doc_id", $"cum_before").as[(Long, Long)].collect().toMap
+    // exact: ties order by id, so the kept prefix is ids 0.. with the
+    // running (id % 7) + 1 total — compare against the naive plan
+    val ref = Sampling.takeTokenBudget(scored, "doc_id", $"score",
+      $"n_tokens", budget = 9000L, scoreBuckets = 1)
+      .select($"doc_id", $"cum_before").as[(Long, Long)].collect().toMap
+    assert(got === ref)
+    assert(got.nonEmpty && got.size < n)
+    // the split actually SPLITS: the tie class lands in many (cell, sub)
+    // partitions, near-balanced (ids are dense, so quantile cuts are tight)
+    val cells = Sampling.budgetCells(scored, "doc_id", $"score",
+      $"n_tokens", scoreBuckets = 8, tieSubBuckets = 16)
+      .groupBy($"__qb", $"__sub").count().as[(Int, Int, Long)].collect()
+    assert(cells.length >= 8, s"tie class did not split: ${cells.toSeq}")
+    assert(cells.map(_._3).max <= 2L * n / cells.length,
+      s"sub-cells unbalanced: ${cells.toSeq}")
+    // tieSubBuckets = 1 disables the split (the documented escape hatch):
+    // one cell holds everything, and the result is still identical
+    val off = Sampling.budgetCells(scored, "doc_id", $"score",
+      $"n_tokens", scoreBuckets = 8, tieSubBuckets = 1)
+      .groupBy($"__qb", $"__sub").count().as[(Int, Int, Long)].collect()
+    assert(off.length === 1 && off.head._3 === n.toLong)
+    // non-numeric ids skip the split (no quantile space to cut) but keep
+    // the exact arithmetic — order within the tie is STRING order
+    val strIds = spark.range(200L)
+      .select(format_string("d%03d", $"id").as("doc_id"),
+        lit(0.0).as("score"), lit(3L).as("n_tokens"))
+    val gotStr = Sampling.takeTokenBudget(strIds, "doc_id", $"score",
+      $"n_tokens", budget = 90L, scoreBuckets = 4, tieSubBuckets = 16)
+      .select($"doc_id").as[String].collect().sorted.toSeq
+    assert(gotStr === (0 until 30).map(i => f"d$i%03d"))
+  }
 }
 
 class SimilaritySpec extends SparkSpec {

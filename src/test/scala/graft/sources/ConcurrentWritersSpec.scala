@@ -20,18 +20,24 @@ import java.util.concurrent.CyclicBarrier
 class ConcurrentWritersSpec extends SparkSpec {
   import spark.implicits._
 
-  /** Retry `body` through lock fail-fasts; returns the retry count. */
+  /** Retry `body` through lock fail-fasts; returns the retry count.
+    * The backoff is JITTERED (deterministic seed per thread): a
+    * fail-fast costs a full recompute, so two writers with equal fixed
+    * backoffs can stay phase-locked — colliding attempt after attempt —
+    * for many rounds when ambient load stretches each attempt (the r11
+    * full-suite flake). Jitter decorrelates the phases. */
   private def retrying(body: => Unit): Int = {
+    val rnd = new scala.util.Random(Thread.currentThread().getId)
     var retries = 0
-    var backoff = 25L
+    var backoff = 50L
     while (true) {
       try { body; return retries }
       catch {
         case e: IllegalStateException
             if e.getMessage.contains("concurrent upsert") =>
           retries += 1
-          Thread.sleep(backoff)
-          backoff = math.min(backoff * 2, 400L)
+          Thread.sleep(backoff / 2 + rnd.nextLong(backoff))
+          backoff = math.min(backoff * 2, 3200L)
       }
     }
     retries // unreachable
@@ -72,7 +78,12 @@ class ConcurrentWritersSpec extends SparkSpec {
       t.setDaemon(true); t.start(); t
     }
     val (wa, wb) = (writer("wa"), writer("wb"))
-    wa.join(120000); wb.join(120000)
+    // The bound proves TERMINATION, not speed: ingest attempts share
+    // local[4] with whatever suite runs alongside, and every fail-fast
+    // recomputes the batch, so the happy 25 s case stretches past 120 s
+    // under full-suite load (the r11 flake). Generous ≠ vacuous — a
+    // genuine deadlock still fails, at the suite's own timeout scale.
+    wa.join(600000); wb.join(600000)
     assert(!wa.isAlive && !wb.isAlive, "a writer failed to terminate (liveness)")
     assert(errors.isEmpty, s"writer threw: ${Option(errors.peek()).map(_.toString)}")
 
