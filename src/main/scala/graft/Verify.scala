@@ -36,8 +36,16 @@ object Verify {
         s"failures in queries touching these columns:\n${e.getMessage}")
     }
     new java.io.File(outDir).mkdirs()
+    // repartition(1), NOT coalesce(1): coalesce is a narrow dependency,
+    // so it propagates the 1-partition constraint INTO the final
+    // computation stage — a query ending in a sort-merge join or global
+    // window then executes single-threaded over the whole input
+    // (measured: one sf10 dump task spilling a single-threaded SMJ for
+    // 20+ minutes). repartition inserts an exchange after the result is
+    // computed at full parallelism; only the KB-to-MB result rows cross
+    // it to form the single output file check.py expects.
     SparkEntry.queries.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+      try fn(spark, sfDir).repartition(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
