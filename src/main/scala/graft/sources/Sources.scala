@@ -308,11 +308,45 @@ object KeyedParquetStore {
           "owns the store now")
   }
 
-  private[sources] def acquireLock(f: FileSystem, lock: HPath,
+  /** Lock-file I/O goes through the RAW filesystem, never a checksum
+    * wrapper: the local `FileSystem` is a [[ChecksumFileSystem]], and a
+    * `.lock.crc` sidecar turns a creation race into a PERMANENT orphan —
+    * two racing creators both pass the non-atomic exists check, the
+    * second open truncates the first's token, and the data/crc pair ends
+    * up desynced, so every subsequent `readToken` throws
+    * ChecksumException: the owner can't refresh or release, contenders
+    * see a fresh mtime, and the store livelocks until the full ttl
+    * (measured: ConcurrentWritersSpec held both writers in fail-fast
+    * retries for 10 minutes). Checksums protect data files; a 36-byte
+    * advisory token needs atomicity, not integrity sidecars. */
+  private def lockFs(f: FileSystem): FileSystem = f match {
+    case c: org.apache.hadoop.fs.ChecksumFileSystem => c.getRawFileSystem
+    case other => other
+  }
+
+  private[sources] def acquireLock(f0: FileSystem, lock: HPath,
                                    ttlMs: Long): LockHandle = {
+    val f = lockFs(f0)
     val token = java.util.UUID.randomUUID().toString
     def create(): Boolean =
-      try {
+      if (f.getUri.getScheme == "file") {
+        // POSIX O_EXCL (`createNewFile`) is the only ATOMIC
+        // create-if-absent the local filesystem offers: Hadoop's local
+        // `create(path, overwrite = false)` is check-then-open, so two
+        // racing writers both pass the check and the second open
+        // TRUNCATES the first's token mid-acquisition — after which the
+        // on-disk token matches NEITHER contender, both fail fast, and
+        // the ownerless lock stands until the ttl. With O_EXCL exactly
+        // one contender ever opens the file, so `create() == true`
+        // implies the token on disk is ours alone. (HDFS needs no such
+        // branch: its create is atomic at the namenode.)
+        val file = new java.io.File(f.makeQualified(lock).toUri.getPath)
+        try file.createNewFile() && {
+          java.nio.file.Files.write(file.toPath,
+            token.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          true
+        } catch { case _: java.io.IOException => false }
+      } else try {
         val out = f.create(lock, false)
         out.write(token.getBytes(java.nio.charset.StandardCharsets.UTF_8))
         out.close()
