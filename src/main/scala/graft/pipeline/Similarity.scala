@@ -436,24 +436,55 @@ object Similarity {
           .cast("long").as("mean_ok"))
   }
 
-  /** Embedding near-dup at scale: bucket vectors on their random-
-    * hyperplane signature and score cosine only WITHIN buckets — the
-    * quadratic work is bounded by bucket occupancy, and exact duplicates
-    * always share a signature (recall 1.0 for them; near-dups can lose a
-    * sign bit — the bits/recall trade-off measured in SimilaritySpec).
-    * The bucket self-join exchanges ONLY (sig, id) — id-width rows, never
-    * the dim-wide vectors (the same shape as [[Dedup.minhashLsh]]'s band
-    * join and [[lshTopK]]'s candidate step); vectors re-attach to the
-    * surviving candidate pairs by id afterwards. Nothing quadratic
-    * materializes. The scale path for [[cosinePairs]]. */
-  def cosinePairsLsh(vectors: DataFrame, threshold: Double, bits: Int = 8,
-                     dim: Int = 64): DataFrame = {
+  /** Embedding near-dup at scale: bucket vectors on random-hyperplane
+    * signatures in `tables` INDEPENDENT tables of `bits` sign bits each
+    * (planes seeded `t*bits .. t*bits+bits-1`, the [[lshSignatures]]
+    * family) and score cosine only within buckets — a pair is a
+    * candidate iff it collides in ANY table (OR-of-ANDs, the
+    * [[Dedup.minhashLsh]] / [[lshTopK]] shape). Exact duplicates always
+    * collide in every table (recall 1.0 for them); for near-dups each
+    * extra bit sharpens buckets and each extra table recovers recall
+    * (p = 1-(1-m^bits)^tables for per-bit match rate m — measured in
+    * PipelineSpec).
+    *
+    * SIZING RULE (the 100 TB knob, same spirit as the q73 bucket rule):
+    * expected bucket occupancy is n/2^bits PER TABLE, and within-bucket
+    * work is occupancy-quadratic, so `bits` must grow with the corpus —
+    * bits ≈ log2(n / targetOccupancy) (e.g. n=10⁹, occupancy≈16 →
+    * bits≈26), then spend tables to buy recall back. A FIXED `bits` at
+    * growing n is quadratic in disguise: the original single 8-bit-table
+    * face put 400k vectors into 256 buckets at sf10 — ~300M candidate
+    * pairs, each carrying two dim-wide vectors into the confirm join,
+    * which spilled until the disk filled and wedged the run. The
+    * `maxCandidatePairs` guard turns exactly that mistake into a loud
+    * refusal: one id-width aggregation estimates Σ c·(c-1)/2 over
+    * buckets BEFORE any pair materializes (cost: one extra tiny job,
+    * nothing vector-wide).
+    *
+    * The bucket self-join still exchanges ONLY (t, sig, id) — id-width
+    * rows, never the dim-wide vectors; candidate pairs are dedup'd
+    * across tables, then vectors re-attach by id for the exact-cosine
+    * confirm. The scale path for [[cosinePairs]]. */
+  def cosinePairsLsh(vectors: DataFrame, threshold: Double, bits: Int = 16,
+                     tables: Int = 4, dim: Int = 64,
+                     maxCandidatePairs: Long = 50000000L): DataFrame = {
     val v = vectors.select(col("vec_id"), asDouble(col("embedding")).as("e"))
-    val sigs = v.select(col("vec_id"), rhpSignature(col("e"), bits, dim).as("sig"))
-    val cands = sigs.select(col("sig"), col("vec_id").as("id_a"))
-      .join(sigs.select(col("sig"), col("vec_id").as("id_b")), Seq("sig"))
+    val sigs = v
+      .withColumn("ts", explode(lshSignatures(col("e"), bits, tables, dim)))
+      .select(col("ts.t").as("t"), col("ts.sig").as("sig"), col("vec_id"))
+    val est = sigs.groupBy("t", "sig").agg(count(lit(1)).as("c"))
+      .agg(coalesce(sum((col("c") * (col("c") - 1) / 2).cast("long")), lit(0L)))
+      .head.getLong(0)
+    require(est <= maxCandidatePairs,
+      s"cosinePairsLsh: ~$est within-bucket candidate pairs exceed " +
+        s"maxCandidatePairs=$maxCandidatePairs — $bits bits is too coarse for this " +
+        "corpus (occupancy is n/2^bits per table and pair work is occupancy-" +
+        "quadratic); raise bits toward log2(n/targetOccupancy) and add tables " +
+        "to recover recall, or raise maxCandidatePairs deliberately")
+    val cands = sigs.select(col("t"), col("sig"), col("vec_id").as("id_a"))
+      .join(sigs.select(col("t"), col("sig"), col("vec_id").as("id_b")), Seq("t", "sig"))
       .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b")
+      .select("id_a", "id_b").distinct()
     cands
       .join(v.select(col("vec_id").as("id_a"), col("e").as("va")), Seq("id_a"))
       .join(v.select(col("vec_id").as("id_b"), col("e").as("vb")), Seq("id_b"))

@@ -623,30 +623,39 @@ object PipelineQueries {
     Q("q36_embed_dedup_lsh",
       (s, dir) => {
         val v = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+        // 4 tables × 16 bits (not one 8-bit table): at the 10× corpus a
+        // single 8-bit table is 256 buckets forever — ~300M candidate
+        // pairs that fill the disk in the confirm join. See the sizing
+        // rule on Similarity.cosinePairsLsh.
         Similarity.cosinePairsLsh(
           v.unionByName(v.select((col("vec_id") + 100000).as("vec_id"), col("embedding"))),
-          threshold = 0.99, bits = 8, dim = 64)
+          threshold = 0.99, bits = 16, tables = 4, dim = 64)
       },
+      // Plane pid = t*16+b mirrors lshSignatures' seeding (t*bits+b).
       Some(s"""WITH base AS (
         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
         |v AS (SELECT vec_id, e FROM base
         |      UNION ALL SELECT vec_id + 100000 AS vec_id, e FROM base),
         |planes AS (
-        |  SELECT b, list_transform(range(0, 64), i ->
-        |    (CAST(('0x' || substr(md5(CAST(b AS VARCHAR) || '_' || CAST(i AS VARCHAR)), 1, 15)) AS BIGINT)
+        |  SELECT CAST(pid // 16 AS INT) AS t, CAST(pid % 16 AS INT) AS b,
+        |         list_transform(range(0, 64), i ->
+        |    (CAST(('0x' || substr(md5(CAST(pid AS VARCHAR) || '_' || CAST(i AS VARCHAR)), 1, 15)) AS BIGINT)
         |     % 1000000) / 1000000.0 - 0.5) AS w
-        |  FROM range(0, 8) t(b)),
+        |  FROM range(0, 64) t(pid)),
         |sig AS (
-        |  SELECT v.vec_id,
+        |  SELECT v.vec_id, p.t,
         |         CAST(SUM(CASE WHEN list_dot_product(v.e, p.w) > 0
         |              THEN (CAST(1 AS BIGINT) << CAST(p.b AS INT)) ELSE 0 END) AS BIGINT) AS sig
-        |  FROM v, planes p GROUP BY 1),
+        |  FROM v, planes p GROUP BY 1, 2),
+        |cand AS (
+        |  SELECT DISTINCT sa.vec_id AS id_a, sb.vec_id AS id_b
+        |  FROM sig sa JOIN sig sb
+        |    ON sa.t = sb.t AND sa.sig = sb.sig AND sa.vec_id < sb.vec_id),
         |s AS (
-        |  SELECT sa.vec_id AS id_a, sb.vec_id AS id_b,
-        |         ${cosSql("a.e", "b.e")} AS cos_sim
-        |  FROM sig sa JOIN sig sb ON sa.sig = sb.sig AND sa.vec_id < sb.vec_id
-        |  JOIN v a ON a.vec_id = sa.vec_id
-        |  JOIN v b ON b.vec_id = sb.vec_id)
+        |  SELECT c.id_a, c.id_b, ${cosSql("a.e", "b.e")} AS cos_sim
+        |  FROM cand c
+        |  JOIN v a ON a.vec_id = c.id_a
+        |  JOIN v b ON b.vec_id = c.id_b)
         |SELECT id_a, id_b, cos_sim FROM s WHERE cos_sim >= 0.99""".stripMargin)),
 
     // Text scrub: URL/email removal + whitespace collapse (cleaning pass).

@@ -1116,6 +1116,30 @@ class SimilaritySpec extends SparkSpec {
     // the bucketing; the opposite vector flips all bits and is never paired
     assert(got === Set((0L, 3L)))
   }
+
+  test("cosinePairsLsh emits each pair once despite multi-table collisions") {
+    // exact copies collide in EVERY table; the cross-table distinct must
+    // still emit the pair exactly once
+    val got = Similarity.cosinePairsLsh(vectors, 0.999, bits = 6, tables = 8,
+      dim = 4).select($"id_a", $"id_b").as[(Long, Long)].collect()
+    assert(got.length === got.distinct.length)
+    assert(got.toSet === Set((0L, 3L)))
+  }
+
+  test("cosinePairsLsh refuses a candidate-pair explosion loudly (r11)") {
+    // bits=1 puts everything into 2 buckets per table — the fixed-bits-at-
+    // growing-n mistake in miniature; the pre-join estimate must refuse
+    // before any dim-wide pair materializes
+    val e = intercept[IllegalArgumentException] {
+      Similarity.cosinePairsLsh(vectors, 0.999, bits = 1, tables = 2,
+        dim = 4, maxCandidatePairs = 2L)
+    }
+    assert(e.getMessage.contains("bits"))
+    // the same corpus passes once bits spread it out (sanity: guard is not
+    // a constant refusal)
+    Similarity.cosinePairsLsh(vectors, 0.999, bits = 6, dim = 4,
+      maxCandidatePairs = 100L).collect()
+  }
 }
 
 class TextAnalysisSpec extends SparkSpec {
