@@ -39,6 +39,9 @@ object DumpSome {
         System.err.println(s"[dumpsome] $name FAILED: ${e.getMessage}")
       }
     }
+    // check.py unconditionally json.loads outDir/oracle_sql.json — emit
+    // it filtered to the dumped queries so a subset dump is checkable.
+    Verify.writeOracleSql(outDir, names.toSet)
     spark.stop()
   }
 }

@@ -51,9 +51,17 @@ object Verify {
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }
-    // JSON string escape: backslash, quote, and ALL control chars (<0x20)
-    // — a tab or CR in builder-authored SQL would otherwise make the
-    // driver's json.load fail and silently zero the round's correctness.
+    writeOracleSql(outDir, SparkEntry.oracleSql.keySet)
+    spark.stop()
+  }
+
+  /** Dump `oracleSql` (restricted to `names`) as `outDir/oracle_sql.json`
+    * for tools/check.py. Shared with [[DumpSome]] so a diagnostic subset
+    * dump is also check.py-runnable. JSON string escape covers backslash,
+    * quote, and ALL control chars (<0x20) — a tab or CR in
+    * builder-authored SQL would otherwise make the driver's json.load
+    * fail and silently zero the round's correctness. */
+  private[graft] def writeOracleSql(outDir: String, names: Set[String]): Unit = {
     def q(s: String): String = "\"" + s.flatMap {
       case '"'  => "\\\""
       case '\\' => "\\\\"
@@ -63,9 +71,8 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    val json = SparkEntry.oracleSql
+    val json = SparkEntry.oracleSql.view.filterKeys(names)
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
-    spark.stop()
   }
 }

@@ -342,9 +342,16 @@ object KeyedParquetStore {
         // branch: its create is atomic at the namenode.)
         val file = new java.io.File(f.makeQualified(lock).toUri.getPath)
         try file.createNewFile() && {
-          java.nio.file.Files.write(file.toPath,
-            token.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-          true
+          // If the token write fails AFTER the O_EXCL create succeeded
+          // (disk full, quota), delete the empty lock before reporting
+          // failure — otherwise an ownerless fresh-mtime lock stands and
+          // every contender (including this writer) fails fast until the
+          // full ttl expires.
+          try {
+            java.nio.file.Files.write(file.toPath,
+              token.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+            true
+          } catch { case e: java.io.IOException => file.delete(); throw e }
         } catch { case _: java.io.IOException => false }
       } else try {
         val out = f.create(lock, false)
