@@ -468,10 +468,15 @@ object Similarity {
   def cosinePairsLsh(vectors: DataFrame, threshold: Double, bits: Int = 16,
                      tables: Int = 4, dim: Int = 64,
                      maxCandidatePairs: Long = 50000000L): DataFrame = {
-    val v = vectors.select(col("vec_id"), asDouble(col("embedding")).as("e"))
-    val sigs = v
+    // Both relations are consumed ≥3 times (v: sigs derivation + the two
+    // confirm joins; sigs: the estimate job + both sides of the bucket
+    // self-join). Unpinned, the tables×bits×dim dot-product signature
+    // pass re-ran per consumer — Pin.ser (the takeTokenBudget pattern,
+    // Sampling.scala) computes each exactly once.
+    val v = graft.Pin.ser(vectors.select(col("vec_id"), asDouble(col("embedding")).as("e")))
+    val sigs = graft.Pin.ser(v
       .withColumn("ts", explode(lshSignatures(col("e"), bits, tables, dim)))
-      .select(col("ts.t").as("t"), col("ts.sig").as("sig"), col("vec_id"))
+      .select(col("ts.t").as("t"), col("ts.sig").as("sig"), col("vec_id")))
     val est = sigs.groupBy("t", "sig").agg(count(lit(1)).as("c"))
       .agg(coalesce(sum((col("c") * (col("c") - 1) / 2).cast("long")), lit(0L)))
       .head.getLong(0)
