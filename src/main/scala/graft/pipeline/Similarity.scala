@@ -498,6 +498,71 @@ object Similarity {
       .filter(col("cos_sim") >= threshold)
   }
 
+  /** Embedding near-dup CLUSTERS at scale: the consumer face of the
+    * [[cosinePairsLsh]] family for corpora where the pair LIST is
+    * inherently quadratic — a k-member duplicate class contributes
+    * k·(k-1)/2 pairs but only k cluster rows, so at the sf10 replica
+    * corpus (~200-member classes) the pair face's explosion guard
+    * rightly refuses while THIS face stays linear.
+    *
+    * Within each (table, signature) bucket, members sort by id and each
+    * links to its next `linkWindow` successors (sorted-neighborhood
+    * blocking, the record-linkage SNM idea): ≤ linkWindow·occupancy
+    * candidate edges per table — linear in the corpus by construction,
+    * so no explosion guard is needed. Edges confirm by exact cosine ≥
+    * `threshold` (vectors re-attach by id; only id-width rows shuffle),
+    * then [[Dedup.dedupClusters]] elects the minimum id per connected
+    * component. Returns (vec_id, label); singletons are absent — their
+    * own canonical by definition (the dedupClusters contract).
+    *
+    * Why a window and not bare consecutive links: a vector that is
+    * SIMILAR to a replica class but below `threshold` collides with the
+    * class in (nearly) EVERY table — similarity is exactly what the
+    * signatures hash — so it interleaves into the class's id run
+    * everywhere at once, and with window 1 both of its links fail the
+    * confirm and split the chain in all tables simultaneously (caught
+    * by the r12 spec). `linkWindow` = W bridges runs of up to W−1
+    * interleaved sub-threshold neighbors; recall loss needs ≥W of them
+    * CONSECUTIVE by id inside the class's bucket in every table. The
+    * `bits` sizing rule on [[cosinePairsLsh]] still applies — here it
+    * bounds the per-bucket sort partition, not pair count.
+    */
+  def cosineClusters(vectors: DataFrame, threshold: Double, bits: Int = 16,
+                     tables: Int = 4, dim: Int = 64,
+                     linkWindow: Int = 3): DataFrame = {
+    require(linkWindow >= 1, s"linkWindow must be ≥1, got $linkWindow")
+    // v is consumed 3× (signature derivation + both confirm re-attach
+    // joins) — pin it once, exactly as cosinePairsLsh does. sigs has a
+    // single consumer (the window), so it needs no pin here.
+    val v = graft.Pin.ser(vectors.select(col("vec_id"), asDouble(col("embedding")).as("e")))
+    val sigs = v
+      .withColumn("ts", explode(lshSignatures(col("e"), bits, tables, dim)))
+      .select(col("ts.t").as("t"), col("ts.sig").as("sig"), col("vec_id"))
+    val w = Window.partitionBy(col("t"), col("sig")).orderBy(col("vec_id"))
+    // leads land as plain columns first — Spark refuses window functions
+    // inside a generator's projection, and one window spec computes all
+    // offsets in a single sort pass anyway.
+    val withLeads = sigs.select(col("vec_id") +:
+      (1 to linkWindow).map(j => lead(col("vec_id"), j).over(w).as(s"l$j")): _*)
+    val edges = withLeads
+      .withColumn("id_b",
+        explode(array((1 to linkWindow).map(j => col(s"l$j")): _*)))
+      .filter(col("id_b").isNotNull)
+      // distinct across tables AND window offsets: replica classes
+      // collide in EVERY table, and confirming the same edge
+      // tables×linkWindow times would pay the cosine ~12× for nothing.
+      .select(col("vec_id").as("id_a"), col("id_b")).distinct()
+    val confirmed = edges
+      .join(v.select(col("vec_id").as("id_a"), col("e").as("va")), Seq("id_a"))
+      .join(v.select(col("vec_id").as("id_b"), col("e").as("vb")), Seq("id_b"))
+      // round-then-compare mirrors cosinePairsLsh so the two faces agree
+      // at the threshold boundary (and the DuckDB oracle with both).
+      .filter(round(cosine(col("va"), col("vb")), 6) >= threshold)
+      .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"))
+    Dedup.dedupClusters(confirmed)
+      .select(col("doc_id").as("vec_id"), col("label"))
+  }
+
   /** Embedding near-dup pairs: cosine ≥ threshold among all pairs
     * (doc_a < doc_b). Quadratic baseline; the LSH signature equi-join is
     * the scale path. Refuses corpora above `maxRows` (verdict r10 item

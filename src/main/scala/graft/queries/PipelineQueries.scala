@@ -37,6 +37,28 @@ object PipelineQueries {
   private def cosSql(a: String, b: String): String =
     s"round(list_dot_product($a, $b) / (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b))), 6)"
 
+  /** SQL fragment shared by q36/q78: the planted-replica corpus
+    * (embeddings ∪ id+100000 copy) and its 4-table × 16-bit
+    * random-hyperplane signatures. Plane pid = t*16+b mirrors
+    * `lshSignatures`' seeding (t*bits+b). No leading WITH so callers
+    * can choose WITH vs WITH RECURSIVE. */
+  private val rhpReplicaSigSql: String =
+    """base AS (
+      |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+      |v AS (SELECT vec_id, e FROM base
+      |      UNION ALL SELECT vec_id + 100000 AS vec_id, e FROM base),
+      |planes AS (
+      |  SELECT CAST(pid // 16 AS INT) AS t, CAST(pid % 16 AS INT) AS b,
+      |         list_transform(range(0, 64), i ->
+      |    (CAST(('0x' || substr(md5(CAST(pid AS VARCHAR) || '_' || CAST(i AS VARCHAR)), 1, 15)) AS BIGINT)
+      |     % 1000000) / 1000000.0 - 0.5) AS w
+      |  FROM range(0, 64) t(pid)),
+      |sig AS (
+      |  SELECT v.vec_id, p.t,
+      |         CAST(SUM(CASE WHEN list_dot_product(v.e, p.w) > 0
+      |              THEN (CAST(1 AS BIGINT) << CAST(p.b AS INT)) ELSE 0 END) AS BIGINT) AS sig
+      |  FROM v, planes p GROUP BY 1, 2)""".stripMargin
+
   /** Shared oracle for the q75-q77 recall contracts: the approximate
     * side needs NO SQL twin — the oracle recomputes only the exact
     * brute-force k-th cosine per probe (tie-invariant) and asserts the
@@ -631,22 +653,7 @@ object PipelineQueries {
           v.unionByName(v.select((col("vec_id") + 100000).as("vec_id"), col("embedding"))),
           threshold = 0.99, bits = 16, tables = 4, dim = 64)
       },
-      // Plane pid = t*16+b mirrors lshSignatures' seeding (t*bits+b).
-      Some(s"""WITH base AS (
-        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
-        |v AS (SELECT vec_id, e FROM base
-        |      UNION ALL SELECT vec_id + 100000 AS vec_id, e FROM base),
-        |planes AS (
-        |  SELECT CAST(pid // 16 AS INT) AS t, CAST(pid % 16 AS INT) AS b,
-        |         list_transform(range(0, 64), i ->
-        |    (CAST(('0x' || substr(md5(CAST(pid AS VARCHAR) || '_' || CAST(i AS VARCHAR)), 1, 15)) AS BIGINT)
-        |     % 1000000) / 1000000.0 - 0.5) AS w
-        |  FROM range(0, 64) t(pid)),
-        |sig AS (
-        |  SELECT v.vec_id, p.t,
-        |         CAST(SUM(CASE WHEN list_dot_product(v.e, p.w) > 0
-        |              THEN (CAST(1 AS BIGINT) << CAST(p.b AS INT)) ELSE 0 END) AS BIGINT) AS sig
-        |  FROM v, planes p GROUP BY 1, 2),
+      Some(s"""WITH $rhpReplicaSigSql,
         |cand AS (
         |  SELECT DISTINCT sa.vec_id AS id_a, sb.vec_id AS id_b
         |  FROM sig sa JOIN sig sb
@@ -657,6 +664,49 @@ object PipelineQueries {
         |  JOIN v a ON a.vec_id = c.id_a
         |  JOIN v b ON b.vec_id = c.id_b)
         |SELECT id_a, id_b, cos_sim FROM s WHERE cos_sim >= 0.99""".stripMargin)),
+
+    // Embedding near-dup CLUSTER election — the consumer face for
+    // corpora where the pair LIST is quadratic (sf10's ~200-member
+    // replica classes): consecutive-in-bucket edges are linear in the
+    // corpus, and the output is one (vec_id, label) row per clustered
+    // vector. Same planted-replica corpus and banding as q36.
+    Q("q78_cosine_clusters",
+      (s, dir) => {
+        val v = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+        Similarity.cosineClusters(
+          v.unionByName(v.select((col("vec_id") + 100000).as("vec_id"), col("embedding"))),
+          threshold = 0.99, bits = 16, tables = 4, dim = 64)
+      },
+      // Oracle mirrors the sorted-neighborhood edge rule (lead 1..3
+      // within each (t, sig) bucket), the round-6 cosine confirm, and the
+      // q37 recursive-CTE connected components (label = component min id).
+      Some(s"""WITH RECURSIVE $rhpReplicaSigSql,
+        |cand AS (
+        |  SELECT vec_id AS id_a,
+        |         lead(vec_id, 1) OVER (PARTITION BY t, sig ORDER BY vec_id) AS l1,
+        |         lead(vec_id, 2) OVER (PARTITION BY t, sig ORDER BY vec_id) AS l2,
+        |         lead(vec_id, 3) OVER (PARTITION BY t, sig ORDER BY vec_id) AS l3
+        |  FROM sig),
+        |cand2 AS (
+        |  SELECT id_a, l1 AS id_b FROM cand
+        |  UNION ALL SELECT id_a, l2 FROM cand
+        |  UNION ALL SELECT id_a, l3 FROM cand),
+        |conf AS (
+        |  SELECT DISTINCT c.id_a, c.id_b
+        |  FROM (SELECT DISTINCT id_a, id_b FROM cand2 WHERE id_b IS NOT NULL) c
+        |  JOIN v a ON a.vec_id = c.id_a
+        |  JOIN v b ON b.vec_id = c.id_b
+        |  WHERE ${cosSql("a.e", "b.e")} >= 0.99),
+        |edges AS (SELECT id_a AS src, id_b AS dst FROM conf
+        |          UNION ALL SELECT id_b AS src, id_a AS dst FROM conf),
+        |nodes AS (SELECT DISTINCT src AS vec_id FROM edges),
+        |reach(a, b) AS (
+        |  SELECT src, dst FROM edges
+        |  UNION
+        |  SELECT r.a, e.dst FROM reach r JOIN edges e ON e.src = r.b)
+        |SELECT n.vec_id, least(n.vec_id, min(r.b)) AS label
+        |FROM nodes n JOIN reach r ON r.a = n.vec_id
+        |GROUP BY 1""".stripMargin)),
 
     // Text scrub: URL/email removal + whitespace collapse (cleaning pass).
     Q("q33_text_scrub",

@@ -648,15 +648,23 @@ class SamplingSpec extends SparkSpec {
       $"n_tokens", scoreBuckets = 8, tieSubBuckets = 1)
       .groupBy($"__qb", $"__sub").count().as[(Int, Int, Long)].collect()
     assert(off.length === 1 && off.head._3 === n.toLong)
-    // non-numeric ids skip the split (no quantile space to cut) but keep
-    // the exact arithmetic — order within the tie is STRING order
-    val strIds = spark.range(200L)
-      .select(format_string("d%03d", $"id").as("doc_id"),
+    // STRING ids under a heavy tie class (r12): sampled-member-id
+    // boundaries split the class into id-range sub-cells and the kept
+    // prefix is still exactly the first ids in string order
+    val strIds = spark.range(4000L)
+      .select(format_string("d%05d", $"id").as("doc_id"),
         lit(0.0).as("score"), lit(3L).as("n_tokens"))
     val gotStr = Sampling.takeTokenBudget(strIds, "doc_id", $"score",
-      $"n_tokens", budget = 90L, scoreBuckets = 4, tieSubBuckets = 16)
+      $"n_tokens", budget = 900L, scoreBuckets = 4, tieSubBuckets = 16)
       .select($"doc_id").as[String].collect().sorted.toSeq
-    assert(gotStr === (0 until 30).map(i => f"d$i%03d"))
+    assert(gotStr === (0 until 300).map(i => f"d$i%05d"))
+    val strCells = Sampling.budgetCells(strIds, "doc_id", $"score",
+      $"n_tokens", scoreBuckets = 4, tieSubBuckets = 16)
+      .groupBy($"__qb", $"__sub").count().as[(Int, Int, Long)].collect()
+    assert(strCells.length >= 8,
+      s"string-id tie class did not split: ${strCells.toSeq}")
+    assert(strCells.map(_._3).max <= 4000L / 2,
+      s"string-id sub-cells unbalanced: ${strCells.toSeq}")
   }
 }
 
@@ -1139,6 +1147,30 @@ class SimilaritySpec extends SparkSpec {
     // a constant refusal)
     Similarity.cosinePairsLsh(vectors, 0.999, bits = 6, dim = 4,
       maxCandidatePairs = 100L).collect()
+  }
+
+  test("cosineClusters chains a replica class into one min-id cluster (r12)") {
+    // a 6-member replica class: the pair face would emit 15 pairs; the
+    // cluster face links consecutively (5 edges) and still elects ONE
+    // label — the linear-in-docs contract for sf10's ~200-member classes
+    val reps = (10L to 15L).map(i => (i, vec(0.5, 0.5, 0, 0)))
+    val df = (Seq(
+      (0L, vec(1, 0, 0, 0)), (1L, vec(0.9, 0.1, 0, 0)),
+      (2L, vec(0, 1, 0, 0)), (3L, vec(1, 0, 0, 0)),
+      (4L, vec(-1, 0, 0, 0))) ++ reps).toDF("vec_id", "embedding")
+    val got = Similarity.cosineClusters(df, 0.999, bits = 6, dim = 4)
+      .as[(Long, Long)].collect().toSet
+    assert(got === (Set((0L, 0L), (3L, 0L)) ++ (10L to 15L).map(i => (i, 10L))))
+  }
+
+  test("cosineClusters agrees with clustering the pair face's output (r12)") {
+    val viaPairs = Dedup.dedupClusters(
+      Similarity.cosinePairsLsh(vectors, 0.999, bits = 6, dim = 4)
+        .select($"id_a".as("doc_a"), $"id_b".as("doc_b")))
+      .as[(Long, Long)].collect().toSet
+    val direct = Similarity.cosineClusters(vectors, 0.999, bits = 6, dim = 4)
+      .select($"vec_id", $"label").as[(Long, Long)].collect().toSet
+    assert(direct === viaPairs)
   }
 }
 
