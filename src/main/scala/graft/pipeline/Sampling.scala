@@ -253,9 +253,13 @@ object Sampling {
     * id — exact, because within a tie the order IS id ASC, so id-range
     * cells are monotone in the (score, id) order by construction; the
     * same balance-not-arithmetic argument applies to the approximate id
-    * boundaries). Detection costs one narrow (score, count) aggregation
-    * over the pinned projection; `tieSubBuckets = 1` disables it (and
-    * non-numeric ids skip it — there is no quantile space to cut).
+    * boundaries). Numeric ids cut on `percentile_approx`; STRING ids cut
+    * on hash-sampled member ids (a member id is a valid interval cut
+    * under the engine's own string order — a hash would not be, its
+    * cells are not intervals). Detection costs one narrow (score, count)
+    * aggregation over the pinned projection; `tieSubBuckets = 1`
+    * disables it, and id types that are neither numeric nor string skip
+    * it (correctness unaffected — the tie just sorts in one cell).
     * At 100 TB: three narrow passes (score+tokens columns), one bucket
     * exchange, driver holds `scoreBuckets` doubles plus at most
     * `scoreBuckets/2 × tieSubBuckets` tie boundaries. */
@@ -307,20 +311,22 @@ object Sampling {
     // sub-cells. scoreBuckets = 1 is the sanctioned naive reference plan
     // (threshold 2·total — never triggers), so the 1-bucket ≡ N-bucket
     // spec keeps comparing against the genuinely naive single window.
-    val idNumeric = typed.schema(idCol).dataType
-      .isInstanceOf[org.apache.spark.sql.types.NumericType]
+    val idType = typed.schema(idCol).dataType
+    val idNumeric = idType.isInstanceOf[org.apache.spark.sql.types.NumericType]
+    val idString = idType == org.apache.spark.sql.types.StringType
     val ties: Seq[(Double, Seq[Any])] =
-      if (tieSubBuckets <= 1 || scoreBuckets <= 1 || !idNumeric) Nil
+      if (tieSubBuckets <= 1 || scoreBuckets <= 1 || !(idNumeric || idString)) Nil
       else {
         val total = typed.count()
         val thr = math.max(2L * total / scoreBuckets, tieSubBuckets.toLong)
-        val hs = typed.groupBy(col("__score")).agg(count(lit(1)).as("__n"))
+        val heavy = typed.groupBy(col("__score")).agg(count(lit(1)).as("__n"))
           .filter(col("__n") > thr)
-          .select(col("__score")).collect().map(_.getDouble(0))
-        if (hs.isEmpty) Nil
-        else {
+          .select(col("__score"), col("__n")).collect()
+          .map(r => r.getDouble(0) -> r.getLong(1)).toSeq
+        if (heavy.isEmpty) Nil
+        else if (idNumeric) {
           val subProbes = (1 until tieSubBuckets).map(_.toDouble / tieSubBuckets)
-          typed.filter(col("__score").isin(hs.toSeq: _*))
+          typed.filter(col("__score").isin(heavy.map(_._1): _*))
             .groupBy(col("__score"))
             .agg(percentile_approx(col(idCol),
               typedLit(subProbes), lit(10000)).as("__qs"))
@@ -328,6 +334,40 @@ object Sampling {
             .map(r => r.getDouble(0) ->
               r.getSeq[Any](1).filter(_ != null).distinct)
             .toSeq.sortBy(_._1)
+        } else {
+          // String ids (r11 residual, closed r12): percentile_approx has
+          // no numeric quantile space, but boundaries need not be numeric
+          // — any MEMBER id is a valid cut, because subBucket's
+          // `id <= boundary` uses the engine's own string order, so the
+          // sub-cells are intervals of the (score, id) order by
+          // construction. (A HASH of the id would NOT be: hash cells are
+          // not intervals, and finishBudget's cell concatenation would
+          // reorder the tie.) Deterministic hash-sample ≈128·tieSubBuckets
+          // ids per class (driver-bounded, ≤ scoreBuckets/2 classes by the
+          // threshold), sort by UTF-8 bytes — Spark's binary string order
+          // — and take evenly-spaced sample members as boundaries. Sample
+          // coarseness affects only cell BALANCE, exactly like the 1e-4
+          // numeric quantile error.
+          val target = 128L * tieSubBuckets
+          val fracExpr = heavy.foldRight(lit(0L): Column) { case ((s, n), rest) =>
+            when(col("__score") === s,
+              lit(math.min(1048576L, 1048576L * target / math.max(n, 1L))))
+              .otherwise(rest)
+          }
+          val sampleRows = typed
+            .filter(col("__score").isin(heavy.map(_._1): _*))
+            .filter(pmod(TextAnalysis.md5Hash60(col(idCol)), lit(1048576L)) < fracExpr)
+            .select(col("__score"), col(idCol)).collect()
+          def utf8Lt(a: String, b: String): Boolean =
+            java.util.Arrays.compareUnsigned(
+              a.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+              b.getBytes(java.nio.charset.StandardCharsets.UTF_8)) < 0
+          sampleRows.groupBy(_.getDouble(0)).map { case (s, rows) =>
+            val ids = rows.map(_.getString(1)).distinct.sortWith(utf8Lt)
+            val step = math.max(1, ids.length / tieSubBuckets)
+            s -> (step until ids.length by step).map(ids(_): Any)
+              .distinct.take(tieSubBuckets - 1)
+          }.toSeq.filter(_._2.nonEmpty).sortBy(_._1)
         }
       }
     // Merge quantile bounds and tie values into one ascending cut list;
