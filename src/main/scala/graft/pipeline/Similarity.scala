@@ -78,7 +78,7 @@ object Similarity {
     * signature tables of `bits` sign bits each — table t uses hyperplanes
     * seeded `t*bits .. t*bits+bits-1`, so every plane is distinct and
     * DuckDB rebuilds the same family from one seed range. */
-  private def lshSignatures(vec: Column, bits: Int, tables: Int, dim: Int): Column =
+  private[pipeline] def lshSignatures(vec: Column, bits: Int, tables: Int, dim: Int): Column =
     array((0 until tables).map { t =>
       struct(lit(t).as("t"),
         (0 until bits).map { b =>

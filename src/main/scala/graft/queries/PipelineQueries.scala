@@ -37,27 +37,65 @@ object PipelineQueries {
   private def cosSql(a: String, b: String): String =
     s"round(list_dot_product($a, $b) / (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b))), 6)"
 
-  /** SQL fragment shared by q36/q78: the planted-replica corpus
-    * (embeddings ∪ id+100000 copy) and its 4-table × 16-bit
-    * random-hyperplane signatures. Plane pid = t*16+b mirrors
-    * `lshSignatures`' seeding (t*bits+b). No leading WITH so callers
-    * can choose WITH vs WITH RECURSIVE. */
-  private val rhpReplicaSigSql: String =
-    """base AS (
-      |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
-      |v AS (SELECT vec_id, e FROM base
-      |      UNION ALL SELECT vec_id + 100000 AS vec_id, e FROM base),
-      |planes AS (
+  /** SQL fragment: the 64 random hyperplanes of the 4-table × 16-bit
+    * rhp family over dim 64. Plane pid = t*16+b mirrors
+    * `lshSignatures`' seeding (t*bits+b). */
+  private val rhpPlanesSql: String =
+    """planes AS (
       |  SELECT CAST(pid // 16 AS INT) AS t, CAST(pid % 16 AS INT) AS b,
       |         list_transform(range(0, 64), i ->
       |    (CAST(('0x' || substr(md5(CAST(pid AS VARCHAR) || '_' || CAST(i AS VARCHAR)), 1, 15)) AS BIGINT)
       |     % 1000000) / 1000000.0 - 0.5) AS w
-      |  FROM range(0, 64) t(pid)),
-      |sig AS (
-      |  SELECT v.vec_id, p.t,
-      |         CAST(SUM(CASE WHEN list_dot_product(v.e, p.w) > 0
-      |              THEN (CAST(1 AS BIGINT) << CAST(p.b AS INT)) ELSE 0 END) AS BIGINT) AS sig
-      |  FROM v, planes p GROUP BY 1, 2)""".stripMargin
+      |  FROM range(0, 64) t(pid))""".stripMargin
+
+  /** SQL fragment: rhp signatures `sig$tag(vec_id, t, sig)` over a
+    * source CTE `v$tag(vec_id, e)`. Requires [[rhpPlanesSql]]. */
+  private def embedSigSql(tag: String): String =
+    s"""sig$tag AS (
+       |  SELECT v.vec_id, p.t,
+       |         CAST(SUM(CASE WHEN list_dot_product(v.e, p.w) > 0
+       |              THEN (CAST(1 AS BIGINT) << CAST(p.b AS INT)) ELSE 0 END) AS BIGINT) AS sig
+       |  FROM v$tag v, planes p GROUP BY 1, 2)""".stripMargin
+
+  /** SQL fragments for the incremental embed-dedup oracle (q79): the
+    * within-batch confirmed-pair closure over `sig$tag`/`v$tag` ending
+    * in `enoncanon$tag` (mirrors IncrementalEmbedDedup's in-batch face:
+    * bucket collision + round-6 cosine ≥ 0.99 confirm + min-label
+    * rejection, the q49 `selfDedupSql` shape for cosine). */
+  private def embedSelfDedupSql(tag: String): String =
+    s"""ecand$tag AS (
+       |  SELECT DISTINCT a.vec_id AS doc_a, b.vec_id AS doc_b
+       |  FROM sig$tag a JOIN sig$tag b ON a.t = b.t AND a.sig = b.sig
+       |  WHERE a.vec_id < b.vec_id),
+       |epairs$tag AS (
+       |  SELECT c.doc_a, c.doc_b FROM ecand$tag c
+       |  JOIN v$tag a ON a.vec_id = c.doc_a
+       |  JOIN v$tag b ON b.vec_id = c.doc_b
+       |  WHERE ${cosSql("a.e", "b.e")} >= 0.99),
+       |eedges$tag AS (
+       |  SELECT doc_a AS src, doc_b AS dst FROM epairs$tag
+       |  UNION ALL SELECT doc_b AS src, doc_a AS dst FROM epairs$tag),
+       |ereach$tag(a, b) AS (
+       |  SELECT src, dst FROM eedges$tag
+       |  UNION
+       |  SELECT r.a, e.dst FROM ereach$tag r JOIN eedges$tag e ON e.src = r.b),
+       |enoncanon$tag AS (
+       |  SELECT n.vec_id
+       |  FROM (SELECT DISTINCT src AS vec_id FROM eedges$tag) n
+       |  JOIN ereach$tag r ON r.a = n.vec_id
+       |  GROUP BY 1 HAVING min(r.b) < n.vec_id)""".stripMargin
+
+  /** SQL fragment shared by q36/q78: the planted-replica corpus
+    * (embeddings ∪ id+100000 copy) and its 4-table × 16-bit
+    * random-hyperplane signatures. No leading WITH so callers can
+    * choose WITH vs WITH RECURSIVE. */
+  private val rhpReplicaSigSql: String =
+    s"""base AS (
+      |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+      |v AS (SELECT vec_id, e FROM base
+      |      UNION ALL SELECT vec_id + 100000 AS vec_id, e FROM base),
+      |$rhpPlanesSql,
+      |${embedSigSql("")}""".stripMargin
 
   /** Shared oracle for the q75-q77 recall contracts: the approximate
     * side needs NO SQL twin — the oracle recomputes only the exact
@@ -707,6 +745,70 @@ object PipelineQueries {
         |SELECT n.vec_id, least(n.vec_id, min(r.b)) AS label
         |FROM nodes n JOIN reach r ON r.a = n.vec_id
         |GROUP BY 1""".stripMargin)),
+
+    // Incremental embedding near-dup vs a PERSISTED signature index —
+    // the cosine analog of q49: batch 2 dedups against batch 1's stored
+    // survivors without re-reading them (signature store joined,
+    // vector store semi-pruned to candidates). Planted cross-batch
+    // copies (+100000 of b1 members) land dup_of_stored; planted
+    // in-batch copies (+400000 of b2 members) land dup_in_batch.
+    Q("q79_embed_incremental",
+      (s, dir) => {
+        val tmp = java.nio.file.Files.createTempDirectory("graft_q79").toString
+        val emb = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+        val b1 = emb.filter(col("vec_id") < 250)
+        val b2 = emb.filter(col("vec_id") >= 250 && col("vec_id") < 500)
+          .unionByName(emb.filter(col("vec_id") < 25)
+            .select((col("vec_id") + 100000L).as("vec_id"), col("embedding")))
+          .unionByName(emb.filter(col("vec_id") >= 250 && col("vec_id") < 260)
+            .select((col("vec_id") + 400000L).as("vec_id"), col("embedding")))
+        graft.pipeline.IncrementalEmbedDedup.ingestBatch(
+          s, b1, "b1", s"$tmp/sigs", s"$tmp/vecs", threshold = 0.99)
+        graft.pipeline.IncrementalEmbedDedup.ingestBatch(
+          s, b2, "b2", s"$tmp/sigs", s"$tmp/vecs", threshold = 0.99)
+          .select(col("vec_id"), col("status"))
+      },
+      // The oracle replays both stages logically (the q49 pattern for
+      // cosine): b1 internal closure → kept1; b2 signatures vs kept1
+      // signatures + cosine confirm → dup_of_stored; b2 internal
+      // closure → dup_in_batch (stored wins).
+      Some(s"""WITH RECURSIVE
+        |v1 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+        |       FROM embeddings WHERE vec_id < 250),
+        |v2 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+        |       FROM embeddings WHERE vec_id >= 250 AND vec_id < 500
+        |       UNION ALL
+        |       SELECT vec_id + 100000 AS vec_id, CAST(embedding AS DOUBLE[]) AS e
+        |       FROM embeddings WHERE vec_id < 25
+        |       UNION ALL
+        |       SELECT vec_id + 400000 AS vec_id, CAST(embedding AS DOUBLE[]) AS e
+        |       FROM embeddings WHERE vec_id >= 250 AND vec_id < 260),
+        |$rhpPlanesSql,
+        |${embedSigSql("1")},
+        |${embedSelfDedupSql("1")},
+        |kept1 AS (
+        |  SELECT vec_id FROM v1
+        |  WHERE vec_id NOT IN (SELECT vec_id FROM enoncanon1)),
+        |${embedSigSql("2")},
+        |${embedSelfDedupSql("2")},
+        |candS AS (
+        |  SELECT DISTINCT n.vec_id, s.vec_id AS stored_id
+        |  FROM sig2 n
+        |  JOIN sig1 s ON n.t = s.t AND n.sig = s.sig
+        |  JOIN kept1 k ON k.vec_id = s.vec_id
+        |  WHERE n.vec_id <> s.vec_id),
+        |dupstored AS (
+        |  SELECT DISTINCT c.vec_id FROM candS c
+        |  JOIN v2 a ON a.vec_id = c.vec_id
+        |  JOIN v1 b ON b.vec_id = c.stored_id
+        |  WHERE ${cosSql("a.e", "b.e")} >= 0.99)
+        |SELECT v2.vec_id,
+        |  CASE WHEN ds.vec_id IS NOT NULL THEN 'dup_of_stored'
+        |       WHEN nc.vec_id IS NOT NULL THEN 'dup_in_batch'
+        |       ELSE 'kept' END AS status
+        |FROM v2
+        |LEFT JOIN dupstored ds ON ds.vec_id = v2.vec_id
+        |LEFT JOIN enoncanon2 nc ON nc.vec_id = v2.vec_id""".stripMargin)),
 
     // Text scrub: URL/email removal + whitespace collapse (cleaning pass).
     Q("q33_text_scrub",

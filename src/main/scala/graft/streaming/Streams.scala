@@ -284,6 +284,37 @@ object Streams {
       },
       compactEvery)
 
+  /** Streaming embedding near-dup ingest: each micro-batch of vectors
+    * dedups against the persisted signature index and appends its
+    * survivors' signatures + vectors under `batch=eN` partitions
+    * ([[graft.pipeline.IncrementalEmbedDedup.ingestBatch]]) — the
+    * cosine analog of [[dedupIngestStream]]. The structural parameters
+    * (bits/tables/dim) MUST match the index being fed — they are the
+    * fingerprinted precondition, exposed here for exactly the reason
+    * dedupIngestStream exposes numHashes/rowsPerBand/shingleN: a sink
+    * locked to defaults cannot feed a non-default index. Same
+    * idempotent-replay and compaction-cadence story as the other
+    * ingest sinks. */
+  def embedDedupIngestStream(vectors: DataFrame, sigsPath: String,
+                             vecsPath: String, checkpoint: String,
+                             threshold: Double,
+                             bits: Int = 16, tables: Int = 4,
+                             dim: Int = 64,
+                             compactEvery: Int = 8,
+                             compactTargetFiles: Int = 1): StreamingQuery =
+    epochSink(vectors, checkpoint,
+      ingest = (s, batch, batchId) => {
+        graft.pipeline.IncrementalEmbedDedup.ingestBatch(
+          s, batch, batchId, sigsPath, vecsPath, threshold, bits, tables, dim)
+        ()
+      },
+      maintain = (s, _) => {
+        graft.sources.KeyedParquetStore.compact(s, sigsPath, compactTargetFiles)
+        graft.sources.KeyedParquetStore.compact(s, vecsPath, compactTargetFiles)
+        ()
+      },
+      compactEvery)
+
   /** Streaming exact dedup: drop events whose `event_id` was already seen
     * for the key — the streaming face of `Dedup.exact`.
     *

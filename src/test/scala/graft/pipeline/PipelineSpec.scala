@@ -1174,6 +1174,123 @@ class SimilaritySpec extends SparkSpec {
   }
 }
 
+class IncrementalEmbedDedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def vec(xs: Double*): Seq[Float] = xs.map(_.toFloat)
+
+  test("incremental embed dedup: a second batch dedups against the STORED " +
+      "index, vectors read only when colliding (r12)") {
+    val dir = java.nio.file.Files.createTempDirectory("inc_embed").toString
+    val (sigsP, vecsP) = (dir + "/sigs", dir + "/vecs")
+    val b1 = Seq(
+      (1L, vec(1, 0, 0, 0)),
+      (2L, vec(0, 1, 0, 0))).toDF("vec_id", "embedding")
+    val r1 = IncrementalEmbedDedup.ingestBatch(spark, b1, "b1", sigsP, vecsP,
+      threshold = 0.999, bits = 6, dim = 4)
+      .select($"vec_id", $"status").as[(Long, String)].collect().toMap
+    assert(r1 === Map(1L -> "kept", 2L -> "kept"))
+    // batch 2: 10 duplicates STORED vec 1; 11 is new; 12 duplicates 11
+    // within the batch; 13 is the opposite of 1 (never a near-dup)
+    val b2 = Seq(
+      (10L, vec(1, 0, 0, 0)),
+      (11L, vec(0, 0, 1, 0)),
+      (12L, vec(0, 0, 1, 0)),
+      (13L, vec(-1, 0, 0, 0))).toDF("vec_id", "embedding")
+    val r2 = IncrementalEmbedDedup.ingestBatch(spark, b2, "b2", sigsP, vecsP,
+      threshold = 0.999, bits = 6, dim = 4)
+      .select($"vec_id", $"status").as[(Long, String)].collect().toMap
+    assert(r2 === Map(10L -> "dup_of_stored", 11L -> "kept",
+      12L -> "dup_in_batch", 13L -> "kept"))
+    // the index accreted exactly the survivors, append-only per batch
+    val indexed = graft.sources.KeyedParquetStore.read(spark, sigsP).get
+      .select($"vec_id").distinct().as[Long].collect().toSet
+    assert(indexed === Set(1L, 2L, 11L, 13L))
+    assert(new java.io.File(s"$sigsP/batch=b1").exists())
+    assert(new java.io.File(s"$sigsP/batch=b2").exists())
+    // idempotent retry: 11/13 are never their own duplicates (self-pair
+    // exemption); 12 now reads as dup of the STORED 11 — rejected
+    // either way, and the kept set is unchanged
+    val r2retry = IncrementalEmbedDedup.ingestBatch(spark, b2, "b2", sigsP,
+      vecsP, threshold = 0.999, bits = 6, dim = 4)
+      .select($"vec_id", $"status").as[(Long, String)].collect().toMap
+    assert(r2retry === Map(10L -> "dup_of_stored", 11L -> "kept",
+      12L -> "dup_of_stored", 13L -> "kept"))
+    assert(graft.sources.KeyedParquetStore.read(spark, sigsP).get
+      .select($"vec_id").distinct().as[Long].collect().toSet === indexed)
+    // the read-only face answers identically across a store compaction
+    val pre = IncrementalEmbedDedup.dedupBatch(spark, b2, sigsP, vecsP,
+      threshold = 0.999, bits = 6, dim = 4)
+      .select($"vec_id", $"status").as[(Long, String)].collect().toMap
+    graft.sources.KeyedParquetStore.compact(spark, sigsP)
+    graft.sources.KeyedParquetStore.compact(spark, vecsP)
+    assert(IncrementalEmbedDedup.dedupBatch(spark, b2, sigsP, vecsP,
+      threshold = 0.999, bits = 6, dim = 4)
+      .select($"vec_id", $"status").as[(Long, String)].collect().toMap === pre)
+  }
+
+  test("incremental embed dedup: crash between the upserts replays " +
+      "cleanly (vectors-before-signatures ordering, r12)") {
+    val dir = java.nio.file.Files.createTempDirectory("inc_embed_crash").toString
+    val (sigsP, vecsP) = (dir + "/sigs", dir + "/vecs")
+    val b1 = Seq((1L, vec(1, 0, 0, 0))).toDF("vec_id", "embedding")
+    IncrementalEmbedDedup.ingestBatch(spark, b1, "e0", sigsP, vecsP,
+      threshold = 0.999, bits = 6, dim = 4)
+    // crash state: the SECOND upsert (signatures) never landed —
+    // vectors-only must read as an ABSENT index
+    def deleteRec(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(deleteRec)
+      f.delete(); ()
+    }
+    deleteRec(new java.io.File(sigsP))
+    val replay = IncrementalEmbedDedup.ingestBatch(spark, b1, "e0", sigsP,
+      vecsP, threshold = 0.999, bits = 6, dim = 4)
+      .select($"vec_id", $"status").as[(Long, String)].collect().toMap
+    assert(replay === Map(1L -> "kept"))
+    val label = IncrementalEmbedDedup.dedupBatch(spark,
+      Seq((9L, vec(1, 0, 0, 0))).toDF("vec_id", "embedding"),
+      sigsP, vecsP, threshold = 0.999, bits = 6, dim = 4)
+      .select($"status").as[String].head()
+    assert(label === "dup_of_stored")
+  }
+
+  test("incremental embed dedup debugChecks: parameter drift, cross-batch " +
+      "re-delivery, and in-batch duplicate ids all fail fast (r12)") {
+    val dir = java.nio.file.Files.createTempDirectory("inc_embed_guards").toString
+    val (sigsP, vecsP) = (dir + "/sigs", dir + "/vecs")
+    val b1 = Seq((1L, vec(1, 0, 0, 0))).toDF("vec_id", "embedding")
+    IncrementalEmbedDedup.ingestBatch(spark, b1, "e0", sigsP, vecsP,
+      threshold = 0.999, bits = 6, dim = 4)
+    spark.conf.set("spark.graft.store.debugChecks", "true")
+    try {
+      // sanctioned replay passes
+      IncrementalEmbedDedup.ingestBatch(spark, b1, "e0", sigsP, vecsP,
+        threshold = 0.999, bits = 6, dim = 4)
+      val drift = intercept[IllegalArgumentException] {
+        IncrementalEmbedDedup.ingestBatch(spark, b1, "e0", sigsP, vecsP,
+          threshold = 0.999, bits = 4, dim = 4)
+      }
+      assert(drift.getMessage.contains("parameter drift"))
+      val dryDrift = intercept[IllegalArgumentException] {
+        IncrementalEmbedDedup.dedupBatch(spark, b1, sigsP, vecsP,
+          threshold = 0.999, bits = 4, dim = 4)
+      }
+      assert(dryDrift.getMessage.contains("parameter drift"))
+      val resent = intercept[IllegalArgumentException] {
+        IncrementalEmbedDedup.ingestBatch(spark, b1, "e1", sigsP, vecsP,
+          threshold = 0.999, bits = 6, dim = 4)
+      }
+      assert(resent.getMessage.contains("different batch"))
+      val dup = intercept[IllegalArgumentException] {
+        IncrementalEmbedDedup.ingestBatch(spark,
+          b1.unionByName(b1), "e0", sigsP, vecsP,
+          threshold = 0.999, bits = 6, dim = 4)
+      }
+      assert(dup.getMessage.contains("more than once"))
+    } finally spark.conf.unset("spark.graft.store.debugChecks")
+  }
+}
+
 class TextAnalysisSpec extends SparkSpec {
   import spark.implicits._
 

@@ -607,4 +607,36 @@ class StreamsSpec extends SparkSpec {
     assert(indexed === Set(1L), "the streamed near-dup was not rejected " +
       "against the non-default-parameter index")
   }
+
+  test("embedDedupIngestStream: micro-batches accrete only surviving " +
+      "vectors into the signature index (r12)") {
+    val dir = Files.createTempDirectory("vecs_stream").toFile
+    val ckpt = Files.createTempDirectory("embed_ckpt").toString
+    val store = Files.createTempDirectory("embed_store").toString
+    def vec(xs: Double*): Seq[Float] = xs.map(_.toFloat)
+    val b1 = Seq((1L, vec(1, 0, 0, 0)), (2L, vec(0, 1, 0, 0)))
+      .toDF("vec_id", "embedding")
+    b1.coalesce(1).write.mode("overwrite").parquet(dir.toString)
+    val stream = spark.readStream.schema(b1.schema).parquet(dir.toString)
+    val q = Streams.embedDedupIngestStream(stream, s"$store/sigs",
+      s"$store/vecs", ckpt, threshold = 0.999, bits = 6, dim = 4)
+    q.processAllAvailable()
+    // micro-batch 2: a copy of STORED vec 1 plus genuinely new content
+    Seq((10L, vec(1, 0, 0, 0)), (11L, vec(0, 0, 1, 0)))
+      .toDF("vec_id", "embedding")
+      .coalesce(1).write.mode("append").parquet(dir.toString)
+    q.processAllAvailable(); q.stop()
+    val indexed = graft.sources.KeyedParquetStore.read(spark, s"$store/sigs").get
+      .select($"vec_id").distinct().as[Long].collect().toSet
+    assert(indexed === Set(1L, 2L, 11L)) // 10 rejected against the stored index
+    // the read-only face labels without mutating the index
+    val labeled = graft.pipeline.IncrementalEmbedDedup.dedupBatch(spark,
+      Seq((20L, vec(0, 1, 0, 0)), (21L, vec(0, 0, 0, 1)))
+        .toDF("vec_id", "embedding"),
+      s"$store/sigs", s"$store/vecs", threshold = 0.999, bits = 6, dim = 4)
+      .select($"vec_id", $"status").as[(Long, String)].collect().toMap
+    assert(labeled === Map(20L -> "dup_of_stored", 21L -> "kept"))
+    assert(graft.sources.KeyedParquetStore.read(spark, s"$store/sigs").get
+      .select($"vec_id").distinct().as[Long].collect().toSet === indexed)
+  }
 }
