@@ -341,6 +341,13 @@ object KeyedParquetStore {
         // implies the token on disk is ours alone. (HDFS needs no such
         // branch: its create is atomic at the namenode.)
         val file = new java.io.File(f.makeQualified(lock).toUri.getPath)
+        // Hadoop's create() makes parent dirs; POSIX createNewFile does
+        // NOT — without this a first-ever upsert into a store whose
+        // parent directory doesn't exist yet fails create() on ENOENT
+        // and surfaces as a bogus "concurrent upsert detected" (found
+        // by EmbedIngestProbe in r12: the O_EXCL switch in r11 silently
+        // regressed exactly this path).
+        Option(file.getParentFile).foreach(_.mkdirs())
         try file.createNewFile() && {
           // If the token write fails AFTER the O_EXCL create succeeded
           // (disk full, quota), delete the empty lock before reporting

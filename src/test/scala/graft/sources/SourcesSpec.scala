@@ -38,6 +38,20 @@ class SourcesSpec extends SparkSpec {
     assert(got === Seq(("AAA", 11.0), ("AAA", 12.0), ("BBB", 3.0)))
   }
 
+  test("upsert into a store whose PARENT directory does not exist yet " +
+      "succeeds (O_EXCL lock must mkdirs, r12)") {
+    // regression: the r11 O_EXCL lock switch dropped Hadoop create()'s
+    // implicit parent-dir creation, so the first-ever upsert under a
+    // not-yet-existing directory failed lock acquisition with a bogus
+    // "concurrent upsert detected" (found by EmbedIngestProbe)
+    val path = Files.createTempDirectory("store_parent").toString +
+      "/nested/deeper/stocks"
+    val v1 = Seq(("AAA", d("2024-01-01"), 10.0, 1))
+      .toDF("ticker", "date", "price", "ver")
+    KeyedParquetStore.upsert(spark, path, v1, Seq("ticker", "date"), Seq($"ver"))
+    assert(KeyedParquetStore.read(spark, path).get.count() === 1L)
+  }
+
   test("partition-scoped upsert rewrites ONLY partitions present in incoming") {
     val path = Files.createTempDirectory("store_scoped").toString + "/stocks"
     val v1 = Seq(("AAA", "2024-01-01", 10.0, 1), ("AAA", "2024-01-02", 11.0, 1),
