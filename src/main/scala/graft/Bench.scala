@@ -165,9 +165,23 @@ object Bench {
       (name, med, timed.count(_._2 != null))
     }
     ev.close()
-    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
+    // The stdout line must PARSE at the consumer: the driver keeps only a
+    // bounded tail of this process's output (observed 2000 chars, r10/r11
+    // — both rounds' BENCH_r*.json carry `parsed: null` with q01–q19
+    // truncated off the front of the line). Full query names alone are
+    // ~1.4 KB at 80 queries, so the line is keyed by the registry's
+    // unique `qNN` prefix and rounded to milliseconds — ~1.1 KB total.
+    // Full names and nanosecond timings live in the per-run evidence
+    // sidecar (SPARK_GRAFT_BENCH_EVIDENCE), which is the adjudication
+    // record; this line is the at-a-glance summary and must stay short
+    // enough to survive the tail window.
+    def r3(v: Double): String = BigDecimal(v)
+      .setScale(3, BigDecimal.RoundingMode.HALF_UP).bigDecimal.toPlainString
+    def shortKey(name: String): String = name.split("_").head
+    val qs = results.map { case (k, v, _) => s"\"" + shortKey(k) + "\":" + r3(v) }
       .mkString("{", ",", "}")
-    val failed = results.collect { case (k, _, n) if n > 0 => s"\"" + k + "\":" + n }
+    val failed =
+      results.collect { case (k, _, n) if n > 0 => s"\"" + shortKey(k) + "\":" + n }
     val failedJson =
       if (failed.isEmpty) "" else failed.mkString(""","failed":{""", ",", "}")
     val total = results.map(_._2).sum
@@ -175,7 +189,7 @@ object Bench {
     // materializations over page-cache-warmed inputs (count()-based r1
     // pruned top-level work, single-run r2 carried VM variance, unwarmed
     // r3 charged cold file reads to arbitrary queries — none compare 1:1).
-    println(s"""{"metric":"total","value":$total,"unit":"sec","method":"noop-median$runs-warm","queries":$qs$failedJson,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","method":"noop-median$runs-warm","nq":${results.size},"queries":$qs$failedJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
