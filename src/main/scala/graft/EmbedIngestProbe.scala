@@ -8,10 +8,12 @@ import org.apache.spark.sql.functions._
   * batch-sized, not store-sized — the claim that matters at 100 TB,
   * where "re-dedup the corpus per batch" is the failure mode the module
   * exists to avoid. Splits `<sfDir>`'s embeddings into `<nBatches>`
-  * batches by `vec_id % nBatches` (deterministic; each id in exactly
-  * one batch, satisfying the no-re-delivery precondition; a ScaleUp
-  * replica corpus spreads each duplicate class across batches, so both
-  * the vs-store and the in-batch faces do real work) and ingests them
+  * batches by `xxhash64(vec_id) % nBatches` (deterministic; each id in
+  * exactly one batch, satisfying the no-re-delivery precondition; the
+  * HASH matters — `vec_id % n` put every ScaleUp replica class wholly
+  * inside one batch because the id stride is a multiple of small n, so
+  * the vs-store face never fired; hashing spreads each duplicate class
+  * across batches, so both faces do real work) and ingests them
   * in sequence into a fresh store under `<storeDir>`, printing one
   * JSONL line per batch: seconds, batch rows, kept/dup counts, and
   * accumulated store keys. Flat-ish per-batch seconds while the store
@@ -41,7 +43,7 @@ object EmbedIngestProbe {
     val emb = Tables.embeddings(spark, sfDir)
       .select(col("vec_id"), col("embedding"))
     for (i <- 0 until n) {
-      val batch = emb.filter(pmod(col("vec_id"), lit(n.toLong)) === i)
+      val batch = emb.filter(pmod(xxhash64(col("vec_id")), lit(n.toLong)) === i)
       val t0 = System.nanoTime()
       val labeled = graft.pipeline.IncrementalEmbedDedup.ingestBatch(
         spark, batch, s"e$i", sigsP, vecsP, threshold = 0.99)
