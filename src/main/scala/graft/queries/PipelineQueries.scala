@@ -1809,6 +1809,91 @@ object PipelineQueries {
           .select(col("probe_id"), col("neighbor_id"), col("cos_sim"),
             col("rank").cast("long").as("rank"))
       },
-      Some(ivfSearchOracle))
+      Some(ivfSearchOracle)),
+
+    // End-to-end corpus curation: the four stages a training-data prep
+    // run actually chains — quality gate → exact dedup → test-set
+    // decontamination → token-budget selection — composed from the SAME
+    // operators their per-stage faces verify individually (q34, q20,
+    // q51, q74), so this row proves the stages COMPOSE: each stage's
+    // output schema feeds the next with no adapters, and the combined
+    // plan stays scale-shaped end to end (quality features per-row and
+    // shuffle-free; the dedup election shuffles (hash, id) pairs, never
+    // bodies, with the one body-width exchange being the id-keyed semi
+    // join that applies it — the q40 keepCanonical shape; eval shingles
+    // broadcast; the budget stage runs on takeTokenBudget's pinned
+    // id+16-byte projection). Docs 0-19 stand in for the eval benchmark
+    // (as q51); the pool is the rest. Output = the selected corpus with
+    // its budget bookkeeping, deterministic by the (score, doc_id)
+    // total order.
+    Q("q80_curation_pipeline",
+      (s, dir) => {
+        val all = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+        val evalDocs = all.filter(col("doc_id") < 20)
+        val pool = all.filter(col("doc_id") >= 20)
+        // Tokenize the pool exactly ONCE: the quality features are
+        // consumed by three downstream stages, so pin the id+16-byte
+        // projection (the takeTokenBudget pin pattern) and rejoin text
+        // from the raw scan — a parquet re-scan is cheap where a per-
+        // consumer re-tokenization is not (first cut consumed the
+        // feature relation unpinned and ran 5.8 s at sf0.1; this shape
+        // runs ~2.5 s, and at 100 TB the gap is a full corpus pass).
+        val feats = graft.Pin.ser(TextAnalysis.qualityFilter(pool,
+          minTokens = 40, maxStopwordRatio = 0.2, maxShortTokenRatio = 0.3)
+          .select(col("doc_id"), col("n_tokens"), col("stopword_ratio")))
+        val qualityText = pool.join(
+          feats.select(col("doc_id")), Seq("doc_id"), "left_semi")
+        val canon = Dedup.exact(qualityText)
+        val uniqueText = qualityText.join(
+          canon.select(col("kept_id").as("doc_id")), Seq("doc_id"), "left_semi")
+        val cleanText = Dedup.decontaminate(uniqueText, evalDocs,
+          shingleN = 3, minOverlap = 10)
+        val cleanFeats = feats.join(
+          cleanText.select(col("doc_id")), Seq("doc_id"), "left_semi")
+        Sampling.takeTokenBudget(cleanFeats, "doc_id",
+          col("stopword_ratio"), col("n_tokens"), budget = 20000L)
+          .select(col("doc_id"), col("n_tokens"), col("cum_before"))
+      },
+      Some(s"""WITH t AS (
+        |  SELECT doc_id, text, regexp_split_to_array(text, '\\s+') AS toks,
+        |    CAST(len(regexp_split_to_array(text, '\\s+')) AS BIGINT) AS n_tokens
+        |  FROM documents WHERE doc_id >= 20),
+        |q AS (
+        |  SELECT doc_id, text, n_tokens,
+        |    round(len(list_filter(toks, x -> x IN ('the','a','of','and','to','in')))
+        |          / CAST(n_tokens AS DOUBLE), 8) AS stopword_ratio
+        |  FROM t
+        |  WHERE n_tokens >= 40
+        |    AND round(len(list_filter(toks, x -> x IN ('the','a','of','and','to','in')))
+        |          / CAST(n_tokens AS DOUBLE), 8) <= 0.2
+        |    AND round(len(list_filter(toks, x -> length(x) <= 2))
+        |          / CAST(n_tokens AS DOUBLE), 8) <= 0.3),
+        |dd AS (
+        |  SELECT q.* FROM q
+        |  JOIN (SELECT min(doc_id) AS doc_id FROM q
+        |        GROUP BY ${h60("text")}) k USING (doc_id)),
+        |tw AS (SELECT doc_id, regexp_split_to_array(text, '\\s+') AS w FROM dd),
+        |tsh AS (
+        |  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+        |  FROM tw, UNNEST(range(1, len(w) - 1)) AS t(i) WHERE len(w) >= 3),
+        |ew AS (
+        |  SELECT doc_id, regexp_split_to_array(text, '\\s+') AS w
+        |  FROM documents WHERE doc_id < 20),
+        |esh AS (
+        |  SELECT DISTINCT ${h60("w[i] || ' ' || w[i+1] || ' ' || w[i+2]")} AS h
+        |  FROM ew, UNNEST(range(1, len(w) - 1)) AS t(i) WHERE len(w) >= 3),
+        |hits AS (
+        |  SELECT t.doc_id, count(*) AS n
+        |  FROM (SELECT doc_id, ${h60("shingle")} AS h FROM tsh) t
+        |  JOIN esh USING (h) GROUP BY 1),
+        |clean AS (
+        |  SELECT * FROM dd
+        |  WHERE doc_id NOT IN (SELECT doc_id FROM hits WHERE n >= 10)),
+        |o AS (
+        |  SELECT doc_id, n_tokens,
+        |    CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY stopword_ratio, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before
+        |  FROM clean)
+        |SELECT doc_id, n_tokens, cum_before FROM o WHERE cum_before < 20000""".stripMargin))
   )
 }
