@@ -11,6 +11,17 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The round driver keeps only a ~2000-char tail of `sbt runMain`'s stdout
+// and json.loads's it; sbt's default logger wraps forked output in
+// "[info] " and appends "[success] Total time ...", so the Bench summary
+// line never parses even when it fits the window. Route forked run output
+// straight through (no prefix) and drop the success banner so the summary
+// can be the final stdout line. Exit codes still signal success/failure.
+run / outputStrategy := Some(StdoutOutput)
+Global / showSuccess := false
+// showSuccess is consumed by sbt's command layer, which the unused-key
+// lint can't see.
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -71,7 +71,8 @@ object IncrementalEmbedDedup {
   def ingestBatch(spark: SparkSession, batch: DataFrame, batchId: String,
                   sigsPath: String, vecsPath: String,
                   threshold: Double, bits: Int = 16, tables: Int = 4,
-                  dim: Int = 64): DataFrame = {
+                  dim: Int = 64,
+                  maxCandidatePairs: Long = 50000000L): DataFrame = {
     if (KeyedParquetStore.debugChecksOn(spark)) {
       val dupInBatch = batch.groupBy(col("vec_id"))
         .agg(count(lit(1)).as("__n"))
@@ -97,7 +98,7 @@ object IncrementalEmbedDedup {
     }
     KeyedParquetStore.withWritePlanning(spark) {
       val (labeled, sigs) = labelBatch(spark, batch, sigsPath, vecsPath,
-        threshold, bits, tables, dim)
+        threshold, bits, tables, dim, maxCandidatePairs)
       val keptIds = labeled.filter(col("status") === "kept").select("vec_id")
       // Vectors FIRST (see crash-order scaladoc above). Both relations
       // are unique per key by construction (one row per vec_id; one
@@ -128,8 +129,10 @@ object IncrementalEmbedDedup {
   def dedupBatch(spark: SparkSession, batch: DataFrame,
                  sigsPath: String, vecsPath: String,
                  threshold: Double, bits: Int = 16, tables: Int = 4,
-                 dim: Int = 64): DataFrame =
-    labelBatch(spark, batch, sigsPath, vecsPath, threshold, bits, tables, dim)._1
+                 dim: Int = 64,
+                 maxCandidatePairs: Long = 50000000L): DataFrame =
+    labelBatch(spark, batch, sigsPath, vecsPath, threshold, bits, tables,
+      dim, maxCandidatePairs)._1
 
   /** Returns (labeled batch, pinned batch signatures) — the signatures
     * are reused by [[ingestBatch]]'s upsert so the tables×bits×dim
@@ -137,7 +140,7 @@ object IncrementalEmbedDedup {
   private def labelBatch(spark: SparkSession, batch: DataFrame,
                          sigsPath: String, vecsPath: String,
                          threshold: Double, bits: Int, tables: Int,
-                         dim: Int): (DataFrame, DataFrame) = {
+                         dim: Int, maxCandidatePairs: Long): (DataFrame, DataFrame) = {
     // Pinned once per call: v feeds the signature build, the in-batch
     // confirm (both sides) and the vs-store confirm — the
     // cosinePairsLsh r12 pin lesson applies verbatim here.
@@ -148,7 +151,21 @@ object IncrementalEmbedDedup {
           explode(Similarity.lshSignatures(col("e"), bits, tables, dim)).as("ts"))
         .select(col("vec_id"), col("ts.t").as("t"), col("ts.sig").as("sig")))
 
-    // In-batch candidates + confirm: cosinePairsLsh's own shape.
+    // In-batch candidates + confirm: cosinePairsLsh's own shape —
+    // INCLUDING its Σ c·(c-1)/2 explosion guard (ADVICE r12): a skewed
+    // batch carrying a large replica class would otherwise materialize
+    // quadratic candidate pairs silently, the exact failure mode
+    // cosinePairsLsh refuses. One id-width aggregation over the pinned
+    // signatures, before any pair materializes.
+    val selfEst = sigs.groupBy("t", "sig").agg(count(lit(1)).as("c"))
+      .agg(coalesce(sum((col("c") * (col("c") - 1) / 2).cast("long")), lit(0L)))
+      .head.getLong(0)
+    require(selfEst <= maxCandidatePairs,
+      s"embed-dedup ingest: ~$selfEst within-bucket candidate pairs inside this " +
+        s"batch exceed maxCandidatePairs=$maxCandidatePairs — $bits bits is too " +
+        "coarse for the batch (occupancy is n/2^bits per table and pair work is " +
+        "occupancy-quadratic); raise bits toward log2(n/targetOccupancy), split " +
+        "the batch, or raise maxCandidatePairs deliberately")
     val selfCands = sigs.select(col("t"), col("sig"), col("vec_id").as("doc_a"))
       .join(sigs.select(col("t"), col("sig"), col("vec_id").as("doc_b")),
         Seq("t", "sig"))

@@ -17,6 +17,38 @@ object PipelineQueries {
   private def h60(e: String): String =
     s"CAST(('0x' || substr(md5($e), 1, 15)) AS BIGINT)"
 
+  /** Scratch keyed-store roots for the stateful-ingest query faces
+    * (q49/q61/q65/q71/q72/q79). Two contracts (ADVICE r12 — the bare
+    * `createTempDirectory` under /tmp accumulated orphan stores across
+    * Verify/Bench runs):
+    *  - they live under the repo's gitignored `.tmp/` dir, never /tmp;
+    *  - every root registers for recursive deletion at JVM exit — late
+    *    enough that q61/q65's per-JVM persisted-index contract (first
+    *    call builds, later calls search the SAME store) keeps holding
+    *    within the process. */
+  private object TempStores {
+    private val dirs = new java.util.concurrent.ConcurrentLinkedQueue[java.nio.file.Path]()
+    private lazy val hookOnce: Unit = Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      dirs.forEach { d =>
+        try
+          java.nio.file.Files.walk(d)
+            .sorted(java.util.Comparator.reverseOrder())
+            .forEach { p =>
+              try { java.nio.file.Files.deleteIfExists(p); () }
+              catch { case _: java.io.IOException => () }
+            }
+        catch { case _: java.io.IOException => () } // already gone
+      }))
+    def create(prefix: String): String = {
+      hookOnce
+      val root = java.nio.file.Paths.get(".tmp", "stores")
+      java.nio.file.Files.createDirectories(root)
+      val d = java.nio.file.Files.createTempDirectory(root, prefix)
+      dirs.add(d)
+      d.toString
+    }
+  }
+
   /** SQL fragment: distinct word-3-gram shingles per doc (mirrors
     * `TextAnalysis.shingles`); `where` bounds the source table. */
   private def shinglesSql(where: String = ""): String =
@@ -84,6 +116,11 @@ object PipelineQueries {
        |  FROM (SELECT DISTINCT src AS vec_id FROM eedges$tag) n
        |  JOIN ereach$tag r ON r.a = n.vec_id
        |  GROUP BY 1 HAVING min(r.b) < n.vec_id)""".stripMargin
+
+  /** q78's sorted-neighborhood link window — ONE constant feeding both
+    * the `cosineClusters` call and the oracle's interpolated lead arms,
+    * so implementation and oracle cannot drift apart (ADVICE r12). */
+  private val q78LinkWindow = 3
 
   /** SQL fragment shared by q36/q78: the planted-replica corpus
     * (embeddings ∪ id+100000 copy) and its 4-table × 16-bit
@@ -617,7 +654,7 @@ object PipelineQueries {
           StructField("cv", ArrayType(DoubleType)), StructField("cell", LongType)))
         val emb = Tables.embeddings(s, dir)
         val root = ivfStores.getOrElseUpdate(dir,
-          java.nio.file.Files.createTempDirectory("graft_ivf").toString)
+          TempStores.create("graft_ivf"))
         val centStore = s"$root/centroids"
         val corpusStore = s"$root/assigned"
         def cents = KeyedParquetStore.read(s, centStore, schema = Some(centSchema))
@@ -713,22 +750,25 @@ object PipelineQueries {
         val v = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
         Similarity.cosineClusters(
           v.unionByName(v.select((col("vec_id") + 100000).as("vec_id"), col("embedding"))),
-          threshold = 0.99, bits = 16, tables = 4, dim = 64)
+          threshold = 0.99, bits = 16, tables = 4, dim = 64,
+          linkWindow = q78LinkWindow)
       },
-      // Oracle mirrors the sorted-neighborhood edge rule (lead 1..3
-      // within each (t, sig) bucket), the round-6 cosine confirm, and the
-      // q37 recursive-CTE connected components (label = component min id).
+      // Oracle mirrors the sorted-neighborhood edge rule (lead
+      // 1..linkWindow within each (t, sig) bucket — the arms interpolate
+      // from the SAME q78LinkWindow constant the builder passes, so the
+      // two cannot silently desynchronize; ADVICE r12), the round-6
+      // cosine confirm, and the q37 recursive-CTE connected components
+      // (label = component min id).
       Some(s"""WITH RECURSIVE $rhpReplicaSigSql,
         |cand AS (
         |  SELECT vec_id AS id_a,
-        |         lead(vec_id, 1) OVER (PARTITION BY t, sig ORDER BY vec_id) AS l1,
-        |         lead(vec_id, 2) OVER (PARTITION BY t, sig ORDER BY vec_id) AS l2,
-        |         lead(vec_id, 3) OVER (PARTITION BY t, sig ORDER BY vec_id) AS l3
+        |         ${(1 to q78LinkWindow).map(j =>
+               s"lead(vec_id, $j) OVER (PARTITION BY t, sig ORDER BY vec_id) AS l$j")
+               .mkString(",\n         ")}
         |  FROM sig),
         |cand2 AS (
-        |  SELECT id_a, l1 AS id_b FROM cand
-        |  UNION ALL SELECT id_a, l2 FROM cand
-        |  UNION ALL SELECT id_a, l3 FROM cand),
+        |  ${(1 to q78LinkWindow).map(j => s"SELECT id_a, l$j AS id_b FROM cand")
+               .mkString("\n  UNION ALL ")}),
         |conf AS (
         |  SELECT DISTINCT c.id_a, c.id_b
         |  FROM (SELECT DISTINCT id_a, id_b FROM cand2 WHERE id_b IS NOT NULL) c
@@ -754,7 +794,7 @@ object PipelineQueries {
     // in-batch copies (+400000 of b2 members) land dup_in_batch.
     Q("q79_embed_incremental",
       (s, dir) => {
-        val tmp = java.nio.file.Files.createTempDirectory("graft_q79").toString
+        val tmp = TempStores.create("graft_q79")
         val emb = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
         val b1 = emb.filter(col("vec_id") < 250)
         val b2 = emb.filter(col("vec_id") >= 250 && col("vec_id") < 500)
@@ -1020,7 +1060,7 @@ object PipelineQueries {
     // wins). Absolute id bounds keep the work constant across SFs.
     Q("q49_incremental_dedup",
       (s, dir) => {
-        val tmp = java.nio.file.Files.createTempDirectory("graft_q49").toString
+        val tmp = TempStores.create("graft_q49")
         val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
         val batch1 = docs.filter(col("doc_id") < 300)
         val batch2 = docs.filter(col("doc_id") >= 300 && col("doc_id") < 500)
@@ -1109,7 +1149,7 @@ object PipelineQueries {
           StructField("n_docs", LongType), StructField("avgdl", DoubleType),
           StructField("k", IntegerType)))
         val root = bm25Stores.getOrElseUpdate(dir,
-          java.nio.file.Files.createTempDirectory("graft_bm25").toString)
+          TempStores.create("graft_bm25"))
         val (pPath, tPath, sPath) = (s"$root/postings", s"$root/terms", s"$root/stats")
         if (KeyedParquetStore.read(s, sPath, schema = Some(statsSchema)).isEmpty) {
           val (postings, terms, stats) = TextAnalysis.bm25IndexRelations(
@@ -1758,7 +1798,7 @@ object PipelineQueries {
     Q("q71_bm25_incremental",
       (s, dir) => {
         import graft.pipeline.IncrementalBm25
-        val tmp = java.nio.file.Files.createTempDirectory("graft_q71").toString
+        val tmp = TempStores.create("graft_q71")
         val (pP, tP, sP) = (s"$tmp/postings", s"$tmp/terms", s"$tmp/stats")
         val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
         def slice(r: Int) = docs.filter(pmod(col("doc_id"), lit(2)) === r)
@@ -1795,7 +1835,7 @@ object PipelineQueries {
     Q("q72_ivf_incremental",
       (s, dir) => {
         import graft.pipeline.IncrementalIvf
-        val tmp = java.nio.file.Files.createTempDirectory("graft_q72").toString
+        val tmp = TempStores.create("graft_q72")
         val (cP, aP) = (s"$tmp/centroids", s"$tmp/assigned")
         val emb = Tables.embeddings(s, dir)
         def slice(r: Int) = emb.filter(pmod(col("vec_id"), lit(2)) === r)

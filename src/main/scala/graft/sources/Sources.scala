@@ -359,13 +359,40 @@ object KeyedParquetStore {
               token.getBytes(java.nio.charset.StandardCharsets.UTF_8))
             true
           } catch { case e: java.io.IOException => file.delete(); throw e }
-        } catch { case _: java.io.IOException => false }
+        } catch { case e: java.io.IOException =>
+          // Mapping EVERY IOException to "not acquired" is right for the
+          // benign race (another writer O_EXCL'd first) but wrong-SILENT
+          // for environmental failure: a persistent disk-full/quota error
+          // here would present as lock contention (eventually a bogus
+          // "concurrent upsert detected") with no trace of the real
+          // cause. The benign race returns false from createNewFile and
+          // never lands in this catch, so anything that DOES is worth a
+          // loud stderr line before the acquisition-failure verdict
+          // (ADVICE r12).
+          System.err.println(s"[keyed-store] lock token write at $lock " +
+            s"failed (${e.getClass.getSimpleName}: ${e.getMessage}) — " +
+            "reporting acquisition failure; if this recurs, the cause is " +
+            "environmental (disk full / quota / permissions), not contention")
+          false
+        }
       } else try {
         val out = f.create(lock, false)
         out.write(token.getBytes(java.nio.charset.StandardCharsets.UTF_8))
         out.close()
         true
-      } catch { case _: java.io.IOException => false }
+      } catch { case e: java.io.IOException =>
+        // The non-local create(path, overwrite=false) throws both for the
+        // benign already-exists race AND for real write failure; only the
+        // latter deserves noise. FileAlreadyExistsException is the benign
+        // subtype Hadoop raises for the race — stay quiet for it.
+        if (!e.isInstanceOf[org.apache.hadoop.fs.FileAlreadyExistsException] &&
+            !e.isInstanceOf[java.nio.file.FileAlreadyExistsException])
+          System.err.println(s"[keyed-store] lock token write at $lock " +
+            s"failed (${e.getClass.getSimpleName}: ${e.getMessage}) — " +
+            "reporting acquisition failure; if this recurs, the cause is " +
+            "environmental, not contention")
+        false
+      }
     def owned(): Boolean = readToken(f, lock).contains(token)
     if (!create()) {
       val fresh =
