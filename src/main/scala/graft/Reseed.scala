@@ -1,0 +1,117 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Seed-robustness corpus generator (r12 verdict item 2): every green
+  * CORRECTNESS row rides the ONE fixed testdata draw, so tie-handling
+  * and determinism claims deserve a second one. This rewrites an
+  * sf-dir's content tables under deterministic salt-keyed mutations
+  * that act as a fresh draw while preserving everything the registry
+  * hardcodes — schemas, id VALUES (literal bounds like q49's
+  * `doc_id < 300` must keep meaning what they mean), group labels, and
+  * referential integrity:
+  *
+  *  - `documents.text`: tokens rotate by hash(doc_id)·salt positions
+  *    and the tail drops 0-3 tokens (never below 5) — every shingle,
+  *    minhash, content hash, fingerprint, chunk boundary and BM25
+  *    position changes; token-count distributions keep their shape.
+  *    `n_chars` is recomputed; ids/lang/source stay.
+  *  - `embeddings.embedding`: per-component jitter of ±1e-4 — enough
+  *    to redraw every distance TIE, centroid boundary and LSH sign bit
+  *    near zero, nothing that changes the family's computational shape.
+  *  - `events`: `ts` shifts by ±1h per event and `value` scales by
+  *    ±5% — session boundaries, calendar-window membership, as-of
+  *    picks and funnel orderings all redraw. Written as NTZ micros
+  *    (the driver encoding; see Tables.events).
+  *  - `orders`/`lineitem` rewrite with a fresh physical row order
+  *    (values verbatim — their queries are exact arithmetic over
+  *    unchanged keys; what a reseed can falsify there is ROW-ORDER
+  *    dependence, so that is what changes).
+  *  - dims symlink from the source (fixed dims are the contract).
+  *
+  * The DuckDB oracles recompute from the same mutated parquet, so the
+  * full check.py gate runs unmodified against the output. A gate
+  * failure here means order/tie dependence the fixed draw never
+  * exercised — exactly what this exists to surface.
+  *
+  * Usage: `runMain graft.Reseed <srcSfDir> <dstDir> [salt]` (salt
+  * defaults to "r13"). Output is measurement input, NOT testdata —
+  * dstDir lives under the gitignored tmp/ tree.
+  */
+object Reseed {
+  def main(args: Array[String]): Unit = {
+    require(args.length == 2 || args.length == 3,
+      "usage: graft.Reseed <srcSfDir> <dstDir> [salt]")
+    val (src, dst) = (args(0), args(1))
+    val salt = if (args.length == 3) args(2) else "r13"
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    new java.io.File(dst).mkdirs()
+
+    // xxhash64 over (id, salt, tag): stable across runs, independent
+    // across tags — each mutation dimension gets its own draw.
+    def h(id: org.apache.spark.sql.Column, tag: String) =
+      abs(xxhash64(id, lit(salt), lit(tag)))
+
+    val docs = Tables.documents(spark, src)
+    val toks = split(col("text"), "\\s+")
+    val n = size(toks)
+    val rot = (pmod(h(col("doc_id"), "rot"), n.cast("long")) + 1).cast("int")
+    val rotated = concat(
+      slice(toks, rot + 1, greatest(n - rot, lit(0))),
+      slice(toks, lit(1), rot))
+    val keepN = least(n, greatest(n - pmod(h(col("doc_id"), "drop"), lit(4)).cast("int"), lit(5)))
+    val newText = array_join(slice(rotated, lit(1), keepN), " ")
+    docs.select(col("doc_id"), newText.as("text"), col("lang"), col("source"))
+      .withColumn("n_chars", length(col("text")))
+      .repartition(8)
+      .write.mode("overwrite").parquet(s"$dst/documents.parquet")
+
+    val emb = Tables.embeddings(spark, src)
+    val jittered = transform(col("embedding"), (x, i) =>
+      x + ((pmod(xxhash64(col("vec_id"), i, lit(salt)), lit(2001L)) - 1000L)
+        .cast("double") / 1e7).cast("float"))
+    emb.select(col("vec_id"), jittered.cast("array<float>").as("embedding"), col("label"))
+      .repartition(4)
+      .write.mode("overwrite").parquet(s"$dst/embeddings.parquet")
+
+    val ev = Tables.events(spark, src)
+    ev.select(
+      col("event_id"),
+      (col("ts") + make_dt_interval(lit(0), lit(0), lit(0),
+        (pmod(h(col("event_id"), "ts"), lit(7201L)) - 3600L).cast("double")))
+        .cast("timestamp_ntz").as("ts"),
+      col("user_id"), col("event_type"),
+      (col("value") * (lit(1.0) +
+        (pmod(h(col("event_id"), "val"), lit(101L)) - 50L).cast("double") / 1e3))
+        .cast(ev.schema("value").dataType).as("value"),
+      col("props"))
+      .repartition(4)
+      .write.mode("overwrite").parquet(s"$dst/events.parquet")
+
+    Seq("orders" -> 4, "lineitem" -> 8).foreach { case (t, parts) =>
+      spark.read.parquet(s"$src/$t.parquet")
+        .repartition(parts)
+        .write.mode("overwrite").parquet(s"$dst/$t.parquet")
+    }
+    Seq("region", "nation", "customer", "supplier", "part").foreach { t =>
+      val link = java.nio.file.Paths.get(s"$dst/$t.parquet")
+      java.nio.file.Files.deleteIfExists(link)
+      java.nio.file.Files.createSymbolicLink(link,
+        java.nio.file.Paths.get(s"$src/$t.parquet").toAbsolutePath)
+    }
+    val nd = spark.read.parquet(s"$dst/documents.parquet").count()
+    val nv = spark.read.parquet(s"$dst/embeddings.parquet").count()
+    val ne = spark.read.parquet(s"$dst/events.parquet").count()
+    println(s"""{"reseeded":"$dst","salt":"$salt","docs":$nd,"vecs":$nv,"events":$ne}""")
+    spark.stop()
+  }
+}

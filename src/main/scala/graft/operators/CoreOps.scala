@@ -195,20 +195,44 @@ object CoreOps {
     * near-uniformly. */
   def saltedExactSum(df: DataFrame, keys: Seq[String], value: Column,
                      scale: Int, as: String, buckets: Int = 16): DataFrame = {
+    // Integer-unit quantization for the same tie-stability reason as
+    // [[exactSum]] (see its scaladoc); the partials stay exact decimals
+    // so the two-level sum is order-insensitive.
+    val f = math.pow(10, scale).toLong
     val salted = df.withColumn("__salt",
       pmod(hash(keys.map(col) :+ value: _*), lit(buckets)))
     salted
       .groupBy((keys.map(col) :+ col("__salt")): _*)
-      .agg(sum(value.cast(org.apache.spark.sql.types.DecimalType(30, scale))).as("__partial"))
+      .agg(sum(round(value * f, 0)
+        .cast(org.apache.spark.sql.types.DecimalType(30, 0))).as("__partial"))
       .groupBy(keys.map(col): _*)
-      .agg(sum(col("__partial")).cast("double").as(as))
+      .agg((sum(col("__partial")).cast("double") / f).as(as))
   }
 
-  /** Exact monetary sum: route a double expression with <= `scale` decimal
-    * digits through DECIMAL so the aggregation is order-insensitive
-    * (bit-identical across engines/partitionings), then surface a double.
-    * This is how every money-sum in SparkEntry stays hash-comparable with
-    * the DuckDB oracle regardless of partition/merge order. */
-  def exactSum(e: Column, scale: Int = 4): Column =
-    sum(e.cast(org.apache.spark.sql.types.DecimalType(30, scale))).cast("double")
+  /** Exact monetary sum: quantize a double expression to the 10^-scale
+    * grid as INTEGER units (`round(e·10^scale)` → DECIMAL(30,0)), sum in
+    * decimal (order-insensitive, bit-identical across partitionings),
+    * then surface units/10^scale as a double.
+    *
+    * Why integer units instead of the previous `cast(e as DECIMAL(30,
+    * scale))`: the per-row double→fractional-decimal cast ROUNDS when the
+    * value carries more decimals than `scale`, and that rounding is
+    * engine-dependent at ties — Spark rounds the double's shortest
+    * decimal rendering ("1.215" → 1.22) where DuckDB rounds the binary
+    * value (1.21499999999999986 → 1.21). The fixed testdata draw never
+    * landed a row on such a boundary; the r13 reseeded draw
+    * (value·(1+k/1000) — exact 5-decimal rationals) hit it on the first
+    * try and failed q43/q59 by a cent. Round-to-INTEGER is the one
+    * rounding both engines agree on for every double: a shortest
+    * rendering ending in ".5" denotes a binary value that IS exactly
+    * half (.5 is representable, rendering round-trips), and both engines
+    * round half away from zero — so the same IEEE product e·10^scale
+    * rounds identically everywhere. Exactness bound: |e|·10^scale must
+    * stay below 2^53 (money at 4 dp: ~9·10^11 — far above any row
+    * value; the SUM side is DECIMAL(30,0), good to 10^30 units). */
+  def exactSum(e: Column, scale: Int = 4): Column = {
+    val f = math.pow(10, scale).toLong
+    sum(round(e * f, 0).cast(org.apache.spark.sql.types.DecimalType(30, 0)))
+      .cast("double") / f
+  }
 }

@@ -55,7 +55,7 @@ object ParityQueries {
   private val indexDailySql =
     s"""$liRankedSql
       |SELECT d,
-      |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,2))) AS DOUBLE) / $K AS index_value,
+      |       (CAST(SUM(CAST(round((l_extendedprice) * 100) AS DECIMAL(30,0))) AS DOUBLE) / 100) / $K AS index_value,
       |       string_agg(lid, ',' ORDER BY rn) AS composition
       |FROM r WHERE rn <= $K GROUP BY d""".stripMargin
 
@@ -114,7 +114,7 @@ object ParityQueries {
       },
       Some("""WITH dly AS (
         |  SELECT CAST(o_orderdate AS DATE) AS d,
-        |         CAST(SUM(CAST(o_totalprice AS DECIMAL(30,2))) AS DOUBLE) AS total
+        |         (CAST(SUM(CAST(round((o_totalprice) * 100) AS DECIMAL(30,0))) AS DOUBLE) / 100) AS total
         |  FROM orders GROUP BY 1)
         |SELECT d, total,
         |  round((total - lag(total) OVER (ORDER BY d)) / lag(total) OVER (ORDER BY d) * 100, 8) AS daily_return,
@@ -219,7 +219,7 @@ object ParityQueries {
             CoreOps.exactSum(col("l_extendedprice") * (lit(1) - col("l_discount")), 4).as("revenue"),
             count(lit(1)).as("n_items")),
       Some("""SELECT n_name,
-        |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,4))) AS DOUBLE) AS revenue,
+        |  (CAST(SUM(CAST(round((l_extendedprice * (1 - l_discount)) * 10000) AS DECIMAL(30,0))) AS DOUBLE) / 10000) AS revenue,
         |  count(*) AS n_items
         |FROM lineitem
         |JOIN supplier ON l_suppkey = s_suppkey
@@ -250,7 +250,7 @@ object ParityQueries {
               .as("revenue"),
             count(lit(1)).as("n_items")),
       Some("""SELECT n_name, c_mktsegment,
-        |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,4))) AS DOUBLE) AS revenue,
+        |  (CAST(SUM(CAST(round((l_extendedprice * (1 - l_discount)) * 10000) AS DECIMAL(30,0))) AS DOUBLE) / 10000) AS revenue,
         |  count(*) AS n_items
         |FROM lineitem
         |JOIN orders ON l_orderkey = o_orderkey
@@ -317,12 +317,12 @@ object ParityQueries {
       },
       Some("""WITH rev AS (
         |  SELECT s_suppkey, s_name,
-        |         CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,2))) AS DOUBLE) AS rev
+        |         (CAST(SUM(CAST(round((l_extendedprice) * 100) AS DECIMAL(30,0))) AS DOUBLE) / 100) AS rev
         |  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
         |  GROUP BY s_suppkey, s_name),
         |rk AS (SELECT *, row_number() OVER (ORDER BY rev DESC, s_suppkey) AS rk FROM rev)
         |SELECT CASE WHEN rk <= 3 THEN s_name ELSE 'OTHERS' END AS bucket,
-        |       CAST(SUM(CAST(rev AS DECIMAL(30,2))) AS DOUBLE) AS total_rev,
+        |       (CAST(SUM(CAST(round((rev) * 100) AS DECIMAL(30,0))) AS DOUBLE) / 100) AS total_rev,
         |       count(*) AS n_suppliers
         |FROM rk GROUP BY 1""".stripMargin)),
 
@@ -345,10 +345,10 @@ object ParityQueries {
       },
       Some("""WITH rev AS (
         |  SELECT l_suppkey,
-        |         CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,2))) AS DOUBLE) AS rev
+        |         (CAST(SUM(CAST(round((l_extendedprice) * 100) AS DECIMAL(30,0))) AS DOUBLE) / 100) AS rev
         |  FROM lineitem GROUP BY 1)
         |SELECT l_suppkey, rev,
-        |  round(rev / CAST(SUM(CAST(rev AS DECIMAL(30,2))) OVER () AS DOUBLE), 8) AS share
+        |  round(rev / (CAST(SUM(CAST(round((rev) * 100) AS DECIMAL(30,0))) OVER () AS DOUBLE) / 100), 8) AS share
         |FROM rev""".stripMargin)),
 
     // P7/P9: point lookup on the computed index — the date filter prunes
@@ -357,7 +357,7 @@ object ParityQueries {
       (s, dir) => indexDaily(s, dir).filter(col("d") === lit("1998-03-15").cast("date")),
       Some(s"""$liRankedSql
         |SELECT d,
-        |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,2))) AS DOUBLE) / $K AS index_value,
+        |       (CAST(SUM(CAST(round((l_extendedprice) * 100) AS DECIMAL(30,0))) AS DOUBLE) / 100) / $K AS index_value,
         |       string_agg(lid, ',' ORDER BY rn) AS composition
         |FROM r WHERE rn <= $K AND d = DATE '1998-03-15' GROUP BY d""".stripMargin)),
 
@@ -380,7 +380,7 @@ object ParityQueries {
           .agg(CoreOps.exactSum(col("o_totalprice"), 2).as("total"))
           .orderBy(col("d").desc).limit(30),
       Some("""SELECT CAST(o_orderdate AS DATE) AS d,
-        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(30,2))) AS DOUBLE) AS total
+        |       (CAST(SUM(CAST(round((o_totalprice) * 100) AS DECIMAL(30,0))) AS DOUBLE) / 100) AS total
         |FROM orders GROUP BY 1 ORDER BY d DESC LIMIT 30""".stripMargin)),
 
     // O4/O6: global top-K with total order (TakeOrderedAndProject — no
@@ -420,7 +420,7 @@ object ParityQueries {
         |  count(*) AS n_orders,
         |  min(CAST(o_orderdate AS DATE)) AS first_day,
         |  max(CAST(o_orderdate AS DATE)) AS last_day,
-        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(30,2))) AS DOUBLE) AS total,
+        |  (CAST(SUM(CAST(round((o_totalprice) * 100) AS DECIMAL(30,0))) AS DOUBLE) / 100) AS total,
         |  format('{}: {} orders', strftime(CAST(o_orderdate AS DATE), '%Y-%m'), count(*)) AS label
         |FROM orders GROUP BY 1""".stripMargin)),
 
@@ -490,7 +490,7 @@ object ParityQueries {
       },
       Some("""WITH dly AS (
         |  SELECT CAST(o_orderdate AS DATE) AS d,
-        |         CAST(SUM(CAST(o_totalprice AS DECIMAL(30,2))) AS DOUBLE) AS v
+        |         (CAST(SUM(CAST(round((o_totalprice) * 100) AS DECIMAL(30,0))) AS DOUBLE) / 100) AS v
         |  FROM orders GROUP BY 1),
         |r AS (SELECT d, v, lag(v) OVER (ORDER BY d) AS prev FROM dly)
         |SELECT v AS current_value, v - prev AS daily_change,
@@ -526,7 +526,7 @@ object ParityQueries {
         |SELECT user_id, min(ts) AS session_start,
         |  max(ts) + INTERVAL 30 MINUTE AS session_end,
         |  count(*) AS n_events,
-        |  CAST(SUM(CAST(value AS DECIMAL(30,2))) AS DOUBLE) AS session_value
+        |  (CAST(SUM(CAST(round((value) * 100) AS DECIMAL(30,0))) AS DOUBLE) / 100) AS session_value
         |FROM s GROUP BY user_id, sid""".stripMargin)),
 
     // The tumbling-window face of the streaming surface (one code path
@@ -541,7 +541,7 @@ object ParityQueries {
         |  SELECT CAST(ts AS TIMESTAMP) AS ts, event_type, value FROM events)
         |SELECT date_trunc('hour', ts) AS window_start, event_type,
         |  count(*) AS n,
-        |  CAST(SUM(CAST(value AS DECIMAL(30,2))) AS DOUBLE) AS total_value
+        |  (CAST(SUM(CAST(round((value) * 100) AS DECIMAL(30,0))) AS DOUBLE) / 100) AS total_value
         |FROM e GROUP BY 1, 2""".stripMargin)),
 
     // S2 + P4 + P10 in one projection: character-translate normalization

@@ -99,7 +99,7 @@ object PipelineQueries {
        |  SELECT DISTINCT a.vec_id AS doc_a, b.vec_id AS doc_b
        |  FROM sig$tag a JOIN sig$tag b ON a.t = b.t AND a.sig = b.sig
        |  WHERE a.vec_id < b.vec_id),
-       |epairs$tag AS (
+       |epairs$tag AS MATERIALIZED (
        |  SELECT c.doc_a, c.doc_b FROM ecand$tag c
        |  JOIN v$tag a ON a.vec_id = c.doc_a
        |  JOIN v$tag b ON b.vec_id = c.doc_b
@@ -266,7 +266,15 @@ object PipelineQueries {
   /** SQL fragments for q49: within-batch confirmed pairs (band collision
     * + Jaccard ≥ 0.5, mirrors `minhashLsh`) and the recursive-closure
     * min-label rejection set (mirrors `dedupClusters` +
-    * `status = dup_in_batch`): CTEs `pairs$tag` and `noncanon$tag`. */
+    * `status = dup_in_batch`): CTEs `pairs$tag` and `noncanon$tag`.
+    *
+    * `pairs$tag` is AS MATERIALIZED (here and in every closure-feeding
+    * CTE below): DuckDB re-evaluates a plain CTE under a recursive one,
+    * so the whole shingle→minhash→Jaccard chain re-ran inside the
+    * closure and spilled unboundedly at scale (q81's sf1 oracle filled
+    * 77 GB of temp; the q37 sf10 oracle death was the same pathology —
+    * the 1,557 materialized sf1 pairs close in <0.1 s). One keyword
+    * pins the chain to one evaluation. */
   private def selfDedupSql(tag: String): String =
     s"""cand$tag AS (
        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
@@ -278,7 +286,7 @@ object PipelineQueries {
        |  JOIN h$tag a ON a.doc_id = p.doc_a
        |  JOIN h$tag b ON b.doc_id = p.doc_b AND b.h = a.h
        |  GROUP BY 1, 2),
-       |pairs$tag AS (
+       |pairs$tag AS MATERIALIZED (
        |  SELECT i.doc_a, i.doc_b FROM inter$tag i
        |  JOIN sizes$tag sa ON i.doc_a = sa.doc_id
        |  JOIN sizes$tag sb ON i.doc_b = sb.doc_id
@@ -516,7 +524,7 @@ object PipelineQueries {
             numHashes = 16, rowsPerBand = 4, shingleN = 3, threshold = 0.5)
             .select("doc_a", "doc_b")),
       Some(s"""${minhashJacSql.replaceFirst("^WITH ", "WITH RECURSIVE ")},
-        |pairs AS (SELECT doc_a, doc_b FROM jac WHERE jaccard >= 0.5),
+        |pairs AS MATERIALIZED (SELECT doc_a, doc_b FROM jac WHERE jaccard >= 0.5),
         |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
         |          UNION ALL SELECT doc_b AS src, doc_a AS dst FROM pairs),
         |nodes AS (SELECT DISTINCT src AS doc_id FROM edges),
@@ -606,7 +614,7 @@ object PipelineQueries {
           Tables.lineitem(s, dir), Seq("l_suppkey"), col("l_extendedprice"), 2, "rev",
           buckets = 16),
       Some("""SELECT l_suppkey,
-        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,2))) AS DOUBLE) AS rev
+        |  (CAST(SUM(CAST(round((l_extendedprice) * 100) AS DECIMAL(30,0))) AS DOUBLE) / 100) AS rev
         |FROM lineitem GROUP BY 1""".stripMargin)),
 
     // IVF ANN: k-means-trained Voronoi cells (2 Lloyd iterations over a
@@ -769,7 +777,7 @@ object PipelineQueries {
         |cand2 AS (
         |  ${(1 to q78LinkWindow).map(j => s"SELECT id_a, l$j AS id_b FROM cand")
                .mkString("\n  UNION ALL ")}),
-        |conf AS (
+        |conf AS MATERIALIZED (
         |  SELECT DISTINCT c.id_a, c.id_b
         |  FROM (SELECT DISTINCT id_a, id_b FROM cand2 WHERE id_b IS NOT NULL) c
         |  JOIN v a ON a.vec_id = c.id_a
@@ -1934,6 +1942,160 @@ object PipelineQueries {
         |    CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY stopword_ratio, doc_id
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before
         |  FROM clean)
-        |SELECT doc_id, n_tokens, cum_before FROM o WHERE cum_before < 20000""".stripMargin))
+        |SELECT doc_id, n_tokens, cum_before FROM o WHERE cum_before < 20000""".stripMargin)),
+
+    // FULL-CHAIN corpus curation (r12 verdict item 1): q80's four stages
+    // plus the three a production run also chains — fuzzy near-dup dedup
+    // (the q25/q37/q40 minhashLsh→dedupClusters→apply shape), PII
+    // redaction (q64), and output chunking (q57) — all composed from the
+    // SAME operators their per-stage faces verify individually. PII is
+    // INJECTED at the source (q64's shape — the corpus has none), so a
+    // silently no-op redaction surfaces verbatim in chunk_text and
+    // hash-fails. The one-tokenization-pass discipline (q80's pin
+    // lesson) extends to SHINGLES here: the hashed-shingle relation pins
+    // ONCE and feeds all three of its consumers — band signatures, the
+    // Jaccard confirm, and eval decontamination — where calling
+    // minhashLsh + decontaminate as black boxes would shingle the
+    // surviving corpus twice more (each an extra full-corpus pass at
+    // 100 TB). Stages between the gates carry ids + narrow features
+    // only; text rejoins from the raw scan exactly where a stage needs
+    // it (the exact-dedup hash scan; the final redact+chunk of the
+    // budget-selected docs). Output is the training-ready chunk
+    // relation, deterministic by (doc_id, chunk_id).
+    Q("q81_curation_full",
+      (s, dir) => {
+        val raw = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+        val evalDocs = raw.filter(col("doc_id") < 20)
+        val pool = raw.filter(col("doc_id") >= 20)
+          .select(col("doc_id"), concat(col("text"),
+            lit(" contact user"), col("doc_id").cast("string"),
+            lit("@example.com at 10.0."), (col("doc_id") % 256).cast("string"),
+            lit(".7 ref 99887766"), col("doc_id").cast("string")).as("text"))
+        // Stage 1 — quality gate (q34 params); the id+16-byte feature
+        // projection pins once and serves stages 1 and 6.
+        val feats = graft.Pin.ser(TextAnalysis.qualityFilter(pool,
+          minTokens = 40, maxStopwordRatio = 0.2, maxShortTokenRatio = 0.3)
+          .select(col("doc_id"), col("n_tokens"), col("stopword_ratio")))
+        val qualityText = pool.join(
+          feats.select(col("doc_id")), Seq("doc_id"), "left_semi")
+        // Stage 2 — exact dedup election + application (q20/q40 shape).
+        val uniqueText = qualityText.join(
+          Dedup.exact(qualityText).select(col("kept_id").as("doc_id")),
+          Seq("doc_id"), "left_semi")
+        // Stage 3 — fuzzy near-dup (q25/q37/q40 shape). The pinned
+        // shingle relation is this stage's substrate AND stage 4's.
+        val sh = graft.Pin.ser(TextAnalysis.hashedShingles(uniqueText, 3))
+        val sigs = Dedup.bandSigs(sh, numHashes = 16, rowsPerBand = 4)
+        val cands = sigs.select(col("band"), col("sig"), col("doc_id").as("doc_a"))
+          .join(sigs.select(col("band"), col("sig"), col("doc_id").as("doc_b")),
+            Seq("band", "sig"))
+          .filter(col("doc_a") < col("doc_b"))
+          .select("doc_a", "doc_b").distinct()
+        val pairs = Dedup.exactJaccard(cands, sh).filter(col("jaccard") >= 0.5)
+        val nearIds = Dedup.dropNonCanonical(
+          uniqueText.select(col("doc_id")),
+          Dedup.dedupClusters(pairs.select(col("doc_a"), col("doc_b"))))
+        // Stage 4 — eval decontamination (q51 params) on the SAME pinned
+        // shingles; eval shingles broadcast as in Dedup.decontaminate.
+        val evalH = TextAnalysis.hashedShingles(evalDocs, 3)
+          .select(col("h")).distinct()
+        val hits = sh.join(nearIds, Seq("doc_id"), "left_semi")
+          .join(broadcast(evalH), Seq("h"))
+          .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hits"))
+          .filter(col("n_hits") >= 10)
+        val cleanIds = nearIds.join(
+          hits.select(col("doc_id")), Seq("doc_id"), "left_anti")
+        // Stage 5 — token-budget selection (q74 shape) over the pinned
+        // features; no re-tokenization.
+        val selected = Sampling.takeTokenBudget(
+          feats.join(cleanIds, Seq("doc_id"), "left_semi"),
+          "doc_id", col("stopword_ratio"), col("n_tokens"), budget = 20000L)
+        // Stages 6+7 — PII redact (q64 stages) then chunk (q57 params),
+        // on the budget-selected docs only; text rejoins from the scan.
+        val selText = pool.join(
+          selected.select(col("doc_id")), Seq("doc_id"), "left_semi")
+        val redactedCol = TextAnalysis.redactPii(col("text"))
+          .collectFirst { case ("redacted", c) => c }.get
+        TextAnalysis.chunkDocuments(
+          selText.select(col("doc_id"), redactedCol.as("text")),
+          maxTokens = 32, overlap = 8)
+      },
+      Some(s"""WITH RECURSIVE w AS (
+        |  SELECT doc_id,
+        |    text || ' contact user' || CAST(doc_id AS VARCHAR) ||
+        |    '@example.com at 10.0.' || CAST(doc_id % 256 AS VARCHAR) ||
+        |    '.7 ref 99887766' || CAST(doc_id AS VARCHAR) AS text
+        |  FROM documents WHERE doc_id >= 20),
+        |tq AS (
+        |  SELECT doc_id, text, regexp_split_to_array(text, '\\s+') AS toks,
+        |    CAST(len(regexp_split_to_array(text, '\\s+')) AS BIGINT) AS n_tokens
+        |  FROM w),
+        |q AS (
+        |  SELECT doc_id, text, n_tokens,
+        |    round(len(list_filter(toks, x -> x IN ('the','a','of','and','to','in')))
+        |          / CAST(n_tokens AS DOUBLE), 8) AS stopword_ratio
+        |  FROM tq
+        |  WHERE n_tokens >= 40
+        |    AND round(len(list_filter(toks, x -> x IN ('the','a','of','and','to','in')))
+        |          / CAST(n_tokens AS DOUBLE), 8) <= 0.2
+        |    AND round(len(list_filter(toks, x -> length(x) <= 2))
+        |          / CAST(n_tokens AS DOUBLE), 8) <= 0.3),
+        |dd AS (
+        |  SELECT q.* FROM q
+        |  JOIN (SELECT min(doc_id) AS doc_id FROM q
+        |        GROUP BY ${h60("text")}) k USING (doc_id)),
+        |bcp AS (SELECT doc_id, text FROM dd),
+        |${bandChainSql("cp")},
+        |${selfDedupSql("cp")},
+        |nd AS (
+        |  SELECT doc_id FROM dd
+        |  WHERE doc_id NOT IN (SELECT doc_id FROM noncanoncp)),
+        |ew AS (
+        |  SELECT doc_id, regexp_split_to_array(text, '\\s+') AS w2
+        |  FROM documents WHERE doc_id < 20),
+        |esh AS (
+        |  SELECT DISTINCT ${h60("w2[i] || ' ' || w2[i+1] || ' ' || w2[i+2]")} AS h
+        |  FROM ew, UNNEST(range(1, len(w2) - 1)) AS t(i) WHERE len(w2) >= 3),
+        |hits AS (
+        |  SELECT hh.doc_id, count(*) AS n
+        |  FROM hcp hh JOIN esh USING (h)
+        |  WHERE hh.doc_id IN (SELECT doc_id FROM nd)
+        |  GROUP BY 1),
+        |clean AS (
+        |  SELECT doc_id FROM nd
+        |  WHERE doc_id NOT IN (SELECT doc_id FROM hits WHERE n >= 10)),
+        |o AS (
+        |  SELECT q.doc_id,
+        |    CAST(COALESCE(SUM(q.n_tokens) OVER (ORDER BY q.stopword_ratio, q.doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before
+        |  FROM q JOIN clean USING (doc_id)),
+        |sel AS (
+        |  SELECT w.doc_id, w.text FROM w
+        |  JOIN (SELECT doc_id FROM o WHERE cum_before < 20000) s USING (doc_id)),
+        |e AS (
+        |  SELECT doc_id, regexp_replace(text,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS t1
+        |  FROM sel),
+        |i AS (
+        |  SELECT doc_id, regexp_replace(t1,
+        |    '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '<IP>', 'g') AS t2
+        |  FROM e),
+        |rr AS (
+        |  SELECT doc_id, regexp_replace(t2, '\\b\\d{7,}\\b', '<NUM>', 'g') AS rt
+        |  FROM i),
+        |ctk AS (
+        |  SELECT doc_id, regexp_split_to_array(rt, '\\s+') AS t
+        |  FROM rr WHERE trim(rt) <> ''),
+        |cnn AS (
+        |  SELECT doc_id, t, len(t) AS n,
+        |    GREATEST(1, CAST(ceil((len(t) - 8) * 1.0 / 24) AS BIGINT)) AS nc
+        |  FROM ctk),
+        |ck AS (SELECT doc_id, t, n, unnest(generate_series(0, nc - 1)) AS k FROM cnn)
+        |SELECT doc_id, k AS chunk_id,
+        |  array_to_string(list_slice(t, k*24 + 1, LEAST(k*24 + 32, n)), ' ')
+        |    AS chunk_text,
+        |  CAST(len(list_slice(t, k*24 + 1, LEAST(k*24 + 32, n))) AS BIGINT)
+        |    AS n_chunk_tokens
+        |FROM ck""".stripMargin))
   )
 }

@@ -90,4 +90,39 @@ class PipelineEndToEndSpec extends SparkSpec {
     assert(a === b)
     assert(a.nonEmpty)
   }
+
+  // q81's full-chain face (quality → exact dedup → minhash near-dup →
+  // decontaminate → budget → redact → chunk): the oracle pins the exact
+  // row set at sf0.01/sf1; THIS spec pins the properties a hash can't
+  // localize when it fails — the injected PII is gone from every chunk,
+  // the typed placeholders actually appear (so redaction ran, rather
+  // than the injection never happening), and the chunk geometry holds.
+  test("q81 full curation chain: chunks are redacted, sized, deterministic") {
+    val q81 = graft.SparkEntry.queries("q81_curation_full")
+    val out = q81(spark, "/root/testdata/sf0.001")
+      .select($"doc_id", $"chunk_id", $"chunk_text", $"n_chunk_tokens")
+      .collect()
+    assert(out.nonEmpty)
+    val texts = out.map(_.getString(2))
+    // every selected doc carried injected PII; redaction must have
+    // consumed all of it...
+    assert(!texts.exists(_.contains("@example.com")),
+      "an email survived redaction into a training chunk")
+    assert(!texts.exists(t => "\\b10\\.0\\.\\d{1,3}\\.7\\b".r.findFirstIn(t).isDefined),
+      "an IP survived redaction into a training chunk")
+    assert(!texts.exists(t => "\\b99887766\\d+\\b".r.findFirstIn(t).isDefined),
+      "a long number survived redaction into a training chunk")
+    // ...and left its typed markers (each doc's tail chunk carries them)
+    assert(texts.exists(_.contains("<EMAIL>")) && texts.exists(_.contains("<NUM>")),
+      "no placeholder tokens found — the injection or redaction stage never ran")
+    assert(out.forall(_.getLong(3) <= 32), "a chunk exceeded maxTokens")
+    // chunk ids are dense per doc (0..n-1): posexplode + sequence contract
+    out.groupBy(_.getLong(0)).foreach { case (_, rows) =>
+      assert(rows.map(_.getLong(1)).sorted.toSeq === (0L until rows.length).toSeq)
+    }
+    val again = q81(spark, "/root/testdata/sf0.001")
+      .select($"doc_id", $"chunk_id", $"chunk_text").as[(Long, Long, String)]
+      .collect().toSet
+    assert(again === out.map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet)
+  }
 }
