@@ -1,0 +1,158 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Dev utility (r12 verdict item 5): age every persisted-index family
+  * through MANY batches — far past the 2-3-batch correctness witnesses
+  * (q49/q71/q72/q79) — with maintenance cadence on, and record whether
+  * per-batch cost stays batch-sized and file counts stay bounded as the
+  * store accumulates dozens of partitions. The two regressions this
+  * exists to catch:
+  *
+  *  - per-batch seconds growing with STORE size (an ingest face
+  *    silently re-reading the accumulated corpus);
+  *  - file counts growing without bound between maintenance passes
+  *    (compaction not actually bounding the small-file population).
+  *
+  * Families: `dedup` ([[graft.pipeline.IncrementalDedup]]), `bm25`
+  * ([[graft.pipeline.IncrementalBm25]], roll-up cadence), `ivf`
+  * ([[graft.pipeline.IncrementalIvf]], retrain cadence), `embed`
+  * ([[graft.pipeline.IncrementalEmbedDedup]]). Batches split by
+  * `xxhash64(id) % n` (the r12 lesson: a modulo split leaves every
+  * ScaleUp replica class in one batch and the vs-store faces idle).
+  * Every `compactEvery`-th batch runs the family's maintenance —
+  * [[graft.sources.KeyedParquetStore.compact]] on each store, plus the
+  * BM25 partial roll-up / IVF retrain where the module defines one —
+  * timed separately from ingest (`maint_sec`).
+  *
+  * Output: one JSONL line per (family, batch) on stdout —
+  * `{"family","batch","sec","maint_sec","rows","store_keys","files"}`
+  * where `files` is the store-tree data-file count AFTER any
+  * maintenance. Flat `sec` + sawtooth-bounded `files` is the pass.
+  *
+  * Usage: `runMain graft.StoreAgingProbe <sfDir> <storeRoot> <nBatches>
+  * <compactEvery> [families]` (families comma-separated, default all).
+  */
+object StoreAgingProbe {
+  def main(args: Array[String]): Unit = {
+    require(args.length == 4 || args.length == 5,
+      "usage: graft.StoreAgingProbe <sfDir> <storeRoot> <nBatches> <compactEvery> [families]")
+    val Array(sfDir, storeRoot, nStr, ceStr) = args.take(4)
+    val n = nStr.toInt
+    val compactEvery = ceStr.toInt
+    require(n >= 2 && compactEvery >= 1, s"need nBatches >= 2, compactEvery >= 1")
+    val families = if (args.length == 5) args(4).split(",").map(_.trim).toSet
+      else Set("dedup", "bm25", "ivf", "embed")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import graft.sources.KeyedParquetStore
+
+    def dataFiles(paths: Seq[String]): Long = paths.map { p =>
+      val root = java.nio.file.Paths.get(p)
+      if (!java.nio.file.Files.exists(root)) 0L
+      else {
+        val s = java.nio.file.Files.walk(root)
+        try s.filter(f => {
+          val nm = f.getFileName.toString
+          java.nio.file.Files.isRegularFile(f) && nm.endsWith(".parquet") &&
+            !nm.startsWith(".") && !nm.startsWith("_")
+        }).count()
+        finally s.close()
+      }
+    }.sum
+
+    def run(family: String, stores: Seq[String],
+            ingest: (DataFrame, Int) => DataFrame,
+            maint: Int => Unit,
+            batchOf: Int => DataFrame,
+            keyStore: String): Unit = {
+      for (i <- 0 until n) {
+        val b = batchOf(i)
+        val t0 = System.nanoTime()
+        val rows = ingest(b, i).count()
+        val sec = (System.nanoTime() - t0) / 1e9
+        val tm = System.nanoTime()
+        val maintained = (i + 1) % compactEvery == 0
+        if (maintained) {
+          maint(i)
+          stores.foreach { p =>
+            if (java.nio.file.Files.exists(java.nio.file.Paths.get(p)))
+              KeyedParquetStore.compact(spark, p, targetFiles = 1)
+          }
+        }
+        val maintSec = if (maintained) (System.nanoTime() - tm) / 1e9 else 0.0
+        val keys = KeyedParquetStore.read(spark, keyStore).map(_.count()).getOrElse(0L)
+        println(f"""{"family":"$family","batch":$i,"sec":$sec%.2f,""" +
+          f""""maint_sec":$maintSec%.2f,"rows":$rows,"store_keys":$keys,""" +
+          s""""files":${dataFiles(stores)}}""")
+      }
+    }
+
+    val docs = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
+    val emb = Tables.embeddings(spark, sfDir).select(col("vec_id"), col("embedding"))
+    def docBatch(i: Int) = docs.filter(pmod(xxhash64(col("doc_id")), lit(n.toLong)) === i)
+    def embBatch(i: Int) = emb.filter(pmod(xxhash64(col("vec_id")), lit(n.toLong)) === i)
+
+    if (families("dedup")) {
+      val (bP, sP) = (s"$storeRoot/dedup/bands", s"$storeRoot/dedup/shingles")
+      run("dedup", Seq(bP, sP),
+        (b, i) => graft.pipeline.IncrementalDedup.ingestBatch(spark, b, s"b$i", bP, sP),
+        i => Seq(bP, sP).foreach(p => KeyedParquetStore.rollupBatchPartitions(
+          spark, p, keepBatches = Set(s"b$i"))),
+        docBatch, bP)
+    }
+    if (families("bm25")) {
+      val (pP, tP, stP) = (s"$storeRoot/bm25/postings", s"$storeRoot/bm25/terms",
+        s"$storeRoot/bm25/stats")
+      run("bm25", Seq(pP, tP, stP),
+        (b, i) => {
+          graft.pipeline.IncrementalBm25.ingestBatch(spark, b, s"b$i", pP, tP, stP)
+          b.select(col("doc_id"))
+        },
+        // roll-up cadence: fold all partials except the just-ingested
+        // batch (the replay horizon), the StreamsSpec compaction shape
+        i => {
+          KeyedParquetStore.rollupBatchPartitions(spark, pP,
+            keepBatches = Set(s"b$i"), partitionCols = Seq("batch", "tbucket"))
+          graft.pipeline.IncrementalBm25.rollupPartials(spark, tP, stP,
+            keepBatches = Set(s"b$i"))
+        },
+        docBatch, pP)
+    }
+    if (families("ivf")) {
+      val (cP, aP) = (s"$storeRoot/ivf/centroids", s"$storeRoot/ivf/assigned")
+      graft.pipeline.IncrementalIvf.buildCentroids(spark, embBatch(0), cP,
+        numCells = 8, trainIters = 2)
+      run("ivf", Seq(cP, aP),
+        (b, i) => {
+          graft.pipeline.IncrementalIvf.ingestBatch(spark, b, s"b$i", cP, aP)
+          b.select(col("vec_id"))
+        },
+        i => {
+          KeyedParquetStore.rollupBatchPartitions(spark, aP,
+            keepBatches = Set(s"b$i"), partitionCols = Seq("iv", "cell", "batch"))
+          graft.pipeline.IncrementalIvf.retrain(spark, cP, aP,
+            numCells = 8, trainIters = 2, keepBatches = Set(s"b$i"))
+        },
+        embBatch, aP)
+    }
+    if (families("embed")) {
+      val (sgP, vP) = (s"$storeRoot/embed/sigs", s"$storeRoot/embed/vecs")
+      run("embed", Seq(sgP, vP),
+        (b, i) => graft.pipeline.IncrementalEmbedDedup.ingestBatch(
+          spark, b, s"b$i", sgP, vP, threshold = 0.99),
+        i => Seq(sgP, vP).foreach(p => KeyedParquetStore.rollupBatchPartitions(
+          spark, p, keepBatches = Set(s"b$i"))),
+        embBatch, vP)
+    }
+    spark.stop()
+  }
+}

@@ -750,6 +750,56 @@ object KeyedParquetStore {
     } finally h.release()
   }
 
+  /** Consolidate AGED batch partitions: fold every `batch=` partition
+    * not named in `keepBatches` into one `batch=rollup` partition, rows
+    * VERBATIM — the keyed stores hold per-key facts, so unlike
+    * [[graft.pipeline.IncrementalBm25.rollupPartials]] (which sums
+    * partials) nothing aggregates and reads are bit-identical before and
+    * after. Exists because an append-per-batch store grows one partition
+    * DIRECTORY per ingest forever: [[compact]] bounds files per
+    * partition but not the partition population, and at 10⁵ ingests the
+    * listing itself becomes the scan-planning bottleneck (the r13 aging
+    * probe measured exactly linear directory growth under compaction).
+    *
+    * `keepBatches` is the REPLAY HORIZON, with rollupPartials' contract:
+    * every store using partition-scoped upserts keys uniquely across
+    * batches, so a replayed batch whose partition was folded would merge
+    * into a now-empty partition and its keys would then exist twice
+    * (once under `rollup`, once fresh). Fold only batches that can no
+    * longer replay (in the streaming sinks: everything but the current
+    * epoch — older epochs are checkpoint-committed). Re-running is
+    * idempotent: `rollup` folds into `rollup`.
+    *
+    * `partitionCols` must be the store's full partition layout and
+    * include "batch"; other partition columns are preserved through the
+    * fold (bm25 postings keep their `tbucket` pruning, IVF cells their
+    * `cell` listing-prune). Implementation is a whole-store [[replace]]
+    * — correctness-first: the staged swap keeps readers consistent and
+    * crashes healable, where a file-move consolidation would leave
+    * duplicate-visible windows. The rewrite cost is the store, so
+    * callers at very large stores should trigger folds geometrically
+    * (when aged partitions exceed a fraction of the total) rather than
+    * on a fixed cadence; the no-op path below makes a too-eager call
+    * cost one distinct-scan of the partition column. */
+  def rollupBatchPartitions(spark: SparkSession, path: String,
+                            keepBatches: Set[String],
+                            partitionCols: Seq[String] = Seq("batch")): Unit = {
+    require(partitionCols.contains("batch"),
+      s"rollupBatchPartitions: partition layout $partitionCols must include 'batch'")
+    read(spark, path).foreach { df =>
+      val keep = keepBatches.toSeq
+      val aged = df
+        .filter(!col("batch").isin(keep: _*) && col("batch") =!= "rollup")
+        .limit(1).count()
+      if (aged > 0)
+        replace(spark, path,
+          df.withColumn("batch",
+            when(col("batch").isin(keep: _*), col("batch"))
+              .otherwise(lit("rollup"))),
+          partitionCols = partitionCols)
+    }
+  }
+
   /** REPLACE the store's contents wholesale — the consolidation
     * primitive under `upsert`'s merge-only semantics: a partial roll-up
     * (many `batch=` partitions → one consolidated partition) or an index

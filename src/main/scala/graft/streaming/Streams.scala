@@ -216,7 +216,15 @@ object Streams {
           numHashes, rowsPerBand, shingleN, threshold)
         ()
       },
-      maintain = (s, _) => {
+      maintain = (s, batchId) => {
+        // Fold aged batch partitions first (the partition POPULATION
+        // grows one directory per epoch; compact alone never bounds it —
+        // KeyedParquetStore.rollupBatchPartitions scaladoc), current
+        // epoch on the replay horizon, then compact what remains.
+        graft.sources.KeyedParquetStore.rollupBatchPartitions(
+          s, bandsPath, keepBatches = Set(batchId))
+        graft.sources.KeyedParquetStore.rollupBatchPartitions(
+          s, shinglesPath, keepBatches = Set(batchId))
         graft.sources.KeyedParquetStore.compact(s, bandsPath, compactTargetFiles)
         graft.sources.KeyedParquetStore.compact(s, shinglesPath, compactTargetFiles)
         ()
@@ -247,14 +255,17 @@ object Streams {
         graft.pipeline.IncrementalBm25.ingestBatch(
           s, batch, batchId, postingsPath, termsPath, statsPath, nBuckets),
       maintain = (s, batchId) => {
-        // Postings rows are per-doc facts — only their FILE population
-        // grows: compact. Term/stat PARTIALS grow in ROW count per
-        // batch: roll them up instead, keeping the current epoch's
+        // Postings rows are per-doc facts — fold their aged batch
+        // partitions verbatim and compact. Term/stat PARTIALS also grow
+        // in ROW count per batch: SUM-roll them up, keeping the current epoch's
         // partitions intact so a crash-replay of this epoch still
         // re-merges idempotently (older epochs are checkpoint-committed
         // and never redelivered). `batchId` is epochSink's single copy
         // of the partition name the ingest wrote — the horizon can't
         // drift from it.
+        graft.sources.KeyedParquetStore.rollupBatchPartitions(
+          s, postingsPath, keepBatches = Set(batchId),
+          partitionCols = Seq("batch", "tbucket"))
         graft.sources.KeyedParquetStore.compact(s, postingsPath, compactTargetFiles)
         graft.pipeline.IncrementalBm25.rollupPartials(
           s, termsPath, statsPath, keepBatches = Set(batchId))
@@ -278,7 +289,10 @@ object Streams {
       ingest = (s, batch, batchId) =>
         graft.pipeline.IncrementalIvf.ingestBatch(
           s, batch, batchId, centroidsPath, assignedPath),
-      maintain = (s, _) => {
+      maintain = (s, batchId) => {
+        graft.sources.KeyedParquetStore.rollupBatchPartitions(
+          s, assignedPath, keepBatches = Set(batchId),
+          partitionCols = Seq("iv", "cell", "batch"))
         graft.sources.KeyedParquetStore.compact(s, assignedPath, compactTargetFiles)
         ()
       },
@@ -308,7 +322,11 @@ object Streams {
           s, batch, batchId, sigsPath, vecsPath, threshold, bits, tables, dim)
         ()
       },
-      maintain = (s, _) => {
+      maintain = (s, batchId) => {
+        graft.sources.KeyedParquetStore.rollupBatchPartitions(
+          s, sigsPath, keepBatches = Set(batchId))
+        graft.sources.KeyedParquetStore.rollupBatchPartitions(
+          s, vecsPath, keepBatches = Set(batchId))
         graft.sources.KeyedParquetStore.compact(s, sigsPath, compactTargetFiles)
         graft.sources.KeyedParquetStore.compact(s, vecsPath, compactTargetFiles)
         ()

@@ -666,6 +666,44 @@ class SamplingSpec extends SparkSpec {
     assert(strCells.map(_._3).max <= 4000L / 2,
       s"string-id sub-cells unbalanced: ${strCells.toSeq}")
   }
+
+  test("takeTokenBudget: string-id tie-split survives adversarial UTF-8 " +
+      "ids — multi-byte, surrogate-pair, shared-prefix (r12 item 7)") {
+    // Property under test: budgetCells' driver-side boundary sort
+    // (UTF-8 byte comparator) must agree with Spark's own binary string
+    // order — a disagreeing boundary is not an interval cut of the
+    // (score, id) order, the cell concatenation reorders the tie, and
+    // cum_before drifts. Ground truth is the sanctioned naive plan
+    // (scoreBuckets = 1: no tie machinery, one native Spark window).
+    // Alphabet spans 1- to 4-byte UTF-8 (the 4-byte rows are surrogate
+    // PAIRS in the JVM — the case where UTF-16 code-unit order and
+    // UTF-8 byte order can diverge) plus prefix-of-another ids; lone
+    // (unpaired) surrogates are out of contract — they don't round-trip
+    // UTF-8 and two distinct ids could encode identically.
+    val alphabet = Vector("a", "B", "0", "~", "é", "ß", "€",
+      "한", "￮", "😀", "𝄞", "zé", "")
+    for (seed <- Seq(1, 42, 20260814)) {
+      val rnd = new scala.util.Random(seed)
+      val ids = (0 until 3000).map { _ =>
+        (0 until (1 + rnd.nextInt(6))).map(_ => alphabet(rnd.nextInt(alphabet.size))).mkString
+      }.distinct
+      val rows = ids.map(id => (id, 0.0, 1L + rnd.nextInt(7).toLong))
+      val scored = rows.toDF("doc_id", "score", "n_tokens")
+      val split = Sampling.takeTokenBudget(scored, "doc_id", $"score",
+        $"n_tokens", budget = 2000L, scoreBuckets = 16, tieSubBuckets = 8)
+        .select($"doc_id", $"cum_before").as[(String, Long)].collect().toMap
+      val naive = Sampling.takeTokenBudget(scored, "doc_id", $"score",
+        $"n_tokens", budget = 2000L, scoreBuckets = 1)
+        .select($"doc_id", $"cum_before").as[(String, Long)].collect().toMap
+      assert(split === naive, s"seed $seed: tie-split diverged from the naive order")
+      assert(split.nonEmpty && split.size < ids.size, s"seed $seed: degenerate draw")
+      // and the machinery actually engaged (the whole corpus is one tie)
+      val cells = Sampling.budgetCells(scored, "doc_id", $"score",
+        $"n_tokens", scoreBuckets = 16, tieSubBuckets = 8)
+        .groupBy($"__qb", $"__sub").count().as[(Int, Int, Long)].collect()
+      assert(cells.length >= 4, s"seed $seed: UTF-8 tie class did not split")
+    }
+  }
 }
 
 class SimilaritySpec extends SparkSpec {

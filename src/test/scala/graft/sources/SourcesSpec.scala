@@ -603,6 +603,50 @@ class SourcesSpec extends SparkSpec {
     assert(healed === got)
   }
 
+  test("rollupBatchPartitions folds aged batch dirs verbatim, keeps the " +
+      "horizon, preserves sub-partitions, and stays idempotent (r13)") {
+    val path = Files.createTempDirectory("store_rollup").toString + "/postings"
+    // (batch, tbucket) layout — the bm25-postings shape, the most
+    // structured of the stores this maintains
+    val rows = (0 until 4).flatMap(i => Seq(
+      (s"doc${i}a", 1L, i % 2, s"e$i"), (s"doc${i}b", 2L, (i + 1) % 2, s"e$i")))
+      .toDF("doc", "tf", "tbucket", "batch")
+    (0 until 4).foreach { i =>
+      KeyedParquetStore.upsert(spark, path, rows.filter($"batch" === s"e$i"),
+        Seq("doc"), Seq(lit(1)), partitionCols = Seq("batch", "tbucket"),
+        partitionValues = Seq(Seq(s"e$i", 0), Seq(s"e$i", 1)))
+    }
+    val before = KeyedParquetStore.read(spark, path).get
+      .select($"doc", $"tf", $"tbucket").as[(String, Long, Int)].collect().toSet
+    KeyedParquetStore.rollupBatchPartitions(spark, path,
+      keepBatches = Set("e3"), partitionCols = Seq("batch", "tbucket"))
+    val after = KeyedParquetStore.read(spark, path).get
+    // rows verbatim (batch label aside); tbucket survives the fold
+    assert(after.select($"doc", $"tf", $"tbucket").as[(String, Long, Int)]
+      .collect().toSet === before)
+    val batches = after.select($"batch").distinct().as[String].collect().toSet
+    assert(batches === Set("rollup", "e3"))
+    // partition DIRECTORY population: 4 batch dirs -> 2
+    val dirs = new java.io.File(path).listFiles
+      .filter(f => f.isDirectory && f.getName.startsWith("batch=")).map(_.getName).toSet
+    assert(dirs === Set("batch=rollup", "batch=e3"))
+    // idempotent: rollup folds into rollup, horizon stays put
+    KeyedParquetStore.rollupBatchPartitions(spark, path,
+      keepBatches = Set("e3"), partitionCols = Seq("batch", "tbucket"))
+    assert(KeyedParquetStore.read(spark, path).get
+      .select($"doc", $"tf", $"tbucket").as[(String, Long, Int)]
+      .collect().toSet === before)
+    // the kept batch still replays idempotently AFTER the fold (the
+    // whole point of the horizon): re-upsert e3 with a bumped value
+    KeyedParquetStore.upsert(spark, path,
+      Seq(("doc3a", 9L, 1, "e3")).toDF("doc", "tf", "tbucket", "batch"),
+      Seq("doc"), Seq(lit(2)), partitionCols = Seq("batch", "tbucket"),
+      partitionValues = Seq(Seq("e3", 0), Seq("e3", 1)))
+    val replayed = KeyedParquetStore.read(spark, path).get
+      .filter($"doc" === "doc3a").select($"tf").as[Long].collect().toSeq
+    assert(replayed === Seq(9L)) // merged, not duplicated
+  }
+
   test("partitioned store prunes partitions on date filters") {
     val path = Files.createTempDirectory("store_part").toString + "/stocks"
     val rows = (1 to 10).flatMap(day => Seq(("AAA", f"2024-01-$day%02d", day * 1.0, 1)))
