@@ -62,7 +62,7 @@ object PipelineQueries {
   /** SQL fragment: hashed shingle relation (mirrors
     * `TextAnalysis.hashedShingles`); appended after `shinglesSql`. */
   private def hashedSql: String =
-    s"hsh AS (SELECT doc_id, ${h60("shingle")} AS h FROM sh)"
+    s"hsh AS MATERIALIZED (SELECT doc_id, ${h60("shingle")} AS h FROM sh)"
 
   /** SQL fragment: round-6 cosine similarity, index-ordered dot products
     * (mirrors `Similarity.cosine` over the codegen'd DotProduct). */
@@ -252,7 +252,7 @@ object PipelineQueries {
        |  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
        |  FROM t$tag, UNNEST(range(1, len(w) - 1)) AS t(i)
        |  WHERE len(w) >= 3),
-       |h$tag AS (SELECT doc_id, ${h60("shingle")} AS h FROM s$tag),
+       |h$tag AS MATERIALIZED (SELECT doc_id, ${h60("shingle")} AS h FROM s$tag),
        |sizes$tag AS (SELECT doc_id, count(*) AS n FROM h$tag GROUP BY 1),
        |mh$tag AS (
        |  SELECT doc_id, CAST(seed AS INT) AS seed,
