@@ -24,10 +24,12 @@ import org.apache.spark.sql.functions._
   *    ±5% — session boundaries, calendar-window membership, as-of
   *    picks and funnel orderings all redraw. Written as NTZ micros
   *    (the driver encoding; see Tables.events).
-  *  - `orders`/`lineitem` rewrite with a fresh physical row order
-  *    (values verbatim — their queries are exact arithmetic over
-  *    unchanged keys; what a reseed can falsify there is ROW-ORDER
-  *    dependence, so that is what changes).
+  *  - `orders`/`lineitem` rewrite with a fresh physical row order AND
+  *    their money columns scaled by ±5% in exact per-mille steps —
+  *    value·(1+k/1000) lands exactly on .xx5 half-way points at 2 dp,
+  *    the adversarial decimal class that exposed exactSum's
+  *    double→DECIMAL tie dependence (keys, dates, flags verbatim, so
+  *    joins and groupings are unchanged).
   *  - dims symlink from the source (fixed dims are the contract).
   *
   * The DuckDB oracles recompute from the same mutated parquet, so the
@@ -97,10 +99,28 @@ object Reseed {
       .repartition(4)
       .write.mode("overwrite").parquet(s"$dst/events.parquet")
 
-    Seq("orders" -> 4, "lineitem" -> 8).foreach { case (t, parts) =>
-      spark.read.parquet(s"$src/$t.parquet")
-        .repartition(parts)
-        .write.mode("overwrite").parquet(s"$dst/$t.parquet")
+    // Money columns jitter by an exact per-mille rational (r13 second
+    // pass): value·(1+k/1000) sits EXACTLY on .xx5 half-way points at
+    // 2 dp — the adversarial decimal class that caught exactSum's
+    // double→DECIMAL tie dependence on events.value; the fact-side
+    // money family (q01/q08/q09/q10/q16/q31/q38/q69) deserves the same
+    // draw. Join keys, dates, flags stay verbatim.
+    locally {
+      val o = spark.read.parquet(s"$src/orders.parquet")
+      o.withColumn("o_totalprice",
+        (col("o_totalprice") * (lit(1.0) +
+          (pmod(h(col("o_orderkey"), "oprice"), lit(101L)) - 50L).cast("double") / 1e3))
+          .cast(o.schema("o_totalprice").dataType))
+        .repartition(4)
+        .write.mode("overwrite").parquet(s"$dst/orders.parquet")
+      val l = spark.read.parquet(s"$src/lineitem.parquet")
+      l.withColumn("l_extendedprice",
+        (col("l_extendedprice") * (lit(1.0) +
+          (pmod(h(concat(col("l_orderkey"), lit("_"), col("l_linenumber")), "lprice"),
+            lit(101L)) - 50L).cast("double") / 1e3))
+          .cast(l.schema("l_extendedprice").dataType))
+        .repartition(8)
+        .write.mode("overwrite").parquet(s"$dst/lineitem.parquet")
     }
     Seq("region", "nation", "customer", "supplier", "part").foreach { t =>
       val link = java.nio.file.Paths.get(s"$dst/$t.parquet")
