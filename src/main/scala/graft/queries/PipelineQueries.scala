@@ -2096,6 +2096,78 @@ object PipelineQueries {
         |    AS chunk_text,
         |  CAST(len(list_slice(t, k*24 + 1, LEAST(k*24 + 32, n))) AS BIGINT)
         |    AS n_chunk_tokens
-        |FROM ck""".stripMargin))
+        |FROM ck""".stripMargin)),
+
+    // TRAINING-EXPORT manifest — the OUTPUT-side composition (q81 is the
+    // cleaning side): context-window chunking (q57 params) → per-DOC
+    // train/val/test deal (split on doc_id so one document's chunks can
+    // never straddle splits — the eval-leak hygiene rule) → exact global
+    // shuffle rank over chunk keys (q73 shape: training order, no global
+    // window) → per-split sequence packing (q50 shape: hash shards ×
+    // ≤2048-token packs, the data-loader layout). Stages carry the
+    // id-width chunk manifest only — chunk TEXT stays joinable by
+    // (doc_id, chunk_id) and never enters an exchange here. One
+    // composed DuckDB oracle pins every column, so a drift in any
+    // stage's hash arithmetic or window frame hash-fails the row.
+    Q("q82_training_export",
+      (s, dir) => {
+        val chunks = TextAnalysis.chunkDocuments(
+          Tables.documents(s, dir).select(col("doc_id"), col("text")),
+          maxTokens = 32, overlap = 8)
+        val keyed = chunks.select(col("doc_id"), col("chunk_id"),
+          col("n_chunk_tokens"),
+          concat(col("doc_id").cast("string"), lit("#"),
+            col("chunk_id").cast("string")).as("chunk_key"))
+        val withSplit = Sampling.assignSplit(keyed, "doc_id",
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        // Pinned: three per-split pack consumers below would otherwise
+        // re-run the rank window per consumer.
+        val ranked = graft.Pin.ser(
+          Sampling.deterministicShuffleRank(withSplit, "chunk_key"))
+        val packed = Seq("train", "val", "test").map { sp =>
+          Sampling.packBudget(ranked.filter(col("split") === sp),
+            "chunk_key", col("n_chunk_tokens"), budget = 2048,
+            packBuckets = 16)
+        }.reduce(_.unionByName(_))
+        packed.select(col("doc_id"), col("chunk_id"), col("n_chunk_tokens"),
+          col("shuffle_rank"), col("pack_bucket"), col("pack_id"), col("split"))
+      },
+      Some(s"""WITH t AS (
+        |  SELECT doc_id, regexp_split_to_array(text, '\\s+') AS t
+        |  FROM documents WHERE trim(text) <> ''),
+        |n AS (
+        |  SELECT doc_id, t, len(t) AS n,
+        |    GREATEST(1, CAST(ceil((len(t) - 8) * 1.0 / 24) AS BIGINT)) AS nc
+        |  FROM t),
+        |c AS (SELECT doc_id, t, n, unnest(generate_series(0, nc - 1)) AS k FROM n),
+        |ch AS (
+        |  SELECT doc_id, k AS chunk_id,
+        |    CAST(len(list_slice(t, k*24 + 1, LEAST(k*24 + 32, n))) AS BIGINT)
+        |      AS n_chunk_tokens,
+        |    CAST(doc_id AS VARCHAR) || '#' || CAST(k AS VARCHAR) AS chunk_key
+        |  FROM c),
+        |sp AS (
+        |  SELECT doc_id,
+        |    CASE WHEN ${h60("CAST(doc_id AS VARCHAR) || '_split'")} % 10000 < 8000 THEN 'train'
+        |         WHEN ${h60("CAST(doc_id AS VARCHAR) || '_split'")} % 10000 < 9000 THEN 'val'
+        |         ELSE 'test' END AS split
+        |  FROM documents),
+        |r AS (
+        |  SELECT ch.doc_id, ch.chunk_id, ch.n_chunk_tokens, ch.chunk_key, sp.split,
+        |    CAST(row_number() OVER (
+        |      ORDER BY ${h60("chunk_key || '_shuffle'")}, chunk_key) AS BIGINT)
+        |      AS shuffle_rank,
+        |    ${h60("chunk_key || '_pack'")} % 16 AS pack_bucket
+        |  FROM ch JOIN sp USING (doc_id)),
+        |p AS (
+        |  SELECT *, SUM(n_chunk_tokens) OVER (
+        |    PARTITION BY split, pack_bucket ORDER BY chunk_key
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM r)
+        |SELECT doc_id, chunk_id, n_chunk_tokens, shuffle_rank, pack_bucket,
+        |  pack_bucket * (CAST(1 AS BIGINT) << 40)
+        |    + CAST(floor((cum - n_chunk_tokens) / 2048.0) AS BIGINT) AS pack_id,
+        |  split
+        |FROM p""".stripMargin))
   )
 }

@@ -125,4 +125,32 @@ class PipelineEndToEndSpec extends SparkSpec {
       .collect().toSet
     assert(again === out.map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet)
   }
+
+  // q82's export manifest: the oracle pins the exact values; this spec
+  // pins the export INVARIANTS a training run depends on — split
+  // hygiene (one doc never straddles splits), rank being a permutation,
+  // and packs that respect both the budget (modulo the documented
+  // straddler) and split boundaries.
+  test("q82 training export: split hygiene, rank permutation, pack discipline") {
+    val rows = graft.SparkEntry.queries("q82_training_export")(
+      spark, "/root/testdata/sf0.001")
+      .select($"doc_id", $"chunk_id", $"n_chunk_tokens", $"shuffle_rank",
+        $"pack_id", $"split")
+      .as[(Long, Long, Long, Long, Long, String)].collect()
+    assert(rows.nonEmpty)
+    // every chunk of a doc carries the doc's one split
+    rows.groupBy(_._1).foreach { case (doc, rs) =>
+      assert(rs.map(_._6).distinct.length === 1, s"doc $doc straddles splits")
+    }
+    // shuffle_rank is the 1..n permutation over ALL chunks
+    assert(rows.map(_._4).sorted.toSeq === (1L to rows.length).toSeq)
+    // a pack never mixes splits, and pack totals respect the budget up
+    // to one straddling chunk (maxTokens=32 << 2048, so any pack's
+    // pre-straddler prefix is < 2048 and the overflow is < 32)
+    rows.groupBy(r => (r._6, r._5)).foreach { case ((sp, pack), rs) =>
+      assert(rs.map(_._6).forall(_ == sp))
+      val tot = rs.map(_._3).sum
+      assert(tot < 2048 + 32, s"pack $pack in $sp overflows: $tot tokens")
+    }
+  }
 }
