@@ -73,7 +73,13 @@ object Reseed {
     val keepN = least(n, greatest(n - pmod(h(col("doc_id"), "drop"), lit(4)).cast("int"), lit(5)))
     val newText = array_join(slice(rotated, lit(1), keepN), " ")
     docs.select(col("doc_id"), newText.as("text"), col("lang"), col("source"))
-      .withColumn("n_chars", length(col("text")))
+      // recomputed, but at the SOURCE column's physical type: length()
+      // returns INT, and silently narrowing a BIGINT n_chars would be
+      // exactly the schema drift this generator promises not to
+      // introduce (caught by q83's typed-roundtrip row on the first
+      // draw generated without the cast)
+      .withColumn("n_chars",
+        length(col("text")).cast(docs.schema("n_chars").dataType))
       .repartition(8)
       .write.mode("overwrite").parquet(s"$dst/documents.parquet")
 

@@ -2168,6 +2168,51 @@ object PipelineQueries {
         |  pack_bucket * (CAST(1 AS BIGINT) << 40)
         |    + CAST(floor((cum - n_chunk_tokens) / 2048.0) AS BIGINT) AS pack_id,
         |  split
-        |FROM p""".stripMargin))
+        |FROM p""".stripMargin)),
+
+    // JSONL INGESTION with corrupt-record quarantine — the wire format
+    // training corpora actually arrive in (web-scrape/export dumps are
+    // line-delimited JSON), and the ingestion-robustness face the
+    // registry lacked: real dumps carry truncated/garbled lines, and an
+    // ingest that crashes on them (FAILFAST) or silently nulls them
+    // into the corpus (schema-blind) both fail at 100 TB. The face
+    // round-trips the corpus through JSONL with deterministically
+    // CORRUPTED lines (every doc_id ≡ 7 mod 50 truncated mid-object —
+    // the q64 injection idea applied to ingestion), then reads with an
+    // EXPLICIT schema (no inference pass over 100 TB of text) in
+    // PERMISSIVE mode: malformed lines land whole in the quarantine
+    // column instead of crashing the job or corrupting rows. Output =
+    // the clean corpus; the oracle knows exactly which ids were
+    // corrupted, so BOTH failure modes hash-fail: a crashed read
+    // returns nothing, a lossy parse perturbs values, an under-eager
+    // quarantine leaves all-null rows whose count mismatches. The
+    // JSONL scan is line-splittable, so the read parallelizes like any
+    // text source at scale.
+    Q("q83_jsonl_ingest",
+      (s, dir) => {
+        val tmp = TempStores.create("graft_q83")
+        val fields = struct(col("doc_id"), col("text"), col("lang"),
+          col("source"), col("n_chars"))
+        val line = when(pmod(col("doc_id"), lit(50)) === 7,
+          substring(to_json(fields), 1, 20)).otherwise(to_json(fields))
+        Tables.documents(s, dir)
+          .select(col("doc_id"), col("text"), col("lang"), col("source"),
+            col("n_chars"))
+          .select(line.as("value"))
+          .write.mode("overwrite").text(s"$tmp/docs_jsonl")
+        s.read
+          .schema("doc_id BIGINT, text STRING, lang STRING, source STRING, " +
+            "n_chars BIGINT, _corrupt_record STRING")
+          .option("mode", "PERMISSIVE")
+          .option("columnNameOfCorruptRecord", "_corrupt_record")
+          .json(s"$tmp/docs_jsonl")
+          .filter(col("_corrupt_record").isNull)
+          .select(col("doc_id"), col("text"), col("lang"), col("source"),
+            col("n_chars"))
+      },
+      // The oracle never sees the JSONL file — it states the CONTRACT:
+      // a clean roundtrip of every line that was not corrupted.
+      Some("""SELECT doc_id, text, lang, source, n_chars
+        |FROM documents WHERE doc_id % 50 <> 7""".stripMargin))
   )
 }

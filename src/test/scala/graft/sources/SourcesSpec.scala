@@ -647,6 +647,48 @@ class SourcesSpec extends SparkSpec {
     assert(replayed === Seq(9L)) // merged, not duplicated
   }
 
+  test("q83 JSONL ingest: corrupt lines quarantine whole, clean lines " +
+      "round-trip exactly (r13)") {
+    // The registry face asserts the clean-output contract against the
+    // oracle; THIS spec asserts the quarantine side the oracle can't
+    // see — corrupt lines are captured raw (not silently nulled into
+    // the corpus, not crashing the read).
+    val dir = Files.createTempDirectory("jsonl").toString
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select($"doc_id", $"text", $"lang", $"source", $"n_chars")
+    val fields = struct($"doc_id", $"text", $"lang", $"source", $"n_chars")
+    docs.select(
+        when(pmod($"doc_id", lit(50)) === 7, substring(to_json(fields), 1, 20))
+          .otherwise(to_json(fields)).as("value"))
+      .write.mode("overwrite").text(s"$dir/docs_jsonl")
+    // cached: Spark refuses plans whose referenced columns are ONLY the
+    // corrupt column over a raw JSON scan (QUERY_ONLY_CORRUPT_RECORD_
+    // COLUMN) — its documented pattern is to materialize the parse once
+    // and query that, which is what the quarantine projections below do
+    val parsed = spark.read
+      .schema("doc_id BIGINT, text STRING, lang STRING, source STRING, " +
+        "n_chars BIGINT, _corrupt_record STRING")
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .json(s"$dir/docs_jsonl")
+      .cache()
+    val nCorruptIds = docs.filter(pmod($"doc_id", lit(50)) === 7).count()
+    assert(nCorruptIds > 0, "fixture must corrupt at least one line")
+    val quarantined = parsed.filter($"_corrupt_record".isNotNull)
+    assert(quarantined.count() === nCorruptIds)
+    // quarantine carries the RAW truncated line (auditable), with the
+    // data columns null — never a half-parsed chimera row
+    val qRows = quarantined.select($"_corrupt_record", $"text").collect()
+    assert(qRows.forall(r => r.getString(0).length === 20 && r.isNullAt(1)))
+    // clean rows round-trip every column exactly
+    val clean = parsed.filter($"_corrupt_record".isNull)
+      .select($"doc_id", $"text", $"lang", $"source", $"n_chars")
+      .as[(Long, String, String, String, Long)].collect().toSet
+    val want = docs.filter(pmod($"doc_id", lit(50)) =!= 7)
+      .as[(Long, String, String, String, Long)].collect().toSet
+    assert(clean === want)
+  }
+
   test("partitioned store prunes partitions on date filters") {
     val path = Files.createTempDirectory("store_part").toString + "/stocks"
     val rows = (1 to 10).flatMap(day => Seq(("AAA", f"2024-01-$day%02d", day * 1.0, 1)))
