@@ -45,7 +45,6 @@ object Reseed {
   def main(args: Array[String]): Unit = {
     require(args.length == 2 || args.length == 3,
       "usage: graft.Reseed <srcSfDir> <dstDir> [salt]")
-    val (src, dst) = (args(0), args(1))
     val salt = if (args.length == 3) args(2) else "r13"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = SparkSession.builder()
@@ -56,6 +55,14 @@ object Reseed {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    run(spark, args(0), args(1), salt)
+    spark.stop()
+  }
+
+  /** The generator proper, session-agnostic so specs can drive it
+    * against the suite's shared session (main owns its own session's
+    * lifecycle; run() never stops the one it is handed). */
+  def run(spark: SparkSession, src: String, dst: String, salt: String): Unit = {
     new java.io.File(dst).mkdirs()
 
     // xxhash64 over (id, salt, tag): stable across runs, independent
@@ -138,6 +145,5 @@ object Reseed {
     val nv = spark.read.parquet(s"$dst/embeddings.parquet").count()
     val ne = spark.read.parquet(s"$dst/events.parquet").count()
     println(s"""{"reseeded":"$dst","salt":"$salt","docs":$nd,"vecs":$nv,"events":$ne}""")
-    spark.stop()
   }
 }
