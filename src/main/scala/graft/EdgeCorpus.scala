@@ -1,0 +1,94 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Edge-shaped corpus generator (r13): derives degenerate corpora from a
+  * real sf-dir so the FULL registry + oracle gate can run against the
+  * shapes a 100 TB deployment actually produces at the margins —
+  * empty partitions, near-empty batches, single-member groups. Two
+  * modes:
+  *
+  *  - `empty`: every table schema-exact with ZERO rows. The gate here is
+  *    engine robustness — `approx_quantile` sketches, k-means centroid
+  *    draws, drift fingerprints, store bootstraps and `first()`-style
+  *    driver model state all see the input a first-ever ingest or a
+  *    fully-filtered scan hands them. check.py still diffs: every
+  *    oracle runs on the same zero-row views, so both sides must agree
+  *    on EMPTY (and on the handful of aggregates that are non-empty on
+  *    empty input — COUNT(*) = 0 rows, sketch tiles, etc.).
+  *  - `tiny`: a referentially-CLOSED slice (dims verbatim; first 24
+  *    orders with exactly their lineitems; 5 whole users' events; 16
+  *    documents; 24 embeddings). Small enough that every per-group
+  *    window holds 0–2 rows, every LSH band bucket is a singleton or
+  *    empty, every incremental batch beyond the first is near-empty —
+  *    the tie/degenerate paths the balanced draws never exercise.
+  *
+  * Like [[Reseed]], output is measurement input, NOT testdata: dstDir
+  * lives under the gitignored tmp/ tree, and the oracle gate runs
+  * UNMODIFIED against it (schemas byte-identical to the source's — the
+  * whole point is that literal bounds like q49's `doc_id < 300` keep
+  * meaning what they mean).
+  *
+  * Usage: `runMain graft.EdgeCorpus <srcSfDir> <dstDir> <empty|tiny>`.
+  */
+object EdgeCorpus {
+  private val AllTables = Seq("region", "nation", "customer", "supplier",
+    "part", "orders", "lineitem", "events", "documents", "embeddings")
+
+  def main(args: Array[String]): Unit = {
+    require(args.length == 3,
+      "usage: graft.EdgeCorpus <srcSfDir> <dstDir> <empty|tiny>")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    run(spark, args(0), args(1), args(2))
+    spark.stop()
+  }
+
+  /** Session-agnostic generator (same contract as [[Reseed.run]]). */
+  def run(spark: SparkSession, src: String, dst: String, mode: String): Unit = {
+    new java.io.File(dst).mkdirs()
+    // Raw reads, not Tables readers: the output must preserve each
+    // table's PHYSICAL schema (Tables.events rewrites ts to session-TZ
+    // timestamp, which would change the parquet encoding the oracle and
+    // the schema preflight see).
+    def raw(t: String): DataFrame = spark.read.parquet(s"$src/$t.parquet")
+    def write(t: String, df: DataFrame): Unit =
+      df.coalesce(1).write.mode("overwrite").parquet(s"$dst/$t.parquet")
+
+    mode match {
+      case "empty" =>
+        AllTables.foreach(t => write(t, raw(t).limit(0)))
+      case "tiny" =>
+        Seq("region", "nation", "customer", "supplier", "part")
+          .foreach(t => write(t, raw(t)))
+        val orders = raw("orders").orderBy(col("o_orderkey")).limit(24)
+        write("orders", orders)
+        write("lineitem", raw("lineitem").join(
+          orders.select(col("o_orderkey")).hint("broadcast"),
+          col("l_orderkey") === col("o_orderkey"), "left_semi"))
+        // Whole users, not a row prefix: sessionize/funnel/cohort
+        // faces need intact per-user event sequences to be a REAL
+        // tiny draw rather than truncated mid-session.
+        val users = raw("events").select(col("user_id")).distinct()
+          .orderBy(col("user_id")).limit(5)
+        write("events", raw("events").join(users.hint("broadcast"),
+          Seq("user_id"), "left_semi"))
+        write("documents", raw("documents").orderBy(col("doc_id")).limit(16))
+        write("embeddings", raw("embeddings").orderBy(col("vec_id")).limit(24))
+      case other =>
+        throw new IllegalArgumentException(s"unknown mode: $other (want empty|tiny)")
+    }
+    val counts = AllTables.map { t =>
+      s""""$t":${spark.read.parquet(s"$dst/$t.parquet").count()}"""
+    }.mkString(",")
+    println(s"""{"edge":"$dst","mode":"$mode",$counts}""")
+  }
+}

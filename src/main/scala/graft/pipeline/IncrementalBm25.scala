@@ -258,15 +258,17 @@ object IncrementalBm25 {
                    query: Seq[String], k: Int, nBuckets: Int = 16,
                    k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     val buckets = query.map(TextAnalysis.bm25TermBucket(_, nBuckets)).distinct
+    // Missing stores read as their empty relations: an index that has
+    // only ever ingested empty batches never materializes on disk (the
+    // store's documented partitioned-zero-row write no-op), and a
+    // search against it is an empty result, not a crash (r13 edge gate).
     def pruned(path: String, sc: StructType) =
-      KeyedParquetStore.read(spark, path, schema = Some(sc))
-        .getOrElse(sys.error(s"no BM25 index store at $path"))
+      KeyedParquetStore.readOrEmpty(spark, path, sc)
         .filter(col("tbucket").isin(buckets: _*))
     val terms = pruned(termsPath, termsSchema)
       .filter(col("term").isin(query: _*))
       .groupBy(col("term")).agg(sum(col("df")).as("df"))
-    val statsRel = KeyedParquetStore.read(spark, statsPath, schema = Some(statsSchema))
-      .getOrElse(sys.error(s"no BM25 stats store at $statsPath"))
+    val statsRel = KeyedParquetStore.readOrEmpty(spark, statsPath, statsSchema)
     // ONE driver-side fold over the KB-sized stat partials serves both
     // the global constants (Σn_docs, avgdl) and the bucket-count
     // fingerprint check — collected here instead of handed to the
@@ -274,7 +276,10 @@ object IncrementalBm25 {
     // jobs (a separate distinct+collect measured +2 on q71).
     val g = statsRel.agg(
       coalesce(sum(col("n_docs")), lit(0L)).as("n_docs"),
-      (sum(col("sum_dl")).cast("double") / sum(col("n_docs"))).as("avgdl"),
+      // try_divide: an only-empty-batches index legitimately sums to
+      // zero docs (0/0 under ANSI would throw); the null avgdl is never
+      // consumed — nDocs == 0 routes to the empty stats relation below
+      try_divide(sum(col("sum_dl")).cast("double"), sum(col("n_docs"))).as("avgdl"),
       min(col("nb")).as("nb_min"), max(col("nb")).as("nb_max")).collect().head
     // Bucket-count pairing: tbucket is hash(term) mod the INDEX's
     // nBuckets; pruning with any other modulus silently drops postings.
@@ -288,12 +293,14 @@ object IncrementalBm25 {
         s"this search uses nBuckets=$nBuckets — the term-bucket pruning " +
         "would silently drop the other modulus's postings")
     val nDocs = g.getAs[Long]("n_docs")
-    require(nDocs > 0L,
-      s"BM25 stats store at $statsPath sums to zero documents — nothing " +
-        "to score against (a zero-doc partial set should be unreachable " +
-        "via this module's own writes)")
     import spark.implicits._
-    val stats = Seq((nDocs, g.getAs[Double]("avgdl"))).toDF("n_docs", "avgdl")
+    // Zero documents (an index that has never seen a non-empty batch):
+    // score against the EMPTY stats relation — the scorer's stats
+    // cross-join then yields zero rows with the search's exact output
+    // schema, so a legitimately empty index searches as empty.
+    val stats =
+      if (nDocs > 0L) Seq((nDocs, g.getAs[Double]("avgdl"))).toDF("n_docs", "avgdl")
+      else Seq.empty[(Long, Double)].toDF("n_docs", "avgdl")
     TextAnalysis.bm25SearchStored(pruned(postingsPath, postingsSchema),
       terms, stats, query, k, k1, b)
   }

@@ -116,7 +116,17 @@ object IncrementalIvf {
     // module's hints exist to avoid). Null iv = a pre-versioning store:
     // version 1, same as versionOf.
     val centRows = index.select(col("cell"), col("iv")).collect()
-    require(centRows.nonEmpty, s"empty IVF centroid store at $centroidsPath")
+    if (centRows.isEmpty) {
+      // A zero-cell index is legitimate exactly when it was trained on a
+      // zero-vector corpus (r13 edge gate); an empty batch then has
+      // nothing to assign and the ingest is a clean no-op. A NON-empty
+      // batch against a cell-less index stays a loud error — frozen-
+      // centroid insertion has nowhere to put the vectors.
+      require(batch.isEmpty,
+        s"empty IVF centroid store at $centroidsPath — a non-empty batch " +
+          "cannot be assigned (train centroids on a non-empty seed first)")
+      return
+    }
     val iv = centRows.map(r => if (r.isNullAt(1)) 1L else r.getLong(1)).max
     val cells = centRows.map(_.getLong(0)).sorted
     val assigned = Similarity.assignIvfCells(batch, index)
@@ -171,9 +181,13 @@ object IncrementalIvf {
               assignedPath: String, numCells: Int = 8,
               trainIters: Int = 2, batchLabel: String = "retrain",
               keepBatches: Set[String] = Set.empty): Unit = {
-    val assigned = KeyedParquetStore.read(spark, assignedPath,
-        schema = Some(assignedSchema))
-      .getOrElse(sys.error(s"no assigned-corpus store at $assignedPath"))
+    // Missing store = the empty relation (only-empty-batches ingests
+    // never materialize it): re-training an empty index is well-defined
+    // — an empty corpus trains an empty index, and the partitioned
+    // empty replace below renders "the new truth is nothing" as the
+    // absent store, which searchStored reads back as empty.
+    val assigned = KeyedParquetStore.readOrEmpty(spark, assignedPath,
+      assignedSchema)
     KeyedParquetStore.withWritePlanning(spark) {
     val v = versionOf(centroidsOf(spark, centroidsPath)) + 1
     // One row per vector even from a crash-skewed store (see scaladoc):
@@ -226,14 +240,19 @@ object IncrementalIvf {
                    nProbe: Int = 2): DataFrame = {
     val index = centroidsOf(spark, centroidsPath)
     val iv = versionOf(index)
-    val assigned = KeyedParquetStore.read(spark, assignedPath,
-        schema = Some(assignedSchema))
-      .getOrElse(sys.error(s"no assigned-corpus store at $assignedPath"))
+    // Missing store = the empty relation: every ingest so far was an
+    // empty batch (partitioned zero-row upserts are documented write
+    // no-ops), so there is nothing to search — not a misconfiguration.
+    val assigned = KeyedParquetStore.readOrEmpty(spark, assignedPath,
+      assignedSchema)
     // null iv = rows from a pre-versioning store: version 1, mirroring
     // versionOf (a store this module wrote always has the partition)
     val assignedIvs = assigned.select(col("iv")).distinct()
       .collect().map(r => if (r.isNullAt(0)) 1L else r.getLong(0)).toSet
-    require(assignedIvs == Set(iv),
+    // Zero assignments are version-consistent with ANY centroids (there
+    // is nothing to mis-prune); the pair check only bites when stored
+    // vectors could be searched under the wrong index version.
+    require(assignedIvs.isEmpty || assignedIvs == Set(iv),
       s"IVF store pair at $centroidsPath / $assignedPath is version-skewed: " +
         s"centroids are iv=$iv but assignments hold iv=" +
         s"${assignedIvs.toSeq.sorted.mkString("{", ",", "}")} — a retrain " +

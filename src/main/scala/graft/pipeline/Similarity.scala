@@ -193,16 +193,22 @@ object Similarity {
     * LOWEST cell — identical to the window formulation (`cent_sim` DESC,
     * cell ASC). Centroid norms fold to constants on the driver. A
     * thousands-of-cells deployment swaps this for a matrix-multiply
-    * expression; the per-row-narrow shape is the point. */
-  private def argmaxCell(v: Column, cents: Seq[(Long, Seq[Double])]): Column = {
-    require(cents.nonEmpty, "no centroids: the corpus is empty")
-    val entries = cents.map { case (cell, w) =>
-      val normW = math.sqrt(w.map(x => x * x).sum)
-      struct(round(dot(v, typedLit(w)) / (norm(v) * lit(normW)), 6).as("s"),
-        lit(-cell).as("negc"))
+    * expression; the per-row-narrow shape is the point.
+    *
+    * EMPTY centroid set (a model trained on a zero-vector corpus — the
+    * r13 edge gate's shape): assignment is null for every row, which
+    * every consumer drops (cell joins/filters never match null), so
+    * "no cells" flows through as "no candidates" instead of a crash. */
+  private def argmaxCell(v: Column, cents: Seq[(Long, Seq[Double])]): Column =
+    if (cents.isEmpty) lit(null).cast("long")
+    else {
+      val entries = cents.map { case (cell, w) =>
+        val normW = math.sqrt(w.map(x => x * x).sum)
+        struct(round(dot(v, typedLit(w)) / (norm(v) * lit(normW)), 6).as("s"),
+          lit(-cell).as("negc"))
+      }
+      -array_max(array(entries: _*)).getField("negc")
     }
-    -array_max(array(entries: _*)).getField("negc")
-  }
 
   /** IVF ANN: partition the corpus into `numCells` Voronoi cells around
     * k-means-trained centroids (`trainIters` Lloyd rounds over the
@@ -261,6 +267,12 @@ object Similarity {
   private def probeCellsOf(probes: DataFrame, cents: Seq[(Long, Seq[Double])],
                            nProbe: Int): DataFrame = {
     val p = probes.select(col("vec_id").as("probe_id"), asDouble(col("embedding")).as("pv"))
+    // No cells → no probe targets: a typed zero-row relation (an
+    // `explode(array())` of zero struct entries would not even
+    // typecheck), matching argmaxCell's null-assignment contract.
+    if (cents.isEmpty)
+      return p.select(col("probe_id"), col("pv"),
+        lit(null).cast("long").as("cell")).limit(0)
     val centRows = cents.map { case (cell, w) =>
       struct(lit(cell).as("cell"), typedLit(w).as("centroid"))
     }
@@ -306,7 +318,7 @@ object Similarity {
     val pc = probeCellsOf(probes, cents, nProbe)
     val cells = pc.select(col("cell")).distinct().collect().map(_.getLong(0)).toSeq
     val pruned = assigned
-      .filter(col("cell").isin(cells: _*))
+      .filter(if (cells.isEmpty) lit(false) else col("cell").isin(cells: _*))
       .select(col("neighbor_id"), col("cv"), col("cell").cast("long").as("cell"))
     scoreCells(pruned, pc, k)
   }

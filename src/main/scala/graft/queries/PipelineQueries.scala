@@ -676,8 +676,11 @@ object PipelineQueries {
             keys = Seq("neighbor_id"), version = Seq(lit(1L)),
             partitionCols = Seq("cell"), incomingUnique = true)
         }
+        // readOrEmpty: an empty corpus trains a zero-cell index whose
+        // cell-partitioned assignment upsert is a documented write no-op,
+        // so the assigned store never exists — search it as empty
         Similarity.searchIvfAssigned(
-          KeyedParquetStore.read(s, corpusStore, schema = Some(assignedSchema)).get,
+          KeyedParquetStore.readOrEmpty(s, corpusStore, assignedSchema),
           cents.get,
           emb.filter(col("vec_id") < 5), k = 5, nProbe = 2)
           .select(col("probe_id"), col("neighbor_id"), col("cos_sim"),
@@ -1172,13 +1175,18 @@ object PipelineQueries {
             keys = Seq("k"), version = Seq(lit(1L)), incomingUnique = true)
         }
         // literal bucket ids from the driver-side hash -> partition pruning
+        // (readOrEmpty: an empty corpus bootstraps a one-row stats store
+        // but NO postings/terms stores — partitioned zero-row upserts are
+        // documented write no-ops — and the search must read those as
+        // empty relations, not crash; r13 edge gate)
         val buckets = query.map(TextAnalysis.bm25TermBucket(_, nBuckets)).distinct
         def pruned(path: String, sc: StructType) =
-          KeyedParquetStore.read(s, path, schema = Some(sc)).get
+          KeyedParquetStore.readOrEmpty(s, path, sc)
             .filter(col("tbucket").isin(buckets: _*))
         TextAnalysis.bm25SearchStored(
           pruned(pPath, postingsSchema), pruned(tPath, termsSchema),
-          KeyedParquetStore.read(s, sPath, schema = Some(statsSchema)).get,
+          KeyedParquetStore.readOrEmpty(s, sPath, statsSchema)
+            .filter(col("n_docs") > 0),
           query, k = 25)
       },
       Some(bm25SearchOracle)),
@@ -1621,25 +1629,43 @@ object PipelineQueries {
 
     // Corpus MIXTURE accounting: docs/tokens per (lang, source) with
     // ROLLUP subtotals — the planning table behind every data-mixture
-    // decision, and the engine's multi-level-aggregation surface
-    // (ROLLUP/GROUPING SETS): all three grains compute in ONE pass over
-    // the corpus (Spark expands the grouping sets inside the aggregate —
-    // no three-scan self-union), with narrow count rows in every
-    // exchange. avg_tokens is a long/long IEEE division — bit-identical
-    // across engines without rounding (the q55 lesson). lang/source are
-    // non-null in the corpus, so the '<all>' coalesce labels are
-    // unambiguous rollup markers.
+    // decision, and the engine's multi-level-aggregation surface. TWO-
+    // PHASE rollup rather than Spark's native `.rollup`: the corpus is
+    // aggregated ONCE at the finest (lang, source) grain (one narrow
+    // map-side-combined exchange — no Expand tripling the corpus-sized
+    // stream), the base relation is pinned (KB-sized: |lang|×|source|
+    // groups), and the subtotal grains re-aggregate the PIN (sums of
+    // sums / counts are exact in longs). Besides the better scale plan,
+    // this restores the ANSI empty-input semantics: the grand total is
+    // a GLOBAL aggregate, which emits its one row even over an empty
+    // corpus, where native `.rollup` (Expand + keyed aggregate) emits
+    // nothing — the one divergence the r13 edge gate found between
+    // Spark and DuckDB on a zero-row corpus. avg_tokens is a long/long
+    // IEEE division — bit-identical across engines without rounding
+    // (the q55 lesson); null/0 on the empty-corpus total row is null in
+    // both engines. lang/source are non-null in the corpus, so the
+    // '<all>' labels are unambiguous rollup markers.
     Q("q63_mixture_rollup",
-      (s, dir) =>
-        Tables.documents(s, dir)
+      (s, dir) => {
+        val base = graft.Pin.ser(Tables.documents(s, dir)
           .select(col("lang"), col("source"),
             size(TextAnalysis.tokens(col("text"))).cast("long").as("ntok"))
-          .rollup(col("lang"), col("source"))
-          .agg(count(lit(1)).as("n_docs"), sum(col("ntok")).as("n_tokens"))
-          .select(coalesce(col("lang"), lit("<all>")).as("lang"),
-            coalesce(col("source"), lit("<all>")).as("source"),
-            col("n_docs"), col("n_tokens"),
-            (col("n_tokens") / col("n_docs")).as("avg_tokens")),
+          .groupBy(col("lang"), col("source"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("ntok")).as("n_tokens")))
+        val byLang = base.groupBy(col("lang"))
+          .agg(sum(col("n_docs")).as("n_docs"), sum(col("n_tokens")).as("n_tokens"))
+          .select(col("lang"), lit("<all>").as("source"),
+            col("n_docs"), col("n_tokens"))
+        val total = base
+          .agg(coalesce(sum(col("n_docs")), lit(0L)).as("n_docs"),
+            sum(col("n_tokens")).as("n_tokens"))
+          .select(lit("<all>").as("lang"), lit("<all>").as("source"),
+            col("n_docs"), col("n_tokens"))
+        base.select(col("lang"), col("source"), col("n_docs"), col("n_tokens"))
+          .unionByName(byLang).unionByName(total)
+          .select(col("lang"), col("source"), col("n_docs"), col("n_tokens"),
+            (col("n_tokens") / col("n_docs")).as("avg_tokens"))
+      },
       Some("""WITH d AS (
         |  SELECT lang, source,
         |    CAST(len(regexp_split_to_array(text, '\s+')) AS BIGINT) AS ntok
@@ -2200,15 +2226,31 @@ object PipelineQueries {
             col("n_chars"))
           .select(line.as("value"))
           .write.mode("overwrite").text(s"$tmp/docs_jsonl")
-        s.read
-          .schema("doc_id BIGINT, text STRING, lang STRING, source STRING, " +
+        // TEXT scan + from_json with the quarantine column INSIDE the
+        // parsed struct, not the json source's internal _corrupt_record:
+        // the internal column carries an analyzer restriction that makes
+        // any consumer whose pruned plan references only it — e.g. a
+        // plain `.count()` on this face's output, which prunes the data
+        // projection away entirely — fail with
+        // UNSUPPORTED_FEATURE.QUERY_ONLY_CORRUPT_RECORD_COLUMN (found by
+        // the r13 edge-gate spec). A struct field is an ordinary
+        // expression with no such restriction, the scan is the same
+        // line-splittable text source, and the parse is the same
+        // Jackson PERMISSIVE path. Both null guards matter: a malformed
+        // line surfaces as either a null struct or a struct carrying
+        // the raw line in the quarantine field, depending on parser
+        // version — quarantine both.
+        val parsed = org.apache.spark.sql.types.StructType.fromDDL(
+          "doc_id BIGINT, text STRING, lang STRING, source STRING, " +
             "n_chars BIGINT, _corrupt_record STRING")
-          .option("mode", "PERMISSIVE")
-          .option("columnNameOfCorruptRecord", "_corrupt_record")
-          .json(s"$tmp/docs_jsonl")
-          .filter(col("_corrupt_record").isNull)
-          .select(col("doc_id"), col("text"), col("lang"), col("source"),
-            col("n_chars"))
+        s.read.text(s"$tmp/docs_jsonl")
+          .select(from_json(col("value"), parsed,
+            Map("mode" -> "PERMISSIVE",
+              "columnNameOfCorruptRecord" -> "_corrupt_record")).as("j"))
+          .filter(col("j").isNotNull && col("j._corrupt_record").isNull)
+          .select(col("j.doc_id").as("doc_id"), col("j.text").as("text"),
+            col("j.lang").as("lang"), col("j.source").as("source"),
+            col("j.n_chars").as("n_chars"))
       },
       // The oracle never sees the JSONL file — it states the CONTRACT:
       // a clean roundtrip of every line that was not corrupted.

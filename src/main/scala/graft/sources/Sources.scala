@@ -128,6 +128,19 @@ object KeyedParquetStore {
     else None
   }
 
+  /** [[read]] with the MISSING store surfaced as its EMPTY relation —
+    * the read-side complement of the documented partitioned-zero-row
+    * write no-op: a store that has only ever been handed empty batches
+    * legitimately does not exist on disk, and a consumer that knows the
+    * schema should see "no rows yet", not a crash (r13 edge-corpus gate:
+    * the IVF/BM25 search faces died here on an empty corpus). Requires
+    * the schema precisely because a store with no files carries none. */
+  def readOrEmpty(spark: SparkSession, path: String, schema: StructType,
+                  lockTtlMs: Long = 10L * 60 * 1000): DataFrame =
+    read(spark, path, lockTtlMs, Some(schema)).getOrElse(
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema))
+
   private def heal(f: FileSystem, path: String): Unit = {
     val target = new HPath(path)
     val old = new HPath(path + ".old")
