@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Edge-shaped corpus generator (r13): derives degenerate corpora from a
@@ -23,6 +23,12 @@ import org.apache.spark.sql.functions._
   *    window holds 0–2 rows, every LSH band bucket is a singleton or
   *    empty, every incremental batch beyond the first is near-empty —
   *    the tie/degenerate paths the balanced draws never exercise.
+  *  - `nulls`: the source corpus with deterministic NULLs injected into
+  *    the CONTENT columns real 100 TB dumps actually null out (document
+  *    text/lang/source, event value/props, embedding vector/label) —
+  *    ids, keys, and the NOT-NULL-by-spec TPC-H columns stay verbatim,
+  *    so every oracle still joins and groups identically and the diff
+  *    is purely about how each engine treats NULL inside the operator.
   *
   * Like [[Reseed]], output is measurement input, NOT testdata: dstDir
   * lives under the gitignored tmp/ tree, and the oracle gate runs
@@ -30,7 +36,7 @@ import org.apache.spark.sql.functions._
   * whole point is that literal bounds like q49's `doc_id < 300` keep
   * meaning what they mean).
   *
-  * Usage: `runMain graft.EdgeCorpus <srcSfDir> <dstDir> <empty|tiny>`.
+  * Usage: `runMain graft.EdgeCorpus <srcSfDir> <dstDir> <empty|tiny|nulls>`.
   */
 object EdgeCorpus {
   private val AllTables = Seq("region", "nation", "customer", "supplier",
@@ -38,7 +44,7 @@ object EdgeCorpus {
 
   def main(args: Array[String]): Unit = {
     require(args.length == 3,
-      "usage: graft.EdgeCorpus <srcSfDir> <dstDir> <empty|tiny>")
+      "usage: graft.EdgeCorpus <srcSfDir> <dstDir> <empty|tiny|nulls>")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -83,8 +89,45 @@ object EdgeCorpus {
           Seq("user_id"), "left_semi"))
         write("documents", raw("documents").orderBy(col("doc_id")).limit(16))
         write("embeddings", raw("embeddings").orderBy(col("vec_id")).limit(24))
+      case "nulls" =>
+        // Deterministic NULL injection into the CONTENT columns real
+        // dumps actually null out (text bodies, labels, payloads,
+        // measure values) — ids, keys, and timestamps stay intact (the
+        // TPC-H fact/dim columns are NOT NULL by spec and stay
+        // verbatim). Coprime moduli so the null sets overlap rarely
+        // but not never. n_chars tracks the nulled text: a consistent
+        // dump nulls the derived column with its source.
+        Seq("region", "nation", "customer", "supplier", "part",
+          "orders", "lineitem").foreach(t => write(t, raw(t)))
+        def nullWhen(cond: Column, c: Column, t: org.apache.spark.sql.types.DataType) =
+          when(cond, lit(null).cast(t)).otherwise(c)
+        val d = raw("documents")
+        write("documents", d.select(
+          col("doc_id"),
+          nullWhen(pmod(col("doc_id"), lit(37)) === 3, col("text"),
+            d.schema("text").dataType).as("text"),
+          nullWhen(pmod(col("doc_id"), lit(41)) === 5, col("lang"),
+            d.schema("lang").dataType).as("lang"),
+          nullWhen(pmod(col("doc_id"), lit(43)) === 7, col("source"),
+            d.schema("source").dataType).as("source"),
+          nullWhen(pmod(col("doc_id"), lit(37)) === 3, col("n_chars"),
+            d.schema("n_chars").dataType).as("n_chars")))
+        val ev = raw("events")
+        write("events", ev.select(
+          col("event_id"), col("ts"), col("user_id"), col("event_type"),
+          nullWhen(pmod(col("event_id"), lit(29)) === 6, col("value"),
+            ev.schema("value").dataType).as("value"),
+          nullWhen(pmod(col("event_id"), lit(31)) === 3, col("props"),
+            ev.schema("props").dataType).as("props")))
+        val em = raw("embeddings")
+        write("embeddings", em.select(
+          col("vec_id"),
+          nullWhen(pmod(col("vec_id"), lit(53)) === 9, col("embedding"),
+            em.schema("embedding").dataType).as("embedding"),
+          nullWhen(pmod(col("vec_id"), lit(23)) === 4, col("label"),
+            em.schema("label").dataType).as("label")))
       case other =>
-        throw new IllegalArgumentException(s"unknown mode: $other (want empty|tiny)")
+        throw new IllegalArgumentException(s"unknown mode: $other (want empty|tiny|nulls)")
     }
     val counts = AllTables.map { t =>
       s""""$t":${spark.read.parquet(s"$dst/$t.parquet").count()}"""

@@ -19,9 +19,12 @@ object Multimodal {
   /** One media row: payload stays opaque; metadata travels alongside.
     * CONTRACT: `payload` is never null — absent media is an EMPTY array
     * ([[fromDocuments]] normalizes at the boundary); the per-partition
-    * decoders rely on it. */
+    * decoders rely on it. Metadata columns are NULLABLE (`Option` /
+    * reference types): real dumps drop metadata independently of the
+    * media bytes, and a non-null assert here turns an absent annotation
+    * into a job-killing executor exception. */
   final case class MediaRow(media_id: Long, kind: String, payload: Array[Byte],
-                            meta_lang: String, meta_chars: Long)
+                            meta_lang: String, meta_chars: Option[Long])
 
   /** Extracted features — what a real decoder (image resize, audio
     * frame-sample) would emit per row. */

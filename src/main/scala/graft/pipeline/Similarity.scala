@@ -35,13 +35,25 @@ object Similarity {
 
   private def asDouble(c: Column): Column = c.cast("array<double>")
 
+  /** NULL-embedding rows carry no position in the vector space, so every
+    * similarity / ANN / index entry point EXCLUDES them up front — an
+    * explicit contract, not an artifact. Real dumps null vectors out
+    * independently of ids (the r13 nulls-corpus gate), and without this
+    * filter the exclusion only HAPPENS to hold: null cosines sort past
+    * rank k for null corpus rows, but a null PROBE emits k junk rows
+    * ranked on all-null similarity, and a null input to the recall
+    * contract emits a contract row with a null `kth_sim`. The filter is
+    * a codegen'd IsNotNull pushed into the scan — free at any scale. */
+  private def vecRows(df: DataFrame): DataFrame =
+    df.filter(col("embedding").isNotNull)
+
   /** Exact top-k cosine neighbors for each probe row. `corpus` and
     * `probes` both need (`vec_id`, `embedding`); probes should be small —
     * they are broadcast against the partitioned corpus. Ties broken by
     * neighbor id on the ROUNDED similarity so ranking is reproducible. */
   def bruteForceTopK(corpus: DataFrame, probes: DataFrame, k: Int): DataFrame = {
-    val p = probes.select(col("vec_id").as("probe_id"), asDouble(col("embedding")).as("pv"))
-    val c = corpus.select(col("vec_id").as("neighbor_id"), asDouble(col("embedding")).as("cv"))
+    val p = vecRows(probes).select(col("vec_id").as("probe_id"), asDouble(col("embedding")).as("pv"))
+    val c = vecRows(corpus).select(col("vec_id").as("neighbor_id"), asDouble(col("embedding")).as("cv"))
     val scored = c.join(broadcast(p), col("probe_id") =!= col("neighbor_id"))
       .select(col("probe_id"), col("neighbor_id"),
         round(cosine(col("pv"), col("cv")), 6).as("cos_sim"))
@@ -98,8 +110,10 @@ object Similarity {
     * products against constant plane literals; the join touches only
     * colliding buckets; duplicate cross-table candidates collapse before
     * scoring. */
-  def lshTopK(corpus: DataFrame, probes: DataFrame, k: Int, bits: Int = 4,
+  def lshTopK(corpusIn: DataFrame, probesIn: DataFrame, k: Int, bits: Int = 4,
               tables: Int = 8, dim: Int = 64): DataFrame = {
+    val corpus = vecRows(corpusIn)
+    val probes = vecRows(probesIn)
     // Candidate generation is ID-ONLY: the corpus side of the bucket join
     // carries (t, sig, id) — never embedding arrays — so the exchange is
     // id-width regardless of dim, and a hot bucket skews a narrow
@@ -148,8 +162,9 @@ object Similarity {
     * bit-identical in DuckDB, so trained centroids (and everything
     * downstream) oracle-check. A cell that captures no vectors drops
     * out, same as the SQL formulation. */
-  def trainCentroids(corpus: DataFrame, numCells: Int,
+  def trainCentroids(corpusIn: DataFrame, numCells: Int,
                      iters: Int): Seq[(Long, Seq[Double])] = {
+    val corpus = vecRows(corpusIn)
     // Cached for the training loop only: every Lloyd iteration re-reads
     // the (id, vector) relation, and without the cache each one re-scans
     // and re-casts the source (iters + 1 jobs over the same bytes).
@@ -256,7 +271,7 @@ object Similarity {
   def assignIvfCells(corpus: DataFrame, index: DataFrame,
                      passthrough: Seq[String] = Nil): DataFrame = {
     val cents = collectCents(index)
-    corpus
+    vecRows(corpus)
       .select(col("vec_id").as("neighbor_id") +:
         asDouble(col("embedding")).as("cv") +: passthrough.map(col): _*)
       .withColumn("cell", argmaxCell(col("cv"), cents))
@@ -266,7 +281,7 @@ object Similarity {
     * few, so the tiny probes×cells expansion + window is the right tool. */
   private def probeCellsOf(probes: DataFrame, cents: Seq[(Long, Seq[Double])],
                            nProbe: Int): DataFrame = {
-    val p = probes.select(col("vec_id").as("probe_id"), asDouble(col("embedding")).as("pv"))
+    val p = vecRows(probes).select(col("vec_id").as("probe_id"), asDouble(col("embedding")).as("pv"))
     // No cells → no probe targets: a typed zero-row relation (an
     // `explode(array())` of zero struct entries would not even
     // typecheck), matching argmaxCell's null-assignment contract.
@@ -298,7 +313,7 @@ object Similarity {
 
   private def searchIvfCents(corpus: DataFrame, cents: Seq[(Long, Seq[Double])],
                              probes: DataFrame, k: Int, nProbe: Int): DataFrame = {
-    val assigned = corpus
+    val assigned = vecRows(corpus)
       .select(col("vec_id").as("neighbor_id"), asDouble(col("embedding")).as("cv"))
       .withColumn("cell", argmaxCell(col("cv"), cents))
     scoreCells(assigned, probeCellsOf(probes, cents, nProbe), k)
@@ -414,8 +429,8 @@ object Similarity {
   def recallContract(corpus: DataFrame, probes: DataFrame, approx: DataFrame,
                      k: Int, minProbeRecall: Double, minMeanRecall: Double,
                      simSlack: Double = 0.0): DataFrame = {
-    val p = probes.select(col("vec_id").as("probe_id"), asDouble(col("embedding")).as("pv"))
-    val c = corpus.select(col("vec_id").as("neighbor_id"), asDouble(col("embedding")).as("cv"))
+    val p = vecRows(probes).select(col("vec_id").as("probe_id"), asDouble(col("embedding")).as("pv"))
+    val c = vecRows(corpus).select(col("vec_id").as("neighbor_id"), asDouble(col("embedding")).as("cv"))
     // One exact scored relation serves both halves of the contract: the
     // k-th similarity (window) and the approx neighbors' exact cosines
     // (id join). Probes broadcast; the corpus never shuffles.
@@ -485,7 +500,7 @@ object Similarity {
     // self-join). Unpinned, the tables×bits×dim dot-product signature
     // pass re-ran per consumer — Pin.ser (the takeTokenBudget pattern,
     // Sampling.scala) computes each exactly once.
-    val v = graft.Pin.ser(vectors.select(col("vec_id"), asDouble(col("embedding")).as("e")))
+    val v = graft.Pin.ser(vecRows(vectors).select(col("vec_id"), asDouble(col("embedding")).as("e")))
     val sigs = graft.Pin.ser(v
       .withColumn("ts", explode(lshSignatures(col("e"), bits, tables, dim)))
       .select(col("ts.t").as("t"), col("ts.sig").as("sig"), col("vec_id")))
@@ -546,7 +561,7 @@ object Similarity {
     // v is consumed 3× (signature derivation + both confirm re-attach
     // joins) — pin it once, exactly as cosinePairsLsh does. sigs has a
     // single consumer (the window), so it needs no pin here.
-    val v = graft.Pin.ser(vectors.select(col("vec_id"), asDouble(col("embedding")).as("e")))
+    val v = graft.Pin.ser(vecRows(vectors).select(col("vec_id"), asDouble(col("embedding")).as("e")))
     val sigs = v
       .withColumn("ts", explode(lshSignatures(col("e"), bits, tables, dim)))
       .select(col("ts.t").as("t"), col("ts.sig").as("sig"), col("vec_id"))
@@ -581,8 +596,9 @@ object Similarity {
     * 5): called directly on a production corpus this would build the
     * full pair expansion — fail loudly at the gate instead; the scale
     * path is [[cosinePairsLsh]]. */
-  def cosinePairs(vectors: DataFrame, threshold: Double,
+  def cosinePairs(vectorsIn: DataFrame, threshold: Double,
                   maxRows: Long = 100000L): DataFrame = {
+    val vectors = vecRows(vectorsIn)
     val n = vectors.count()
     require(n <= maxRows,
       s"cosinePairs is a quadratic small-scale baseline: $n vectors > maxRows=$maxRows; " +

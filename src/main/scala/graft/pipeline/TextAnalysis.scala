@@ -408,7 +408,11 @@ object TextAnalysis {
     * cheaper and is also the one that survives docs too long for one
     * row's array.) Fractions are int/int IEEE divisions — bit-identical
     * across engines, no rounding needed. Documents shorter than two
-    * tokens get NULL bigram fractions. */
+    * tokens get NULL bigram fractions. NULL-text documents DROP from the
+    * output entirely (the q29/q62 derived-signal convention): the
+    * exploded token aggregation has no rows to group for them, and a
+    * repetition fraction of nothing is undefined — consumers that need
+    * every doc row should left-join this relation back. */
   def repetitionSignals(docs: DataFrame): DataFrame = {
     def stats(exploded: DataFrame, p: String): DataFrame =
       exploded.groupBy(col("doc_id"), col("x")).agg(count(lit(1)).as("c"))

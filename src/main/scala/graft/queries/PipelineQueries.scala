@@ -128,7 +128,8 @@ object PipelineQueries {
     * choose WITH vs WITH RECURSIVE. */
   private val rhpReplicaSigSql: String =
     s"""base AS (
-      |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+      |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+      |  WHERE embedding IS NOT NULL),
       |v AS (SELECT vec_id, e FROM base
       |      UNION ALL SELECT vec_id + 100000 AS vec_id, e FROM base),
       |$rhpPlanesSql,
@@ -140,7 +141,8 @@ object PipelineQueries {
     * contract columns are all-ones; a recall collapse makes the Spark
     * side emit 0s and the hash mismatch fails the round. */
   private val recallOracle: String =
-    s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+      |           WHERE embedding IS NOT NULL),
       |s AS (
       |  SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id,
       |         ${cosSql("p.e", "c.e")} AS exact_sim
@@ -181,7 +183,8 @@ object PipelineQueries {
     * drifting. Mirrors seed pick → 2 Lloyd rounds → cell assignment →
     * nProbe=2 probe cells → within-cell top-5. */
   private lazy val ivfSearchOracle: String =
-    s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+      |           WHERE embedding IS NOT NULL),
       |cents0 AS (
       |  SELECT vec_id AS cell, e AS centroid FROM (
       |    SELECT vec_id, e, row_number() OVER (ORDER BY
@@ -544,7 +547,8 @@ object PipelineQueries {
           .select(col("probe_id"), col("neighbor_id"), col("cos_sim"),
             col("rank").cast("long").as("rank"))
       },
-      Some("""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+      Some("""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+        |           WHERE embedding IS NOT NULL),
         |s AS (
         |  SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id,
         |         round(list_dot_product(p.e, c.e)
@@ -565,7 +569,8 @@ object PipelineQueries {
           threshold = 0.99)
       },
       Some("""WITH base AS (
-        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings WHERE vec_id < 200),
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+        |  WHERE vec_id < 200 AND embedding IS NOT NULL),
         |v AS (SELECT vec_id, e FROM base
         |      UNION ALL SELECT vec_id + 100000 AS vec_id, e FROM base),
         |p AS (
@@ -700,7 +705,8 @@ object PipelineQueries {
           .select(col("probe_id"), col("neighbor_id"), col("cos_sim"),
             col("rank").cast("long").as("rank"))
       },
-      Some(s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+      Some(s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+        |           WHERE embedding IS NOT NULL),
         |planes AS (
         |  SELECT b, list_transform(range(0, 64), i ->
         |    (CAST(('0x' || substr(md5(CAST(b AS VARCHAR) || '_' || CAST(i AS VARCHAR)), 1, 15)) AS BIGINT)
@@ -1245,8 +1251,12 @@ object PipelineQueries {
       (s, dir) =>
         TextAnalysis.repetitionSignals(
           Tables.documents(s, dir).select(col("doc_id"), col("text"))),
+      // Null-text docs DROP (the q29/q62 derived-signal convention): the
+      // engine's exploded token aggregation has no rows to group for
+      // them, and a repetition fraction of nothing is undefined.
       Some("""WITH t AS (
-        |  SELECT doc_id, regexp_split_to_array(text, '\s+') AS t FROM documents),
+        |  SELECT doc_id, regexp_split_to_array(text, '\s+') AS t FROM documents
+        |  WHERE text IS NOT NULL),
         |b AS (
         |  SELECT doc_id, t,
         |    CASE WHEN len(t) >= 2
@@ -1282,7 +1292,8 @@ object PipelineQueries {
           .select(col("probe_id"), col("neighbor_id"), col("cos_sim"),
             col("rank").cast("long").as("rank"))
       },
-      Some("""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+      Some("""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+        |           WHERE embedding IS NOT NULL),
         |s AS (SELECT vec_id, e, list_max(list_transform(e, x -> abs(x))) AS scale FROM v),
         |d AS (
         |  SELECT vec_id,
@@ -1552,7 +1563,13 @@ object PipelineQueries {
             round(Similarity.cosine(col("e"), Similarity.dequantizeInt8(col("qs"))), 6)
               .as("cos_fid"))
       },
-      Some(s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+      // PRESERVE-ROW semantics: quantization is a per-row transform, so a
+      // null embedding keeps its row with all-NULL outputs (the q21/q22
+      // convention for presence faces) — the LEFT JOIN mirrors the
+      // engine's null-propagating expressions without feeding NULL lists
+      // into DuckDB's list functions (which raise, not propagate).
+      Some(s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+        |           WHERE embedding IS NOT NULL),
         |s AS (
         |  SELECT vec_id, e, list_max(list_transform(e, x -> abs(x))) AS scale
         |  FROM v),
@@ -1564,11 +1581,14 @@ object PipelineQueries {
         |d AS (
         |  SELECT vec_id, scale, q8, e,
         |    list_transform(q8, y -> CAST(y AS DOUBLE) * scale / 127) AS de
-        |  FROM q)
-        |SELECT vec_id, scale,
-        |  array_to_string(list_transform(q8, y -> CAST(y AS VARCHAR)), ',') AS q8_csv,
-        |  ${cosSql("e", "de")} AS cos_fid
-        |FROM d""".stripMargin)),
+        |  FROM q),
+        |f AS (
+        |  SELECT vec_id, scale,
+        |    array_to_string(list_transform(q8, y -> CAST(y AS VARCHAR)), ',') AS q8_csv,
+        |    ${cosSql("e", "de")} AS cos_fid
+        |  FROM d)
+        |SELECT a.vec_id, f.scale, f.q8_csv, f.cos_fid
+        |FROM embeddings a LEFT JOIN f USING (vec_id)""".stripMargin)),
 
     // Deterministic 10% sample over the same hash buckets: stable across
     // runs/partitionings, and nested (the 1% slice is a subset of this
@@ -1643,8 +1663,12 @@ object PipelineQueries {
     // Spark and DuckDB on a zero-row corpus. avg_tokens is a long/long
     // IEEE division — bit-identical across engines without rounding
     // (the q55 lesson); null/0 on the empty-corpus total row is null in
-    // both engines. lang/source are non-null in the corpus, so the
-    // '<all>' labels are unambiguous rollup markers.
+    // both engines. A real NULL lang/source is its OWN mixture class,
+    // DISTINCT from the '<all>' subtotal marker: the two-phase shape
+    // keeps data NULLs as NULL naturally (base and byLang rows group on
+    // the raw column), and the oracle uses GROUPING() — not COALESCE,
+    // which would conflate a null-lang base row with the lang subtotal
+    // (the r13 nulls-corpus gate caught exactly that).
     Q("q63_mixture_rollup",
       (s, dir) => {
         val base = graft.Pin.ser(Tables.documents(s, dir)
@@ -1670,8 +1694,8 @@ object PipelineQueries {
         |  SELECT lang, source,
         |    CAST(len(regexp_split_to_array(text, '\s+')) AS BIGINT) AS ntok
         |  FROM documents)
-        |SELECT COALESCE(lang, '<all>') AS lang,
-        |  COALESCE(source, '<all>') AS source,
+        |SELECT CASE WHEN GROUPING(lang) = 1 THEN '<all>' ELSE lang END AS lang,
+        |  CASE WHEN GROUPING(source) = 1 THEN '<all>' ELSE source END AS source,
         |  count(*) AS n_docs, CAST(sum(ntok) AS BIGINT) AS n_tokens,
         |  sum(ntok) * 1.0 / count(*) AS avg_tokens
         |FROM d GROUP BY ROLLUP(lang, source)""".stripMargin)),

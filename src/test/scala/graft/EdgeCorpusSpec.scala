@@ -11,7 +11,13 @@ package graft
   * one genuine cross-engine semantic divergence (Spark's native ROLLUP
   * emits no grand-total row on empty input where ANSI/DuckDB emit one
   * — q63 is now a two-phase rollup for that reason); this spec keeps
-  * all of it fixed. Empty-in → empty-out, never a crash. */
+  * all of it fixed. Empty-in → empty-out, never a crash.
+  *
+  * The third mode, NULLS, injects deterministic NULLs into the content
+  * columns real dumps actually null out (ids and join keys intact). Its
+  * first run found the MediaRow non-null-field encoder crash, the
+  * null-probe artifact hole in the ANN faces, and the q63 COALESCE
+  * marker collision (a real NULL lang base row is NOT a subtotal). */
 class EdgeCorpusSpec extends SparkSpec {
 
   private def corpus(mode: String): String = {
@@ -38,6 +44,45 @@ class EdgeCorpusSpec extends SparkSpec {
     assert(failures.isEmpty, failures.map { case (n, e) =>
       s"$n: ${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}"
     }.mkString("\n"))
+  }
+
+  test("every registry query is well-defined on a NULL-injected corpus") {
+    // Content columns carry deterministic NULLs (document text/lang/
+    // source, event value/props, embedding vector/label — ids and keys
+    // intact). First run found two encoder crash sites (MediaRow's
+    // non-null meta_chars) and the null-probe hole in the ANN faces
+    // (a null PROBE vector emitted k junk rank rows; the recall
+    // contract emitted a row with null kth_sim) — all fixed by the
+    // explicit Similarity.vecRows exclusion contract.
+    val failures = runRegistry(corpus("nulls"))
+    assert(failures.isEmpty, failures.map { case (n, e) =>
+      s"$n: ${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}"
+    }.mkString("\n"))
+  }
+
+  test("null embeddings are excluded from ANN by contract, not artifact") {
+    import org.apache.spark.sql.functions._
+    val dir = corpus("nulls")
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val nullIds = emb.filter(col("embedding").isNull)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(nullIds.nonEmpty, "the nulls draw must null some embeddings")
+    // A NULL-vector probe emits NO rows (previously: k junk rows ranked
+    // on all-null cosine), and null corpus vectors never appear as
+    // neighbors.
+    val someNull = nullIds.head
+    val probes = emb.filter(col("vec_id") === someNull || col("vec_id") < 3)
+    val got = pipeline.Similarity.bruteForceTopK(emb, probes, 5).collect()
+    assert(!got.exists(_.getLong(0) == someNull), "null probe must emit no rows")
+    assert(got.map(_.getLong(0)).distinct.length === 3)
+    assert(!got.exists(r => nullIds.contains(r.getLong(1))),
+      "null corpus vectors must never rank as neighbors")
+    // The recall contract drops the null probe instead of emitting a
+    // junk row with a null kth_sim.
+    val rc = pipeline.Similarity.recallContract(emb, probes,
+      pipeline.Similarity.bruteForceTopK(emb, probes, 10).toDF(),
+      k = 10, minProbeRecall = 0.5, minMeanRecall = 0.5).collect()
+    assert(rc.length === 3 && !rc.exists(r => r.isNullAt(1)))
   }
 
   test("q63 emits the ANSI grand-total row on an empty corpus") {
