@@ -29,6 +29,11 @@ import org.apache.spark.sql.functions._
   *    ids, keys, and the NOT-NULL-by-spec TPC-H columns stay verbatim,
   *    so every oracle still joins and groups identically and the diff
   *    is purely about how each engine treats NULL inside the operator.
+  *  - `unicode`: adversarial UTF-8 injected into every document's text
+  *    (multi-byte, surrogate pairs, RTL + combining marks, fullwidth
+  *    forms, non-ASCII digits, NBSP-glued tokens; see the mode body) —
+  *    the gate is whether the tokenize/shingle/hash/regex surface
+  *    treats non-ASCII identically across Spark and DuckDB.
   *
   * Like [[Reseed]], output is measurement input, NOT testdata: dstDir
   * lives under the gitignored tmp/ tree, and the oracle gate runs
@@ -36,7 +41,7 @@ import org.apache.spark.sql.functions._
   * whole point is that literal bounds like q49's `doc_id < 300` keep
   * meaning what they mean).
   *
-  * Usage: `runMain graft.EdgeCorpus <srcSfDir> <dstDir> <empty|tiny|nulls>`.
+  * Usage: `runMain graft.EdgeCorpus <srcSfDir> <dstDir> <empty|tiny|nulls|unicode>`.
   */
 object EdgeCorpus {
   private val AllTables = Seq("region", "nation", "customer", "supplier",
@@ -44,7 +49,7 @@ object EdgeCorpus {
 
   def main(args: Array[String]): Unit = {
     require(args.length == 3,
-      "usage: graft.EdgeCorpus <srcSfDir> <dstDir> <empty|tiny|nulls>")
+      "usage: graft.EdgeCorpus <srcSfDir> <dstDir> <empty|tiny|nulls|unicode>")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -126,8 +131,44 @@ object EdgeCorpus {
             em.schema("embedding").dataType).as("embedding"),
           nullWhen(pmod(col("vec_id"), lit(23)) === 4, col("label"),
             em.schema("label").dataType).as("label")))
+      case "unicode" =>
+        // Adversarial-UTF-8 injection into document text: every doc gains
+        // a prefix and suffix token drawn from a pool covering the
+        // classes that historically diverge across engines — multi-byte
+        // Latin, CJK, surrogate-pair emoji + supplementary-plane Gothic,
+        // RTL Hebrew with combining points, combining marks, fullwidth
+        // forms, Devanagari digits (regexTokenCount's [0-9] must NOT
+        // match them in either engine), the Turkish dotted İ / dotless ı
+        // (the classic case-mapping trap — no face may case-map doc
+        // text), and an NBSP-glued token (\s is ASCII in Java AND RE2,
+        // so it must stay ONE token in both). n_chars recomputes as
+        // code-point length of the new text — Spark length() and DuckDB
+        // length() must agree on every class, surrogate pairs included.
+        // Everything else verbatim: the diff this corpus isolates is
+        // purely "does the text surface treat non-ASCII identically".
+        val pool = Seq("café", "naïve", "中文分词", "😀🚀", "עִבְרִית",
+          "Ωμέγα", "ßẞ", "é́", "𐍈𐍉",
+          "İstanbul", "ı", "ﬃ", "Ａｂｃ１２３", "१२३४५६७", "नमस्ते",
+          "a b")
+        Seq("region", "nation", "customer", "supplier", "part",
+          "orders", "lineitem", "events", "embeddings")
+          .foreach(t => write(t, raw(t)))
+        val du = raw("documents")
+        val poolCol = array(pool.map(lit): _*)
+        val newText = concat_ws(" ",
+          element_at(poolCol, (pmod(col("doc_id"), lit(pool.size)) + 1).cast("int")),
+          col("text"),
+          element_at(poolCol,
+            (pmod(col("doc_id") * 7 + 3, lit(pool.size)) + 1).cast("int")))
+        write("documents", du.select(
+          col("doc_id"),
+          newText.as("text"),
+          col("lang"),
+          col("source"),
+          length(newText).cast("long").as("n_chars")))
       case other =>
-        throw new IllegalArgumentException(s"unknown mode: $other (want empty|tiny|nulls)")
+        throw new IllegalArgumentException(
+          s"unknown mode: $other (want empty|tiny|nulls|unicode)")
     }
     val counts = AllTables.map { t =>
       s""""$t":${spark.read.parquet(s"$dst/$t.parquet").count()}"""

@@ -60,6 +60,26 @@ class EdgeCorpusSpec extends SparkSpec {
     }.mkString("\n"))
   }
 
+  test("every registry query is well-defined on an adversarial-UTF-8 corpus") {
+    // Multi-byte Latin, CJK, surrogate-pair emoji, supplementary-plane
+    // Gothic, RTL + combining marks, fullwidth forms, Devanagari digits,
+    // Turkish İ/ı, NBSP-glued tokens — injected into every document's
+    // text. The full DuckDB gate passed 84/84 on this mode's FIRST run
+    // (BENCH_NOTES_r13 Addendum 9): the tokenize/shingle/hash/regex
+    // surface is byte-identical cross-engine; this keeps it that way.
+    val dir = corpus("unicode")
+    val failures = runRegistry(dir)
+    assert(failures.isEmpty, failures.map { case (n, e) =>
+      s"$n: ${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}"
+    }.mkString("\n"))
+    // Spark length() (code points) must equal the recomputed n_chars on
+    // every injected class — surrogate pairs count 1 per code point.
+    import org.apache.spark.sql.functions._
+    val bad = spark.read.parquet(s"$dir/documents.parquet")
+      .filter(length(col("text")) =!= col("n_chars")).count()
+    assert(bad === 0L)
+  }
+
   test("null embeddings are excluded from ANN by contract, not artifact") {
     import org.apache.spark.sql.functions._
     val dir = corpus("nulls")
