@@ -738,6 +738,72 @@ class SourcesSpec extends SparkSpec {
       Seq("2024-01-03 12:34:56.789012", "2024-01-04 00:00:00.000001"))
   }
 
+  test("model-based random op sequences: store ≡ in-memory last-wins model " +
+      "across interleaved upsert/compact/replace (r13)") {
+    // The pointwise specs above each pin ONE behavior; this drives the
+    // store through random INTERLEAVINGS and checks the full contents
+    // against an in-memory last-wins model after every operation — the
+    // class of bug it exists to catch is an interaction (a compact that
+    // drops a just-upserted row, a replace that resurrects a displaced
+    // pre-image) that no pointwise case composes. Keys map to partitions
+    // functionally (p = k % 4, the keys↔partition contract); versions
+    // tie → incoming wins (the INSERT OR REPLACE rendering); batches
+    // hold at most one row per key (duplicate keys WITH tied versions in
+    // one batch are outside the contract — order among them is
+    // undefined in any engine).
+    for (seed <- Seq(7, 99, 20260815)) {
+      val rnd = new scala.util.Random(seed)
+      val path = Files.createTempDirectory(s"model$seed").toString + "/store"
+      var model = Map.empty[Long, (Long, String)] // k -> (ver, payload)
+      def checkEq(opIdx: Int, op: String): Unit = {
+        val rows = KeyedParquetStore.read(spark, path) match {
+          case None => Array.empty[(Long, Long, String, Long)]
+          case Some(df) => df
+            .select(col("k").cast("long"), col("ver").cast("long"),
+              col("payload"), col("p").cast("long"))
+            .collect()
+            .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+        }
+        // row count FIRST: a duplicate-key row would vanish inside toMap
+        assert(rows.length === model.size,
+          s"seed $seed op #$opIdx ($op): ${rows.length} rows vs model ${model.size}")
+        assert(rows.forall(r => r._4 == r._1 % 4),
+          s"seed $seed op #$opIdx ($op): a row left its partition")
+        val got = rows.map(r => r._1 -> (r._2, r._3)).toMap
+        assert(got === model, s"seed $seed op #$opIdx ($op): store != model")
+      }
+      for (i <- 0 until 12) {
+        rnd.nextInt(10) match {
+          case n if n <= 6 => // upsert: 0-6 unique keys, random versions
+            val ks = rnd.shuffle((0L until 24L).toList).take(rnd.nextInt(7))
+            val rows = ks.map { k =>
+              val v = rnd.nextInt(5).toLong
+              (k, k % 4, v, s"$k-$v-$i")
+            }
+            val df = rows.toDF("k", "p", "ver", "payload")
+            KeyedParquetStore.upsert(spark, path, df, Seq("k"), Seq($"ver"),
+              partitionCols = Seq("p"))
+            rows.foreach { case (k, _, v, pay) =>
+              if (model.get(k).forall(_._1 <= v)) model += k -> (v, pay)
+            }
+            checkEq(i, s"upsert(${rows.size})")
+          case 7 | 8 => // compact: pure layout change
+            if (model.nonEmpty) {
+              KeyedParquetStore.compact(spark, path, targetFiles = 1)
+              checkEq(i, "compact")
+            }
+          case 9 => // replace: the new truth is a random subset (maybe empty)
+            val keep = model.filter(_ => rnd.nextBoolean())
+            val rows = keep.toSeq.map { case (k, (v, pay)) => (k, k % 4, v, pay) }
+            KeyedParquetStore.replace(spark, path,
+              rows.toDF("k", "p", "ver", "payload"), partitionCols = Seq("p"))
+            model = keep
+            checkEq(i, s"replace(${rows.size})")
+        }
+      }
+    }
+  }
+
   test("verifySchemas: green on testdata, one loud diff naming table.column on drift") {
     graft.Tables.verifySchemas(spark, "/root/testdata/sf0.001")
     // Perturbed snapshot: symlink the 9 healthy tables, replace events
