@@ -98,6 +98,17 @@ object ScaleUp {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    run(spark, src, dst, factor, skew)
+    spark.stop()
+  }
+
+  /** Session-agnostic generator (the [[Reseed.run]] / [[EdgeCorpus.run]]
+    * contract) so ScaleUpSpec can pin schema fidelity at unit-test
+    * speed — the skew branch shipped an INTEGER-narrowed n_chars for two
+    * rounds because nothing asserted the output schemas byte-equal the
+    * source's. */
+  def run(spark: SparkSession, src: String, dst: String,
+          factor: Int, skew: Boolean): Unit = {
     new java.io.File(dst).mkdirs()
 
     val offset = 100000000L // clear of every literal id bound in the registry
@@ -127,7 +138,12 @@ object ScaleUp {
       array_join(transform(split(col("text"), "\\s+"),
         t => concat(t, lit(s"⊕$k"))), " ").as("text"),
       col("lang"), col("source")
-    ).withColumn("n_chars", length(col("text"))))
+      // cast: length() is INT where the source column is BIGINT — the
+      // non-skew union happens to coerce back via the verbatim replica 0,
+      // but schema fidelity must hold by construction, not coincidence
+      // (the skew branch re-derives AFTER the union and shipped an
+      // INTEGER n_chars for two rounds — caught by q83's dtype gate)
+    ).withColumn("n_chars", length(col("text")).cast("long")))
     // Skew mutations (see scaladoc): a Zipf-ish length tail + the
     // score-tie class, both deterministic in doc_id so oracles agree.
     val docsOut = if (!skew) docsScaled else {
@@ -140,7 +156,7 @@ object ScaleUp {
       val rep = when(b === 0, lit(64)).when(b < 5, lit(8)).otherwise(lit(1))
       docsScaled
         .withColumn("text", array_join(array_repeat(stripped, rep), " "))
-        .withColumn("n_chars", length(col("text")))
+        .withColumn("n_chars", length(col("text")).cast("long"))
     }
     // file count ~ driver layout: enough splits for scan parallelism,
     // few enough that listing stays trivial
@@ -210,6 +226,5 @@ object ScaleUp {
         java.nio.file.Paths.get(s"$src/$t.parquet"))
     }
     println(s"""{"scaled":"$dst","factor":$factor,"skew":$skew,"docs":${docsOut.count()},"vecs":${embScaled.count()},"events":${evOut.count()},"orders":${ordScaled.count()},"lineitem":${liOut.count()}}""")
-    spark.stop()
   }
 }

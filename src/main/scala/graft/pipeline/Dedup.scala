@@ -366,6 +366,62 @@ object Dedup {
     train.join(hits.select(col("doc_id")), Seq("doc_id"), "left_anti")
   }
 
+  /** FUZZY eval-set decontamination: drop training docs whose shingle
+    * CONTAINMENT of any eval doc — |shingles(train) ∩ shingles(eval)| /
+    * |shingles(eval)| — reaches `minContainment`. [[decontaminate]]
+    * counts raw shared shingles, which catches verbatim leakage; this
+    * face catches the paraphrased/truncated/embedded contamination a
+    * benchmark actually leaks as (an eval doc quoted inside a larger
+    * training doc scores containment ≈ 1 while its Jaccard can be
+    * arbitrarily low — which is why the threshold is on containment,
+    * the standard eval-overlap measure, not Jaccard).
+    *
+    * Scale shape: eval is benchmark-sized (KBs–MBs against a TB corpus),
+    * so BOTH its band signatures and its hashed shingles broadcast; the
+    * corpus side computes minhash band signatures once ([[bandSigs]],
+    * the [[minhashLsh]] machinery) and candidate generation is a
+    * broadcast join against the eval bands — corpus-linear by
+    * construction (no self-join, no occupancy-quadratic bucket work).
+    * Candidates confirm on the exact shingle intersection, gated BEFORE
+    * the count so only candidate (train, eval) pairs aggregate. Banding
+    * recall is the [[minhashLsh]] trade: P(candidate) =
+    * 1-(1-J^rows)^bands for true shingle-Jaccard J — size bands/rows to
+    * the containment level that must not slip through, exactly like the
+    * dedup threshold sizing.
+    *
+    * `train` needs (doc_id, text); `eval` needs (doc_id, text) with its
+    * OWN id space (the two relations never mix ids). Returns the cleaned
+    * train relation (the [[decontaminate]] contract). 6-dp containment
+    * rounds in exact integer micro-units (the [[exactJaccard]] tie
+    * rule) so the threshold comparison is engine-independent. */
+  def decontaminateFuzzy(train: DataFrame, eval: DataFrame,
+                         numHashes: Int = 16, rowsPerBand: Int = 4,
+                         shingleN: Int = 3,
+                         minContainment: Double = 0.5): DataFrame = {
+    // Train shingles are consumed twice (banding + the confirm) — pin
+    // the id+hash projection once (the minhashLsh rationale); the eval
+    // relations are broadcast-sized, pinned only to avoid re-shingling.
+    val shT = graft.Pin.ser(TextAnalysis.hashedShingles(train, shingleN))
+    val shE = graft.Pin.ser(TextAnalysis.hashedShingles(eval, shingleN))
+    val sigE = bandSigs(shE, numHashes, rowsPerBand)
+      .select(col("band"), col("sig"), col("doc_id").as("eval_id"))
+    val cands = bandSigs(shT, numHashes, rowsPerBand)
+      .join(broadcast(sigE), Seq("band", "sig"))
+      .select(col("doc_id"), col("eval_id")).distinct()
+    val evalSizes = shE.groupBy(col("doc_id").as("eval_id"))
+      .agg(count(lit(1)).as("ne"))
+    val contaminated = shT
+      .join(broadcast(shE.select(col("doc_id").as("eval_id"), col("h"))), Seq("h"))
+      .join(broadcast(cands), Seq("doc_id", "eval_id"), "left_semi")
+      .groupBy(col("doc_id"), col("eval_id")).agg(count(lit(1)).as("ni"))
+      .join(broadcast(evalSizes), Seq("eval_id"))
+      // exact integer 6-dp half-up (the exactJaccard tie rule)
+      .filter(expr("(2000000 * ni + ne) div (2 * ne)") / lit(1000000.0)
+        >= minContainment)
+      .select(col("doc_id")).distinct()
+    train.join(contaminated, Seq("doc_id"), "left_anti")
+  }
+
   /** All-pairs n-gram Jaccard via shingle equi-join — QUADRATIC in docs
     * sharing a shingle; the small-scale baseline the LSH path is verified
     * against. Refuses corpora above `maxRows` (verdict r10 item 5): the
