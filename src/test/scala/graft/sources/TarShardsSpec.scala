@@ -46,6 +46,7 @@ class TarShardsSpec extends SparkSpec {
     ("train-0", "00003.txt", "hello shard".getBytes("UTF-8")),
     ("train-0", "00001.txt", Array.empty[Byte]),                  // empty member
     ("train-0", "00002.bin", Array.tabulate(513)(_.toByte)),      // > one block
+    ("train-0", "00004.bin", Array.tabulate(512)(i => (i * 7).toByte)), // exact block: pad = 0
     ("val-0", "00001.txt", "other shard".getBytes("UTF-8"))
   ).toDF("shard", "key", "payload")
 
@@ -55,12 +56,14 @@ class TarShardsSpec extends SparkSpec {
     val m = TarShards.write(samples, dir, "shard", "key", "payload")
       .as[(String, Long, Long)].collect().map { case (s, n, b) => s -> ((n, b)) }.toMap
     assert(m.keySet === Set("train-0", "val-0"))
-    assert(m("train-0")._1 === 3 && m("val-0")._1 === 1)
+    assert(m("train-0")._1 === 4 && m("val-0")._1 === 1)
     val train = readTar(s"$dir/shard-train-0.tar")
-    assert(train.map(_._1) === Seq("00001.txt", "00002.bin", "00003.txt"))
+    assert(train.map(_._1) ===
+      Seq("00001.txt", "00002.bin", "00003.txt", "00004.bin"))
     assert(new String(train(2)._2, "UTF-8") === "hello shard")
     assert(train(0)._2.isEmpty)
     assert(train(1)._2 === Array.tabulate(513)(_.toByte))
+    assert(train(3)._2 === Array.tabulate(512)(i => (i * 7).toByte))
     assert(readTar(s"$dir/shard-val-0.tar").map(_._1) === Seq("00001.txt"))
     // manifest bytes match the files on disk
     m.foreach { case (s, (_, b)) =>
