@@ -119,7 +119,7 @@ object ScaleUp {
     // merge USERS across replicas and fake the per-user scale evidence).
     // Guard each replicated id against its stride before writing anything.
     def assertBelow(df: DataFrame, c: String, bound: Long, table: String): Unit = {
-      val mx = df.agg(max(col(c).cast("long"))).head.getLong(0)
+      val mx = df.agg(max(col(c).cast("long"))).head().getLong(0)
       require(mx < bound,
         s"ScaleUp: $table.$c max $mx >= replica stride $bound — replicas would collide; " +
           "raise the stride before scaling this corpus")

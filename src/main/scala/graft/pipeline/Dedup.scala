@@ -397,12 +397,24 @@ object Dedup {
   def decontaminateFuzzy(train: DataFrame, eval: DataFrame,
                          numHashes: Int = 16, rowsPerBand: Int = 4,
                          shingleN: Int = 3,
-                         minContainment: Double = 0.5): DataFrame = {
+                         minContainment: Double = 0.5,
+                         maxEvalShingles: Long = 20000000L): DataFrame = {
     // Train shingles are consumed twice (banding + the confirm) — pin
     // the id+hash projection once (the minhashLsh rationale); the eval
     // relations are broadcast-sized, pinned only to avoid re-shingling.
     val shT = graft.Pin.ser(TextAnalysis.hashedShingles(train, shingleN))
     val shE = graft.Pin.ser(TextAnalysis.hashedShingles(eval, shingleN))
+    // The whole scale story assumes eval is the SMALL side (its bands
+    // and shingles broadcast to every task). A caller handing a corpus
+    // as `eval` deserves this message, not an executor OOM mid-job —
+    // the cosinePairs/maxCandidatePairs refusal discipline. One cheap
+    // count over the already-pinned KB-MB relation.
+    val ne = shE.count()
+    require(ne <= maxEvalShingles,
+      s"decontaminateFuzzy: eval set has $ne distinct shingles > " +
+        s"maxEvalShingles=$maxEvalShingles — eval must be the broadcast-" +
+        "small side (a benchmark, not a corpus); swap the arguments, " +
+        "shard the eval set, or raise maxEvalShingles deliberately")
     val sigE = bandSigs(shE, numHashes, rowsPerBand)
       .select(col("band"), col("sig"), col("doc_id").as("eval_id"))
     val cands = bandSigs(shT, numHashes, rowsPerBand)

@@ -159,7 +159,7 @@ object IncrementalEmbedDedup {
     // signatures, before any pair materializes.
     val selfEst = sigs.groupBy("t", "sig").agg(count(lit(1)).as("c"))
       .agg(coalesce(sum((col("c") * (col("c") - 1) / 2).cast("long")), lit(0L)))
-      .head.getLong(0)
+      .head().getLong(0)
     require(selfEst <= maxCandidatePairs,
       s"embed-dedup ingest: ~$selfEst within-bucket candidate pairs inside this " +
         s"batch exceed maxCandidatePairs=$maxCandidatePairs — $bits bits is too " +

@@ -506,7 +506,7 @@ object Similarity {
       .select(col("ts.t").as("t"), col("ts.sig").as("sig"), col("vec_id")))
     val est = sigs.groupBy("t", "sig").agg(count(lit(1)).as("c"))
       .agg(coalesce(sum((col("c") * (col("c") - 1) / 2).cast("long")), lit(0L)))
-      .head.getLong(0)
+      .head().getLong(0)
     require(est <= maxCandidatePairs,
       s"cosinePairsLsh: ~$est within-bucket candidate pairs exceed " +
         s"maxCandidatePairs=$maxCandidatePairs — $bits bits is too coarse for this " +
