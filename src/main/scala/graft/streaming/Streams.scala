@@ -220,7 +220,11 @@ object Streams {
         // Fold aged batch partitions first (the partition POPULATION
         // grows one directory per epoch; compact alone never bounds it —
         // KeyedParquetStore.rollupBatchPartitions scaladoc), current
-        // epoch on the replay horizon, then compact what remains.
+        // epoch on the replay horizon, then compact what remains. The
+        // fold SELF-GATES geometrically (aged bytes vs store bytes), so
+        // this fixed cadence only decides how often the cheap listing
+        // check runs — the O(store) rewrite amortizes to linear total
+        // I/O over the stream's lifetime, not O(store) per cadence.
         graft.sources.KeyedParquetStore.rollupBatchPartitions(
           s, bandsPath, keepBatches = Set(batchId))
         graft.sources.KeyedParquetStore.rollupBatchPartitions(

@@ -269,33 +269,38 @@ class DedupSpec extends SparkSpec {
   }
 
   test("decontaminateFuzzy: containment catches an eval doc EMBEDDED in a " +
-      "bigger train doc where Jaccard stays low (r13)") {
-    // eval doc = 13 tokens; train doc 10 = those 13 tokens inside 40
-    // others → containment 1.0 but Jaccard ≈ 11/49 ≈ 0.22: a Jaccard
-    // threshold at 0.5 misses exactly the leakage this face exists for.
+      "bigger train doc where Jaccard stays low, at DEFAULTS (r13, r14)") {
+    // eval doc = 13 tokens; train doc 10 = those 13 tokens inside 300
+    // others → containment 1.0 but Jaccard ≈ 11/309 ≈ 0.036: a Jaccard
+    // threshold misses exactly the leakage this face exists for — and so
+    // did the r13 minhash band gate (P(collision) ≈ 1-(1-J⁴)⁴ ≈ 7e-6 at
+    // this Jaccard), which is why candidates now come from the exact
+    // shared-shingle join and this must pass with NO recall tuning.
     val evalText = "the secret benchmark question about catalyst shuffle " +
       "planning appears verbatim in here somewhere"
-    val filler = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val filler = (1 to 300).map(i => s"tok$i").mkString(" ")
     val train = Seq(
       10L -> s"$filler $evalText",
       11L -> "completely unrelated words about parquet columnar formats and so on",
       12L -> filler).toDF("doc_id", "text")
     val eval = Seq(0L -> evalText).toDF("doc_id", "text")
-    val kept = Dedup.decontaminateFuzzy(train, eval, numHashes = 16,
-      rowsPerBand = 1, minContainment = 0.5) // 16 bands of 1: recall → 1
+    val kept = Dedup.decontaminateFuzzy(train, eval, minContainment = 0.5)
       .select($"doc_id").as[Long].collect().toSet
     assert(kept === Set(11L, 12L))
     // a full-Jaccard-style demand (containment 1.0 still holds for the
     // embedded doc) vs an impossible one
-    val keptNone = Dedup.decontaminateFuzzy(train, eval, numHashes = 16,
-      rowsPerBand = 1, minContainment = 1.0)
+    val keptNone = Dedup.decontaminateFuzzy(train, eval, minContainment = 1.0)
       .select($"doc_id").as[Long].collect().toSet
     assert(keptNone === Set(11L, 12L), "containment of the embedded doc is exactly 1.0")
     // empty eval set: nothing drops
-    val keptAll = Dedup.decontaminateFuzzy(train, eval.limit(0),
-      numHashes = 16, rowsPerBand = 1, minContainment = 0.5)
+    val keptAll = Dedup.decontaminateFuzzy(train, eval.limit(0), minContainment = 0.5)
       .select($"doc_id").as[Long].collect().toSet
     assert(keptAll === Set(10L, 11L, 12L))
+    // the broadcast-small contract refuses a corpus-sized eval loudly
+    val big = intercept[IllegalArgumentException] {
+      Dedup.decontaminateFuzzy(train, eval, maxEvalShingles = 2L)
+    }
+    assert(big.getMessage.contains("maxEvalShingles"))
   }
 
   test("simhash: identical docs share a signature; near dups are close, unrelated far") {

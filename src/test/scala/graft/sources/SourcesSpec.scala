@@ -647,6 +647,42 @@ class SourcesSpec extends SparkSpec {
     assert(replayed === Seq(9L)) // merged, not duplicated
   }
 
+  test("rollupBatchPartitions self-gates geometrically: a small aged batch " +
+      "defers, enough aged bytes fold, the count trigger overrides (r14)") {
+    val path = Files.createTempDirectory("store_gate").toString + "/idx"
+    def ingest(b: String, rows: Int): Unit =
+      KeyedParquetStore.upsert(spark, path,
+        (0 until rows).map(i => (s"$b-$i", 1L, b)).toDF("k", "v", "batch"),
+        Seq("k"), Seq(lit(1)), partitionCols = Seq("batch"),
+        partitionValues = Seq(Seq(b)))
+    def batchDirs: Set[String] = new java.io.File(path).listFiles
+      .filter(f => f.isDirectory && f.getName.startsWith("batch=")).map(_.getName).toSet
+    // a big consolidated history + one tiny fresh-aged batch
+    ingest("e0", 5000)
+    KeyedParquetStore.rollupBatchPartitions(spark, path, keepBatches = Set.empty,
+      minAgedBytesFraction = 0.0) // force the initial fold
+    assert(batchDirs === Set("batch=rollup"))
+    ingest("e1", 1)
+    // aged bytes (1 row) ≪ half the store → the fold DEFERS: O(store)
+    // rewrites must be bought by proportional growth, not by cadence
+    KeyedParquetStore.rollupBatchPartitions(spark, path, keepBatches = Set("e2"))
+    assert(batchDirs === Set("batch=rollup", "batch=e1"))
+    // rows still read back complete while deferred
+    assert(KeyedParquetStore.read(spark, path).get.count() === 5001L)
+    // enough aged bytes (≈ the rollup itself) → the fold runs
+    ingest("e2", 6000)
+    KeyedParquetStore.rollupBatchPartitions(spark, path, keepBatches = Set("e3"))
+    assert(batchDirs === Set("batch=rollup"))
+    assert(KeyedParquetStore.read(spark, path).get.count() === 11001L)
+    // count trigger: many tiny aged dirs fold regardless of bytes — the
+    // directory-population bound the byte gate alone cannot give
+    ingest("e3", 1); ingest("e4", 1); ingest("e5", 1)
+    KeyedParquetStore.rollupBatchPartitions(spark, path, keepBatches = Set("e6"),
+      maxAgedBatches = 3)
+    assert(batchDirs === Set("batch=rollup"))
+    assert(KeyedParquetStore.read(spark, path).get.count() === 11004L)
+  }
+
   test("q83 JSONL ingest: corrupt lines quarantine whole, clean lines " +
       "round-trip exactly (r13)") {
     // The registry face asserts the clean-output contract against the
