@@ -27,9 +27,14 @@ import org.apache.spark.sql.functions._
   * timed separately from ingest (`maint_sec`).
   *
   * Output: one JSONL line per (family, batch) on stdout —
-  * `{"family","batch","sec","maint_sec","rows","store_keys","files"}`
-  * where `files` is the store-tree data-file count AFTER any
-  * maintenance. Flat `sec` + sawtooth-bounded `files` is the pass.
+  * `{"family","batch","sec","maint_sec","rows","store_keys","files","dirs"}`
+  * where `files` is the store-tree data-file count and `dirs` the
+  * `batch=` partition-directory population AFTER any maintenance. Flat
+  * `sec` + sawtooth-bounded `files`/`dirs` is the pass. Since the r14
+  * geometric fold gate, `dirs` is the axis that shows the gate working:
+  * it grows between folds (deferred O(store) rewrites) and collapses at
+  * them, bounded by the byte-fraction/count triggers rather than by the
+  * cadence.
   *
   * Usage: `runMain graft.StoreAgingProbe <sfDir> <storeRoot> <nBatches>
   * <compactEvery> [families]` (families comma-separated, default all).
@@ -69,6 +74,17 @@ object StoreAgingProbe {
       }
     }.sum
 
+    def batchDirs(paths: Seq[String]): Long = paths.map { p =>
+      val root = java.nio.file.Paths.get(p)
+      if (!java.nio.file.Files.exists(root)) 0L
+      else {
+        val s = java.nio.file.Files.walk(root)
+        try s.filter(f => java.nio.file.Files.isDirectory(f) &&
+          f.getFileName.toString.startsWith("batch=")).count()
+        finally s.close()
+      }
+    }.sum
+
     def run(family: String, stores: Seq[String],
             ingest: (DataFrame, Int) => DataFrame,
             maint: Int => Unit,
@@ -92,7 +108,7 @@ object StoreAgingProbe {
         val keys = KeyedParquetStore.read(spark, keyStore).map(_.count()).getOrElse(0L)
         println(f"""{"family":"$family","batch":$i,"sec":$sec%.2f,""" +
           f""""maint_sec":$maintSec%.2f,"rows":$rows,"store_keys":$keys,""" +
-          s""""files":${dataFiles(stores)}}""")
+          s""""files":${dataFiles(stores)},"dirs":${batchDirs(stores)}}""")
       }
     }
 

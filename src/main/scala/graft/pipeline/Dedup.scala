@@ -356,14 +356,30 @@ object Dedup {
     * decision is a broadcast anti join. `minOverlap` > 1 demands a run of
     * shared content rather than one incidental common phrase. */
   def decontaminate(train: DataFrame, eval: DataFrame, shingleN: Int = 3,
-                    minOverlap: Long = 1): DataFrame = {
-    val evalH = TextAnalysis.hashedShingles(eval, shingleN)
-      .select(col("h")).distinct()
-    val hits = TextAnalysis.hashedShingles(train, shingleN)
+                    minOverlap: Long = 1): DataFrame =
+    train.join(
+      contaminatedExact(TextAnalysis.hashedShingles(train, shingleN),
+        TextAnalysis.hashedShingles(eval, shingleN), minOverlap),
+      Seq("doc_id"), "left_anti")
+
+  /** Shingle-level core of [[decontaminate]]: the contaminated train
+    * doc_ids, computed from PRE-HASHED shingle relations (the
+    * `(doc_id, h)` shape [[TextAnalysis.hashedShingles]] emits). Public
+    * because a composed pipeline that already holds a pinned corpus
+    * shingle relation (the q81 one-tokenization-pass discipline) must be
+    * able to run this stage WITHOUT re-shingling the corpus — at 100 TB
+    * every doc-level convenience face costs a full corpus pass, so the
+    * stage logic lives here and [[decontaminate]] is the thin wrapper.
+    * `evalShingles`' doc identities are irrelevant (any shared content
+    * counts toward the overlap); it must be broadcast-small. */
+  def contaminatedExact(trainShingles: DataFrame, evalShingles: DataFrame,
+                        minOverlap: Long): DataFrame = {
+    val evalH = evalShingles.select(col("h")).distinct()
+    trainShingles
       .join(broadcast(evalH), Seq("h"))
       .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hits"))
       .filter(col("n_hits") >= minOverlap)
-    train.join(hits.select(col("doc_id")), Seq("doc_id"), "left_anti")
+      .select(col("doc_id"))
   }
 
   /** FUZZY eval-set decontamination: drop training docs whose shingle
@@ -420,17 +436,35 @@ object Dedup {
         s"maxEvalShingles=$maxEvalShingles — eval must be the broadcast-" +
         "small side (a benchmark, not a corpus); swap the arguments, " +
         "shard the eval set, or raise maxEvalShingles deliberately")
-    val evalSizes = shE.groupBy(col("doc_id").as("eval_id"))
+    train.join(
+      contaminatedByContainment(
+        TextAnalysis.hashedShingles(train, shingleN), shE, minContainment),
+      Seq("doc_id"), "left_anti")
+  }
+
+  /** Shingle-level core of [[decontaminateFuzzy]]: the contaminated
+    * train doc_ids by per-eval-doc containment, from PRE-HASHED shingle
+    * relations — public for the same one-corpus-pass reason as
+    * [[contaminatedExact]]. Unlike there, `evalShingles`' doc identity
+    * MATTERS (containment is a per-eval-doc ratio) and the relation must
+    * be distinct per (doc_id, h) — [[TextAnalysis.hashedShingles]]'s
+    * contract — or `ne`/`ni` overcount. The caller owns the
+    * broadcast-small eval guard ([[decontaminateFuzzy]]'s
+    * maxEvalShingles refusal). */
+  def contaminatedByContainment(trainShingles: DataFrame,
+                                evalShingles: DataFrame,
+                                minContainment: Double): DataFrame = {
+    val evalSizes = evalShingles.groupBy(col("doc_id").as("eval_id"))
       .agg(count(lit(1)).as("ne"))
-    val contaminated = TextAnalysis.hashedShingles(train, shingleN)
-      .join(broadcast(shE.select(col("doc_id").as("eval_id"), col("h"))), Seq("h"))
+    trainShingles
+      .join(broadcast(evalShingles.select(col("doc_id").as("eval_id"), col("h"))),
+        Seq("h"))
       .groupBy(col("doc_id"), col("eval_id")).agg(count(lit(1)).as("ni"))
       .join(broadcast(evalSizes), Seq("eval_id"))
       // exact integer 6-dp half-up (the exactJaccard tie rule)
       .filter(expr("(2000000 * ni + ne) div (2 * ne)") / lit(1000000.0)
         >= minContainment)
       .select(col("doc_id")).distinct()
-    train.join(contaminated, Seq("doc_id"), "left_anti")
   }
 
   /** All-pairs n-gram Jaccard via shingle equi-join — QUADRATIC in docs

@@ -94,6 +94,61 @@ object Sampling {
     df.filter(b < threshold)
   }
 
+  /** TEMPERATURE-flattened mixture sampling: per-group keep rates
+    * derived from the corpus itself — the multilingual/multi-domain
+    * balancing rule (keep groups in proportion to share^alpha; alpha < 1
+    * flattens toward uniform so low-resource groups are up-weighted, the
+    * published mT5/XLM-R data-mixing recipe) — where
+    * [[stratifiedSample]] takes hand-set fractions. Expected kept rows ≈
+    * `targetRows`, distributed across groups as n_g^alpha / Σ n^alpha,
+    * each group capped at keep-everything.
+    *
+    * Determinism across engines and retries: group counts are a KB-sized
+    * driver model (ONE narrow count agg over the scan — the centroids
+    * pattern, groups ≪ rows by the nature of a mixture); n^alpha
+    * quantizes to integer micro-units (alpha = 0.5 routes through
+    * IEEE-EXACT sqrt, so an oracle engine computes the identical
+    * integer; other alphas go through pow, correctly-rounded in practice
+    * but not guaranteed by IEEE — prefer 0.5 where a cross-engine hash
+    * must hold); the Σ and each group's bucket threshold are pure
+    * integer arithmetic (BigInt — no overflow class, no float boundary
+    * to tie-break differently). Rows keep iff their [[bucket]] falls
+    * under their group's threshold — a broadcast join of the KB lookup,
+    * zero corpus shuffle beyond the count agg — so samples NEST in
+    * `targetRows` at fixed salt like every other deal here.
+    *
+    * NULL groups are EXCLUDED (a mixture share for unknown-group content
+    * is undefined — the q63 lesson: don't let a marker value impersonate
+    * a group); label upstream to keep such rows. Group identity is the
+    * group value's STRING rendering on both the count and the join, so
+    * the two can never disagree. */
+  def temperatureMixture(df: DataFrame, idCol: String, groupCol: Column,
+                         targetRows: Long, alpha: Double = 0.5,
+                         salt: String = "temp"): DataFrame = {
+    require(alpha > 0 && alpha <= 1, s"alpha must be in (0, 1]: $alpha")
+    require(targetRows >= 0, s"targetRows must be >= 0: $targetRows")
+    import df.sparkSession.implicits._
+    val counts: Array[(String, Long)] = df
+      .filter(groupCol.isNotNull)
+      .groupBy(groupCol.cast("string").as("g")).agg(count(lit(1)).as("n"))
+      .as[(String, Long)].collect()
+    val weights = counts.map { case (g, n) =>
+      val p = if (alpha == 0.5) math.sqrt(n.toDouble)
+      else math.pow(n.toDouble, alpha)
+      (g, n, BigInt(math.round(p * 1e6)))
+    }
+    val s = weights.map(_._3).sum
+    val thresholds = weights.map { case (g, n, w) =>
+      (g, (BigInt(Buckets) * targetRows * w / (s * n))
+        .min(BigInt(Buckets)).toLong)
+    }.toSeq
+    df.filter(groupCol.isNotNull)
+      .join(broadcast(thresholds.toDF("g", "thr")),
+        groupCol.cast("string") === col("g"))
+      .filter(bucket(col(idCol), salt) < col("thr"))
+      .drop("g", "thr")
+  }
+
   /** WEIGHTED deterministic sampling: each row carries its own keep
     * probability in [0, 1] (typically a quality score) — the curation
     * move that up-samples good data and down-samples boilerplate without

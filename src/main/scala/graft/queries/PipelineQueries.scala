@@ -2094,15 +2094,12 @@ object PipelineQueries {
           uniqueText.select(col("doc_id")),
           Dedup.dedupClusters(pairs.select(col("doc_a"), col("doc_b"))))
         // Stage 4 — eval decontamination (q51 params) on the SAME pinned
-        // shingles; eval shingles broadcast as in Dedup.decontaminate.
-        val evalH = TextAnalysis.hashedShingles(evalDocs, 3)
-          .select(col("h")).distinct()
-        val hits = sh.join(nearIds, Seq("doc_id"), "left_semi")
-          .join(broadcast(evalH), Seq("h"))
-          .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hits"))
-          .filter(col("n_hits") >= 10)
-        val cleanIds = nearIds.join(
-          hits.select(col("doc_id")), Seq("doc_id"), "left_anti")
+        // shingles, through the shingle-level library face (r14): the
+        // one-pass discipline no longer requires inlining the stage body.
+        val hits = Dedup.contaminatedExact(
+          sh.join(nearIds, Seq("doc_id"), "left_semi"),
+          TextAnalysis.hashedShingles(evalDocs, 3), minOverlap = 10)
+        val cleanIds = nearIds.join(hits, Seq("doc_id"), "left_anti")
         // Stage 5 — token-budget selection (q74 shape) over the pinned
         // features; no re-tokenization.
         val selected = Sampling.takeTokenBudget(
@@ -2327,6 +2324,124 @@ object PipelineQueries {
       // The oracle never sees the JSONL file — it states the CONTRACT:
       // a clean roundtrip of every line that was not corrupted.
       Some("""SELECT doc_id, text, lang, source, n_chars
-        |FROM documents WHERE doc_id % 50 <> 7""".stripMargin))
+        |FROM documents WHERE doc_id % 50 <> 7""".stripMargin)),
+
+    // DUAL-criterion decontamination from ONE corpus shingle pass: raw
+    // shared-shingle overlap (q51's criterion — verbatim leakage spread
+    // across the eval set) UNION per-eval-doc containment (q84's —
+    // truncated/embedded leakage), both through the r14 shingle-level
+    // library faces over the SAME pinned (doc_id, h) relation. The
+    // doc-level wrappers chained would shingle the corpus twice — at
+    // 100 TB an extra full corpus pass per criterion. Eval set = q84's
+    // planted truncated copies, PLUS a planted cross-eval "compilation"
+    // doc in the train pool (8-token slices of 10 different eval docs
+    // concatenated): ~60 shared shingles total but ≈ 0.07 containment of
+    // any single eval doc, so it is dropped by the exact criterion ALONE
+    // — an engine running only containment keeps it and hash-fails,
+    // which is what makes this row pin the union rather than restate
+    // q84 (at sf0.01 every containment-free overlap-40 doc happens to
+    // also be containment-caught).
+    Q("q85_decontaminate_dual",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+        val toks = TextAnalysis.tokens(col("text"))
+        val evalD = docs.filter(col("doc_id") >= 100 && col("doc_id") < 120)
+          .select((col("doc_id") - 100).as("doc_id"),
+            array_join(slice(toks, lit(1), greatest(size(toks) - 10, lit(3))), " ")
+              .as("text"))
+        // the compilation doc: deterministic fragment order via the
+        // sorted (doc_id, frag) structs; empty corpora filter it out.
+        // Only eval docs of ≥ 24 tokens contribute a fragment — a
+        // shorter doc's ENTIRE shingle set fits inside its 8-token
+        // slice (containment 1.0) and would hand the compilation doc to
+        // the containment criterion, un-pinning the union this row
+        // exists to pin (6 shingles / ≥ 22 keeps containment ≤ 0.28)
+        val compiled = evalD
+          .filter(size(TextAnalysis.tokens(col("text"))) >= 24)
+          .select(col("doc_id"),
+            array_join(slice(TextAnalysis.tokens(col("text")), lit(1), lit(8)), " ")
+              .as("frag"))
+          // null-text eval docs contribute no fragment — pinned
+          // explicitly so Spark's array_join and the oracle's string_agg
+          // can't disagree on null-element elision
+          .filter(col("frag").isNotNull)
+          .agg(array_join(
+            transform(array_sort(collect_list(struct(col("doc_id"), col("frag")))),
+              x => x.getField("frag")), " ").as("text"))
+          .select(lit(990000L).as("doc_id"), col("text"))
+          .filter(length(col("text")) >= 1)
+        val train = docs.filter(col("doc_id") >= 100).unionByName(compiled)
+        val sh = graft.Pin.ser(TextAnalysis.hashedShingles(train, 3))
+        val shE = graft.Pin.ser(TextAnalysis.hashedShingles(evalD, 3))
+        val drop = Dedup.contaminatedExact(sh, shE, minOverlap = 40)
+          .unionByName(Dedup.contaminatedByContainment(sh, shE, minContainment = 0.5))
+          .distinct()
+        train.join(drop, Seq("doc_id"), "left_anti")
+          .select(col("doc_id"), length(col("text")).cast("long").as("text_len"))
+      },
+      Some(s"""WITH ew AS (
+        |  SELECT doc_id - 100 AS doc_id,
+        |    regexp_split_to_array(text, '\\s+')[1:greatest(
+        |      len(regexp_split_to_array(text, '\\s+')) - 10, 3)] AS w
+        |  FROM documents WHERE doc_id >= 100 AND doc_id < 120),
+        |comp AS (
+        |  SELECT 990000 AS doc_id,
+        |    string_agg(array_to_string(w[1:8], ' '), ' ' ORDER BY doc_id) AS text
+        |  FROM ew WHERE w IS NOT NULL AND len(w) >= 24),
+        |tall AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id >= 100
+        |  UNION ALL
+        |  SELECT doc_id, text FROM comp WHERE coalesce(length(text), 0) >= 1),
+        |tw AS (
+        |  SELECT doc_id, regexp_split_to_array(text, '\\s+') AS w FROM tall),
+        |thsh AS (
+        |  SELECT DISTINCT doc_id, ${h60("w[i] || ' ' || w[i+1] || ' ' || w[i+2]")} AS h
+        |  FROM tw, UNNEST(range(1, len(w) - 1)) AS t(i) WHERE len(w) >= 3),
+        |ehsh AS (
+        |  SELECT DISTINCT doc_id, ${h60("w[i] || ' ' || w[i+1] || ' ' || w[i+2]")} AS h
+        |  FROM ew, UNNEST(range(1, len(w) - 1)) AS t(i) WHERE len(w) >= 3),
+        |hits AS (
+        |  SELECT t.doc_id, count(*) AS n
+        |  FROM thsh t JOIN (SELECT DISTINCT h FROM ehsh) e USING (h) GROUP BY 1),
+        |esz AS (SELECT doc_id AS eval_id, count(*) AS ne FROM ehsh GROUP BY 1),
+        |inter AS (
+        |  SELECT t.doc_id, e.doc_id AS eval_id, count(*) AS ni
+        |  FROM thsh t JOIN ehsh e ON t.h = e.h
+        |  GROUP BY 1, 2),
+        |contam AS (
+        |  SELECT doc_id FROM hits WHERE n >= 40
+        |  UNION
+        |  SELECT DISTINCT i.doc_id
+        |  FROM inter i JOIN esz USING (eval_id)
+        |  WHERE ((2000000 * i.ni + ne) // (2 * ne)) / 1000000.0 >= 0.5)
+        |SELECT doc_id, CAST(length(text) AS BIGINT) AS text_len
+        |FROM tall
+        |WHERE doc_id NOT IN (SELECT doc_id FROM contam)""".stripMargin)),
+
+    // Temperature-flattened mixture: per-language keep rates derived
+    // FROM the corpus (∝ share^0.5 — low-resource languages up-weighted,
+    // the published multilingual data-balancing rule) where q52's rates
+    // are hand-set. alpha = 0.5 routes through IEEE-exact sqrt and the
+    // thresholds are integer micro-unit arithmetic, so the oracle
+    // rebuilds the identical per-group bucket boundaries.
+    Q("q86_temperature_mixture",
+      (s, dir) =>
+        Sampling.temperatureMixture(
+          Tables.documents(s, dir).select(col("doc_id"), col("lang")),
+          "doc_id", col("lang"), targetRows = 150, alpha = 0.5, salt = "temp"),
+      Some("""WITH c AS (
+        |  SELECT lang AS g, count(*) AS n FROM documents
+        |  WHERE lang IS NOT NULL GROUP BY 1),
+        |w AS (
+        |  SELECT g, n,
+        |    CAST(round(sqrt(CAST(n AS DOUBLE)) * 1000000) AS BIGINT) AS wq
+        |  FROM c),
+        |t AS (
+        |  SELECT g,
+        |    least(10000, (10000 * 150 * wq) // ((SELECT sum(wq) FROM w) * n)) AS thr
+        |  FROM w)
+        |SELECT doc_id, lang FROM documents d JOIN t ON d.lang = t.g
+        |WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '_temp'), 1, 15)) AS BIGINT)
+        |      % 10000 < thr""".stripMargin))
   )
 }

@@ -303,6 +303,29 @@ class DedupSpec extends SparkSpec {
     assert(big.getMessage.contains("maxEvalShingles"))
   }
 
+  test("shingle-level decontamination faces match their doc-level wrappers " +
+      "off ONE shared corpus pass (r14)") {
+    val train = docs.filter($"doc_id" >= 3)
+    val eval = docs.filter($"doc_id" === 1)
+    val sh = TextAnalysis.hashedShingles(train, 3)
+    val shE = TextAnalysis.hashedShingles(eval, 3)
+    // the q85 composition: both criteria off the same shingle relation
+    val keptDual = train.join(
+      Dedup.contaminatedExact(sh, shE, minOverlap = 5)
+        .unionByName(Dedup.contaminatedByContainment(sh, shE, minContainment = 0.5))
+        .distinct(),
+      Seq("doc_id"), "left_anti").select($"doc_id").as[Long].collect().toSet
+    val keptExact = Dedup.decontaminate(train, eval, shingleN = 3, minOverlap = 5)
+      .select($"doc_id").as[Long].collect().toSet
+    val keptFuzzy = Dedup.decontaminateFuzzy(train, eval, minContainment = 0.5)
+      .select($"doc_id").as[Long].collect().toSet
+    // dual-criterion keep = intersection of the per-criterion keeps, and
+    // the shared-pass faces reproduce the wrappers exactly
+    assert(keptDual === (keptExact intersect keptFuzzy))
+    assert(keptExact === Set(4L, 5L))  // doc 3 near-dups the eval doc
+    assert(keptFuzzy === Set(4L, 5L))
+  }
+
   test("simhash: identical docs share a signature; near dups are close, unrelated far") {
     val sigs = Dedup.simhash(docs).orderBy($"doc_id")
       .select($"simhash").as[Long].collect()
@@ -484,6 +507,34 @@ class SamplingSpec extends SparkSpec {
     assert(p01.subsetOf(p10))
     assert(Sampling.deterministicSample(docs, "doc_id", 0.0).count() === 0)
     assert(Sampling.deterministicSample(docs, "doc_id", 1.0).count() === docs.count())
+  }
+
+  test("temperatureMixture flattens toward uniform, keeps everything at a " +
+      "full-corpus target, excludes null groups, nests in target (r14)") {
+    val d = ((1 to 400).map(i => (i.toLong, "big")) ++
+      (401 to 425).map(i => (i.toLong, "small")) ++
+      Seq((426L, null.asInstanceOf[String]))).toDF("doc_id", "lang")
+    val kept = Sampling.temperatureMixture(d, "doc_id", $"lang", targetRows = 100)
+    val byLang = kept.groupBy($"lang").count().as[(String, Long)].collect().toMap
+    // alpha 0.5 flattening: thresholds ∝ 1/sqrt(n) → the small group's
+    // keep RATE (expected 80%) dominates the big group's (expected 20%)
+    assert(!byLang.contains(null))
+    assert(byLang("small").toDouble / 25 > byLang("big").toDouble / 400,
+      byLang.toString)
+    // expectation ≈ target (hash-deal variance allowed)
+    val n = kept.count()
+    assert(n > 60 && n < 140, s"kept $n of target 100")
+    // at alpha = 1 (no flattening) a full-corpus target keeps every
+    // non-null-group row exactly: thr = 10000·T/Σn = 10000 for all
+    // groups. NOT true at alpha < 1 — flattening down-weights the big
+    // group even at a full target (thr 8500 here), which is the point.
+    assert(Sampling.temperatureMixture(d, "doc_id", $"lang",
+      targetRows = 425, alpha = 1.0).count() === 425L)
+    // nesting: halving the target yields a subset (thresholds monotone)
+    val k50 = Sampling.temperatureMixture(d, "doc_id", $"lang", targetRows = 50)
+      .select($"doc_id").as[Long].collect().toSet
+    val k100 = kept.select($"doc_id").as[Long].collect().toSet
+    assert(k50.subsetOf(k100))
   }
 
   test("stratifiedSample: per-stratum rates, nesting across re-weights (r4)") {
