@@ -345,6 +345,39 @@ object Dedup {
       labels.filter(col("doc_id") =!= col("label")).select(col("doc_id").as(idCol)),
       Seq(idCol), "left_anti")
 
+  /** Quality-aware dedup application: within each near-dup cluster keep
+    * the member with the HIGHEST `score` (ties → smallest id) instead of
+    * [[keepCanonical]]'s min-id election — at curation time dedup should
+    * keep the best copy (longest, highest-quality), not an arbitrary
+    * one. `labels` is [[dedupClusters]]' (doc_id, label) relation;
+    * `score` is evaluated against `docs`' columns; docs in no cluster
+    * survive by construction (the [[keepCanonical]] contract). Prefer an
+    * INTEGER-exact score (token counts, byte lengths) where a
+    * cross-engine oracle must agree on ordering — a double score makes
+    * near-tie election engine-dependent.
+    *
+    * Shuffle shape at 100 TB: the election window runs over the LABELED
+    * docs only — (id, label, score) id-width triplets, clusters ≪ corpus
+    * — one exchange on label, and WindowGroupLimit prunes each cluster
+    * to its winner before the final id anti join. Bodies never enter
+    * the window. */
+  def keepBestPerCluster(docs: DataFrame, labels: DataFrame, score: Column,
+                         idCol: String = "doc_id"): DataFrame = {
+    val scored = docs.select(col(idCol).as("doc_id"), score.as("s"))
+      .join(labels.select(col("doc_id"), col("label")), Seq("doc_id"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("label")).orderBy(col("s").desc, col("doc_id"))
+    // rn === 1 (not "losers = rn > 1") so WindowGroupLimit's partial
+    // top-1 prunes each cluster to its candidate winners BEFORE the
+    // label exchange — a loser-side filter disqualifies the rewrite and
+    // shuffles every cluster member; losers then derive by id anti join
+    val winners = scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1).select(col("doc_id"))
+    val losers = labels.select(col("doc_id"))
+      .join(winners, Seq("doc_id"), "left_anti")
+    docs.join(losers.select(col("doc_id").as(idCol)), Seq(idCol), "left_anti")
+  }
+
   /** Test-set DECONTAMINATION: drop training documents that share at
     * least `minOverlap` DISTINCT n-gram shingles with ANY eval document —
     * the standard guard against benchmark leakage into a training corpus.

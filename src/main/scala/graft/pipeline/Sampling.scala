@@ -168,6 +168,36 @@ object Sampling {
       least(greatest(nanvl(weight.cast("double"), lit(0.0)), lit(0.0)), lit(1.0))
         * Buckets)
 
+  /** Deterministic fractional UPSAMPLING — repeat-by-weight, the
+    * mixture move that runs high-quality or low-resource data for more
+    * than one epoch: each row is emitted floor(w) times plus one more
+    * iff its hash bucket falls under frac(w)·10000, so the EXPECTED copy
+    * count is exactly the weight and the realized count is a
+    * deterministic function of (id, salt) — retries, engines, and
+    * re-runs agree row-for-row ([[bucket]]'s contract). Copies carry a
+    * `rep` index (1-based) so downstream shuffles/packs can tell them
+    * apart; a weight < 1 is a DOWNsample (the row may vanish), weight 0,
+    * NaN, and null drop the row (the [[weightedSample]] NaN verdict).
+    * Weights clamp to `maxRepeat` — a corrupt million-weight must not
+    * explode storage silently; raise the cap deliberately.
+    *
+    * Shuffle profile: none — floor/frac arithmetic plus one
+    * `explode(sequence(...))` inside the scan stage; output is
+    * input-row-local, so the pass stays corpus-linear at any weight
+    * scale a caller survives storing. */
+  def repeatByWeight(df: DataFrame, idCol: String, weight: Column,
+                     maxRepeat: Int = 100, salt: String = "rep"): DataFrame = {
+    require(maxRepeat >= 1, s"maxRepeat must be >= 1: $maxRepeat")
+    val w = least(greatest(nanvl(weight.cast("double"), lit(0.0)), lit(0.0)),
+      lit(maxRepeat.toDouble))
+    val nRep = (floor(w) +
+      when(bucket(col(idCol), salt) < (w - floor(w)) * Buckets, 1L)
+        .otherwise(0L)).cast("long")
+    df.withColumn("rep",
+        explode(when(nRep >= 1, sequence(lit(1L), nRep))
+          .otherwise(array().cast("array<bigint>"))))
+  }
+
   /** Deterministic sequence PACKING: group documents into fixed
     * token-budget packs — the batch-construction step before training.
     * Documents are dealt into `packBuckets` hash buckets (so the window

@@ -2442,6 +2442,80 @@ object PipelineQueries {
         |  FROM w)
         |SELECT doc_id, lang FROM documents d JOIN t ON d.lang = t.g
         |WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '_temp'), 1, 15)) AS BIGINT)
-        |      % 10000 < thr""".stripMargin))
+        |      % 10000 < thr""".stripMargin)),
+
+    // Quality-aware dedup application: q37's clusters, but each cluster
+    // keeps its LONGEST member (token count, ties → smallest id) instead
+    // of the min-id canonical — the curation-time election (keep the
+    // best copy, not an arbitrary one). Integer score so both engines
+    // order ties identically; the election window sees only the labeled
+    // id/score/label triplets.
+    Q("q87_dedup_keep_best",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+        val labels = Dedup.dedupClusters(
+          Dedup.minhashLsh(docs, numHashes = 16, rowsPerBand = 4,
+            shingleN = 3, threshold = 0.5).select("doc_a", "doc_b"))
+        Dedup.keepBestPerCluster(docs, labels,
+          size(TextAnalysis.tokens(col("text"))).cast("long"))
+          .select(col("doc_id"), length(col("text")).cast("long").as("text_len"))
+      },
+      Some(s"""${minhashJacSql.replaceFirst("^WITH ", "WITH RECURSIVE ")},
+        |pairs AS MATERIALIZED (SELECT doc_a, doc_b FROM jac WHERE jaccard >= 0.5),
+        |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+        |          UNION ALL SELECT doc_b AS src, doc_a AS dst FROM pairs),
+        |nodes AS (SELECT DISTINCT src AS doc_id FROM edges),
+        |reach(a, b) AS (
+        |  SELECT src, dst FROM edges
+        |  UNION
+        |  SELECT r.a, e.dst FROM reach r JOIN edges e ON e.src = r.b),
+        |labels AS (
+        |  SELECT n.doc_id, least(n.doc_id, min(r.b)) AS label
+        |  FROM nodes n JOIN reach r ON r.a = n.doc_id GROUP BY 1),
+        |scored AS (
+        |  SELECT l.doc_id, l.label,
+        |    CAST(len(regexp_split_to_array(d.text, '\\s+')) AS BIGINT) AS s
+        |  FROM labels l JOIN documents d USING (doc_id)),
+        |losers AS (
+        |  SELECT doc_id FROM (
+        |    SELECT doc_id,
+        |      row_number() OVER (PARTITION BY label ORDER BY s DESC, doc_id) AS rn
+        |    FROM scored) WHERE rn > 1)
+        |SELECT doc_id, CAST(length(text) AS BIGINT) AS text_len
+        |FROM documents WHERE doc_id NOT IN (SELECT doc_id FROM losers)""".stripMargin)),
+
+    // Deterministic fractional upsampling: weight = token count / 80
+    // capped at 3 epochs — each doc repeats floor(w) times plus one more
+    // iff its hash bucket clears frac(w); expected copies = weight,
+    // realized copies a pure function of (id, salt). Null/short texts
+    // deal a weight of 0 and vanish — pinned by the same arithmetic in
+    // the oracle, not by engine null-propagation luck.
+    Q("q88_repeat_upsample",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+        // coalesce BEFORE least: Spark's least IGNORES nulls, so a null
+        // text would otherwise deal least(null, 3.0) = 3.0 where the
+        // oracle's coalesce deals 0 — the r13 nulls-gate lesson class
+        val w = least(greatest(coalesce(
+          size(TextAnalysis.tokens(col("text"))).cast("double") / lit(80.0),
+          lit(0.0)), lit(0.0)), lit(3.0))
+        Sampling.repeatByWeight(docs, "doc_id", w, maxRepeat = 100, salt = "rep")
+          .select(col("doc_id"), col("rep"),
+            length(col("text")).cast("long").as("text_len"))
+      },
+      Some("""WITH base AS (
+        |  SELECT doc_id, text,
+        |    least(greatest(coalesce(
+        |      CAST(len(regexp_split_to_array(text, '\s+')) AS DOUBLE) / 80.0,
+        |      0.0), 0.0), 3.0) AS w
+        |  FROM documents),
+        |n AS (
+        |  SELECT doc_id, text, CAST(floor(w) AS BIGINT)
+        |    + CASE WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '_rep'), 1, 15)) AS BIGINT)
+        |                % 10000 < (w - floor(w)) * 10000 THEN 1 ELSE 0 END AS n_rep
+        |  FROM base)
+        |SELECT doc_id, CAST(u.rep AS BIGINT) AS rep,
+        |       CAST(length(text) AS BIGINT) AS text_len
+        |FROM n, UNNEST(range(1, n_rep + 1)) AS u(rep)""".stripMargin))
   )
 }

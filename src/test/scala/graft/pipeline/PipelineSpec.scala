@@ -303,6 +303,24 @@ class DedupSpec extends SparkSpec {
     assert(big.getMessage.contains("maxEvalShingles"))
   }
 
+  test("keepBestPerCluster elects the highest score, breaks ties on min id, " +
+      "and leaves unclustered docs alone (r14)") {
+    val labels = Seq((1L, 1L), (2L, 1L), (3L, 1L), (10L, 10L), (11L, 10L))
+      .toDF("doc_id", "label")
+    val d = Seq((1L, 5L), (2L, 9L), (3L, 7L), (10L, 4L), (11L, 4L),
+      (99L, 1L)).toDF("doc_id", "quality")
+    val kept = Dedup.keepBestPerCluster(d, labels, $"quality")
+      .select($"doc_id").as[Long].collect().toSet
+    // cluster 1: doc 2 wins on score; cluster 10: tie 4 = 4 → min id 10;
+    // doc 99 is in no cluster and survives
+    assert(kept === Set(2L, 10L, 99L))
+    // min-id election (dropNonCanonical) would keep doc 1 instead — the
+    // two applications genuinely differ on this input
+    val minId = Dedup.dropNonCanonical(d, labels)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(minId === Set(1L, 10L, 99L))
+  }
+
   test("shingle-level decontamination faces match their doc-level wrappers " +
       "off ONE shared corpus pass (r14)") {
     val train = docs.filter($"doc_id" >= 3)
@@ -507,6 +525,32 @@ class SamplingSpec extends SparkSpec {
     assert(p01.subsetOf(p10))
     assert(Sampling.deterministicSample(docs, "doc_id", 0.0).count() === 0)
     assert(Sampling.deterministicSample(docs, "doc_id", 1.0).count() === docs.count())
+  }
+
+  test("repeatByWeight: integer weights repeat exactly, fractional weights " +
+      "deal deterministically, zero/NaN/null drop, clamp caps (r14)") {
+    val d = Seq((1L, 2.0), (2L, 0.0), (3L, 2.5), (4L, Double.NaN),
+      (5L, 1e9), (6L, 0.4)).toDF("doc_id", "w")
+    val got = Sampling.repeatByWeight(d, "doc_id", $"w", maxRepeat = 5)
+      .groupBy($"doc_id").agg(count(lit(1)).as("n"), max($"rep").as("maxr"))
+      .as[(Long, Long, Long)].collect().map(t => t._1 -> (t._2, t._3)).toMap
+    assert(got(1L) === ((2L, 2L)))          // integer weight: exactly w copies
+    assert(!got.contains(2L))               // zero weight: dropped
+    assert(!got.contains(4L))               // NaN: dropped, never keep-always
+    assert(got(5L) === ((5L, 5L)))          // clamped to maxRepeat
+    assert(Set(2L, 3L).contains(got(3L)._1)) // 2.5 → 2 or 3, hash-decided
+    assert(got.get(6L).forall(_._1 === 1L)) // 0.4 → 0 or 1
+    // rep is a 1-based contiguous index (max == count per doc)
+    got.values.foreach { case (n, maxr) => assert(n === maxr) }
+    // deterministic: the identical deal on a second run
+    val again = Sampling.repeatByWeight(d, "doc_id", $"w", maxRepeat = 5)
+      .groupBy($"doc_id").agg(count(lit(1)).as("n"))
+      .as[(Long, Long)].collect().toMap
+    assert(again === got.map { case (k, (n, _)) => k -> n })
+    // null weight drops (null id would too — bucket's null contract)
+    val withNull = Seq((7L, null.asInstanceOf[java.lang.Double]))
+      .toDF("doc_id", "w")
+    assert(Sampling.repeatByWeight(withNull, "doc_id", $"w").count() === 0L)
   }
 
   test("temperatureMixture flattens toward uniform, keeps everything at a " +
