@@ -486,7 +486,23 @@ object Dedup {
     * maxEvalShingles refusal). */
   def contaminatedByContainment(trainShingles: DataFrame,
                                 evalShingles: DataFrame,
-                                minContainment: Double): DataFrame = {
+                                minContainment: Double): DataFrame =
+    containmentPairs(trainShingles, evalShingles)
+      .filter(col("containment") >= minContainment)
+      .select(col("doc_id")).distinct()
+
+  /** Every (train doc, eval doc) pair sharing ≥ 1 shingle, with its
+    * exact 6-dp containment — the AUDIT relation under
+    * [[contaminatedByContainment]]'s threshold decision, public because
+    * an eval owner reviews WHICH benchmark docs leak and how badly, not
+    * just which train docs to drop. Same contracts as there
+    * (pre-hashed distinct shingle relations, broadcast-small eval);
+    * pair count is bounded by shared-shingle pairs, so the relation is
+    * report-sized against a benchmark eval set. Containment quantizes
+    * in exact integer micro-units (the [[exactJaccard]] tie rule), so
+    * the value — not just the threshold verdict — is engine-exact. */
+  def containmentPairs(trainShingles: DataFrame,
+                       evalShingles: DataFrame): DataFrame = {
     val evalSizes = evalShingles.groupBy(col("doc_id").as("eval_id"))
       .agg(count(lit(1)).as("ne"))
     trainShingles
@@ -495,9 +511,9 @@ object Dedup {
       .groupBy(col("doc_id"), col("eval_id")).agg(count(lit(1)).as("ni"))
       .join(broadcast(evalSizes), Seq("eval_id"))
       // exact integer 6-dp half-up (the exactJaccard tie rule)
-      .filter(expr("(2000000 * ni + ne) div (2 * ne)") / lit(1000000.0)
-        >= minContainment)
-      .select(col("doc_id")).distinct()
+      .select(col("doc_id"), col("eval_id"),
+        (expr("(2000000 * ni + ne) div (2 * ne)") / lit(1000000.0))
+          .as("containment"))
   }
 
   /** All-pairs n-gram Jaccard via shingle equi-join — QUADRATIC in docs

@@ -2516,6 +2516,64 @@ object PipelineQueries {
         |  FROM base)
         |SELECT doc_id, CAST(u.rep AS BIGINT) AS rep,
         |       CAST(length(text) AS BIGINT) AS text_len
-        |FROM n, UNNEST(range(1, n_rep + 1)) AS u(rep)""".stripMargin))
+        |FROM n, UNNEST(range(1, n_rep + 1)) AS u(rep)""".stripMargin)),
+
+    // Contamination AUDIT: the per-eval-doc leak report an eval owner
+    // reviews — for EVERY benchmark doc (q84's planted truncated set):
+    // how many train docs contain ≥ 0.5 of it, and the worst
+    // containment observed (0 rows of leakage still report, via the
+    // left join). The value column itself is engine-exact (integer
+    // micro-unit quantization), not just the threshold verdict.
+    Q("q89_contamination_report",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+        val train = docs.filter(col("doc_id") >= 100)
+        val toks = TextAnalysis.tokens(col("text"))
+        val evalD = docs.filter(col("doc_id") >= 100 && col("doc_id") < 120)
+          .select((col("doc_id") - 100).as("doc_id"),
+            array_join(slice(toks, lit(1), greatest(size(toks) - 10, lit(3))), " ")
+              .as("text"))
+        val shE = graft.Pin.ser(TextAnalysis.hashedShingles(evalD, 3))
+        val pairs = Dedup.containmentPairs(
+          TextAnalysis.hashedShingles(train, 3), shE)
+        val perEval = pairs.groupBy(col("eval_id"))
+          .agg(sum(when(col("containment") >= 0.5, 1L).otherwise(0L))
+              .as("n_contaminated"),
+            max(col("containment")).as("max_containment"))
+        shE.select(col("doc_id").as("eval_id")).distinct()
+          .join(perEval, Seq("eval_id"), "left")
+          .select(col("eval_id"),
+            coalesce(col("n_contaminated"), lit(0L)).as("n_contaminated"),
+            coalesce(col("max_containment"), lit(0.0)).as("max_containment"))
+      },
+      Some(s"""WITH tw AS (
+        |  SELECT doc_id, regexp_split_to_array(text, '\\s+') AS w
+        |  FROM documents WHERE doc_id >= 100),
+        |thsh AS (
+        |  SELECT DISTINCT doc_id, ${h60("w[i] || ' ' || w[i+1] || ' ' || w[i+2]")} AS h
+        |  FROM tw, UNNEST(range(1, len(w) - 1)) AS t(i) WHERE len(w) >= 3),
+        |ew AS (
+        |  SELECT doc_id - 100 AS doc_id, w[1:greatest(len(w) - 10, 3)] AS w
+        |  FROM tw WHERE doc_id < 120),
+        |ehsh AS (
+        |  SELECT DISTINCT doc_id, ${h60("w[i] || ' ' || w[i+1] || ' ' || w[i+2]")} AS h
+        |  FROM ew, UNNEST(range(1, len(w) - 1)) AS t(i) WHERE len(w) >= 3),
+        |esz AS (SELECT doc_id AS eval_id, count(*) AS ne FROM ehsh GROUP BY 1),
+        |cpairs AS (
+        |  SELECT i.doc_id, i.eval_id,
+        |    ((2000000 * i.ni + ne) // (2 * ne)) / 1000000.0 AS containment
+        |  FROM (SELECT t.doc_id, e.doc_id AS eval_id, count(*) AS ni
+        |        FROM thsh t JOIN ehsh e ON t.h = e.h GROUP BY 1, 2) i
+        |  JOIN esz USING (eval_id)),
+        |per AS (
+        |  SELECT eval_id,
+        |    sum(CASE WHEN containment >= 0.5 THEN 1 ELSE 0 END) AS n_contaminated,
+        |    max(containment) AS max_containment
+        |  FROM cpairs GROUP BY 1)
+        |SELECT e.eval_id,
+        |  CAST(coalesce(p.n_contaminated, 0) AS BIGINT) AS n_contaminated,
+        |  coalesce(p.max_containment, 0.0) AS max_containment
+        |FROM (SELECT DISTINCT doc_id AS eval_id FROM ehsh) e
+        |LEFT JOIN per p USING (eval_id)""".stripMargin))
   )
 }

@@ -301,6 +301,12 @@ class DedupSpec extends SparkSpec {
       Dedup.decontaminateFuzzy(train, eval, maxEvalShingles = 2L)
     }
     assert(big.getMessage.contains("maxEvalShingles"))
+    // the audit relation reports the VALUE exactly: the embedded doc's
+    // containment is 1.0 on the nose (integer micro-unit arithmetic)
+    val c = Dedup.containmentPairs(
+        TextAnalysis.hashedShingles(train, 3), TextAnalysis.hashedShingles(eval, 3))
+      .filter($"doc_id" === 10L).select($"containment").as[Double].head()
+    assert(c === 1.0)
   }
 
   test("keepBestPerCluster elects the highest score, breaks ties on min id, " +
