@@ -2429,17 +2429,23 @@ object PipelineQueries {
         Sampling.temperatureMixture(
           Tables.documents(s, dir).select(col("doc_id"), col("lang")),
           "doc_id", col("lang"), targetRows = 150, alpha = 0.5, salt = "temp"),
+      // The threshold sum is its OWN materialized one-row CTE crossed in
+      // — a scalar subquery in the projection decorrelates into a
+      // per-probe-row re-evaluation of the whole upstream chain once the
+      // CTE inlines under the final join (found at sf10 on q90, whose
+      // upstream chain made the re-evaluation a 23 GB spill).
       Some("""WITH c AS (
         |  SELECT lang AS g, count(*) AS n FROM documents
         |  WHERE lang IS NOT NULL GROUP BY 1),
-        |w AS (
+        |w AS MATERIALIZED (
         |  SELECT g, n,
         |    CAST(round(sqrt(CAST(n AS DOUBLE)) * 1000000) AS BIGINT) AS wq
         |  FROM c),
-        |t AS (
+        |s AS MATERIALIZED (SELECT sum(wq) AS sw FROM w),
+        |t AS MATERIALIZED (
         |  SELECT g,
-        |    least(10000, (10000 * 150 * wq) // ((SELECT sum(wq) FROM w) * n)) AS thr
-        |  FROM w)
+        |    least(10000, (10000 * 150 * wq) // (s.sw * n)) AS thr
+        |  FROM w, s)
         |SELECT doc_id, lang FROM documents d JOIN t ON d.lang = t.g
         |WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '_temp'), 1, 15)) AS BIGINT)
         |      % 10000 < thr""".stripMargin)),
@@ -2574,6 +2580,121 @@ object PipelineQueries {
         |  CAST(coalesce(p.n_contaminated, 0) AS BIGINT) AS n_contaminated,
         |  coalesce(p.max_containment, 0.0) AS max_containment
         |FROM (SELECT DISTINCT doc_id AS eval_id FROM ehsh) e
-        |LEFT JOIN per p USING (eval_id)""".stripMargin))
+        |LEFT JOIN per p USING (eval_id)""".stripMargin)),
+
+    // Curation chain v2 — this round's faces composed end to end:
+    // quality gate → near-dup clusters → BEST-member election
+    // (keepBestPerCluster: the longest doc survives, subsuming exact
+    // dedup — an exact dup pair is a Jaccard-1.0 cluster and the
+    // election keeps one) → CONTAINMENT decontamination → temperature
+    // mixture. ONE corpus shingle pass (the q81 pin discipline) feeds
+    // banding, the Jaccard confirm, AND the containment stage — through
+    // the public shingle-level faces, no inlined stage bodies. Stages
+    // carry ids + narrow features; text never re-tokenizes.
+    Q("q90_curation_quality",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+          .select(col("doc_id"), col("text"), col("lang"))
+        val evalDocs = docs.filter(col("doc_id") < 20)
+          .select(col("doc_id"), col("text"))
+        val pool = docs.filter(col("doc_id") >= 20)
+        // Stage 1 — quality gate (q34 params); pinned id+feature
+        // projection serves the gate and the election score.
+        val feats = graft.Pin.ser(TextAnalysis.qualityFilter(
+          pool.select(col("doc_id"), col("text")),
+          minTokens = 40, maxStopwordRatio = 0.2, maxShortTokenRatio = 0.3)
+          .select(col("doc_id"), col("n_tokens")))
+        val qualityText = pool.select(col("doc_id"), col("text"))
+          .join(feats.select(col("doc_id")), Seq("doc_id"), "left_semi")
+        // Stage 2 — ONE pinned shingle pass for everything downstream.
+        val sh = graft.Pin.ser(TextAnalysis.hashedShingles(qualityText, 3))
+        val sigs = Dedup.bandSigs(sh, numHashes = 16, rowsPerBand = 4)
+        val cands = sigs.select(col("band"), col("sig"), col("doc_id").as("doc_a"))
+          .join(sigs.select(col("band"), col("sig"), col("doc_id").as("doc_b")),
+            Seq("band", "sig"))
+          .filter(col("doc_a") < col("doc_b"))
+          .select("doc_a", "doc_b").distinct()
+        val pairs = Dedup.exactJaccard(cands, sh).filter(col("jaccard") >= 0.5)
+        val labels = Dedup.dedupClusters(pairs.select(col("doc_a"), col("doc_b")))
+        // Stage 3 — quality-aware election: the LONGEST cluster member.
+        val keptIds = Dedup.keepBestPerCluster(feats, labels, col("n_tokens"))
+          .select(col("doc_id"))
+        // Stage 4 — containment decontamination on the SAME shingles.
+        val cleanIds = keptIds.join(
+          Dedup.contaminatedByContainment(
+            sh.join(keptIds, Seq("doc_id"), "left_semi"),
+            TextAnalysis.hashedShingles(evalDocs, 3), minContainment = 0.5),
+          Seq("doc_id"), "left_anti")
+        // Stage 5 — temperature mixture over the surviving languages.
+        Sampling.temperatureMixture(
+          pool.select(col("doc_id"), col("lang"))
+            .join(cleanIds, Seq("doc_id"), "left_semi"),
+          "doc_id", col("lang"), targetRows = 120, alpha = 0.5, salt = "q90")
+      },
+      Some(s"""WITH RECURSIVE tq AS (
+        |  SELECT doc_id, text, regexp_split_to_array(text, '\\s+') AS toks,
+        |    CAST(len(regexp_split_to_array(text, '\\s+')) AS BIGINT) AS n_tokens
+        |  FROM documents WHERE doc_id >= 20),
+        |q AS MATERIALIZED (
+        |  SELECT doc_id, text, n_tokens
+        |  FROM tq
+        |  WHERE n_tokens >= 40
+        |    AND round(len(list_filter(toks, x -> x IN ('the','a','of','and','to','in')))
+        |          / CAST(n_tokens AS DOUBLE), 8) <= 0.2
+        |    AND round(len(list_filter(toks, x -> length(x) <= 2))
+        |          / CAST(n_tokens AS DOUBLE), 8) <= 0.3),
+        |bq90 AS (SELECT doc_id, text FROM q),
+        |${bandChainSql("q90")},
+        |${selfDedupSql("q90")},
+        |labelsq90 AS MATERIALIZED (
+        |  SELECT n.doc_id, least(n.doc_id, min(r.b)) AS label
+        |  FROM (SELECT DISTINCT src AS doc_id FROM edgesq90) n
+        |  JOIN reachq90 r ON r.a = n.doc_id GROUP BY 1),
+        |winners AS (
+        |  SELECT doc_id FROM (
+        |    SELECT l.doc_id,
+        |      row_number() OVER (PARTITION BY l.label
+        |        ORDER BY q.n_tokens DESC, l.doc_id) AS rn
+        |    FROM labelsq90 l JOIN q USING (doc_id)) WHERE rn = 1),
+        |kept AS MATERIALIZED (
+        |  SELECT doc_id FROM q
+        |  WHERE doc_id NOT IN (
+        |    SELECT doc_id FROM labelsq90
+        |    WHERE doc_id NOT IN (SELECT doc_id FROM winners))),
+        |ew AS (
+        |  SELECT doc_id, regexp_split_to_array(text, '\\s+') AS w2
+        |  FROM documents WHERE doc_id < 20),
+        |ehsh AS (
+        |  SELECT DISTINCT doc_id, ${h60("w2[i] || ' ' || w2[i+1] || ' ' || w2[i+2]")} AS h
+        |  FROM ew, UNNEST(range(1, len(w2) - 1)) AS t(i) WHERE len(w2) >= 3),
+        |esz AS (SELECT doc_id AS eval_id, count(*) AS ne FROM ehsh GROUP BY 1),
+        |contam AS MATERIALIZED (
+        |  SELECT DISTINCT i.doc_id
+        |  FROM (SELECT t.doc_id, e.doc_id AS eval_id, count(*) AS ni
+        |        FROM hq90 t JOIN ehsh e ON t.h = e.h
+        |        WHERE t.doc_id IN (SELECT doc_id FROM kept)
+        |        GROUP BY 1, 2) i
+        |  JOIN esz USING (eval_id)
+        |  WHERE ((2000000 * i.ni + ne) // (2 * ne)) / 1000000.0 >= 0.5),
+        |clean AS MATERIALIZED (
+        |  SELECT doc_id FROM kept
+        |  WHERE doc_id NOT IN (SELECT doc_id FROM contam)),
+        |cmix AS MATERIALIZED (
+        |  SELECT d.lang AS g, count(*) AS n
+        |  FROM documents d JOIN clean USING (doc_id)
+        |  WHERE d.lang IS NOT NULL GROUP BY 1),
+        |wmix AS MATERIALIZED (
+        |  SELECT g, n,
+        |    CAST(round(sqrt(CAST(n AS DOUBLE)) * 1000000) AS BIGINT) AS wq
+        |  FROM cmix),
+        |smix AS MATERIALIZED (SELECT sum(wq) AS s FROM wmix),
+        |tmix AS MATERIALIZED (
+        |  SELECT g,
+        |    least(10000, (10000 * 120 * wq) // (smix.s * n)) AS thr
+        |  FROM wmix, smix)
+        |SELECT d.doc_id, d.lang
+        |FROM documents d JOIN clean USING (doc_id) JOIN tmix ON d.lang = tmix.g
+        |WHERE CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || '_q90'), 1, 15)) AS BIGINT)
+        |      % 10000 < thr""".stripMargin))
   )
 }

@@ -126,6 +126,38 @@ class PipelineEndToEndSpec extends SparkSpec {
     assert(again === out.map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet)
   }
 
+  // q90's curation-v2 chain (quality → near-dup clusters → BEST-member
+  // election → containment decontamination → temperature mixture): the
+  // oracle pins the exact row set; this spec pins the properties a hash
+  // can't localize — no surviving doc contains ≥ 0.5 of any eval doc
+  // (recomputed INDEPENDENTLY via containmentPairs over the raw scan,
+  // not the chain's own pinned relations), the mixture excludes
+  // null-lang docs, and the chain is deterministic.
+  test("q90 curation v2: survivors are decontaminated (independent " +
+      "recheck), mixture is null-free, chain deterministic") {
+    val q90 = graft.SparkEntry.queries("q90_curation_quality")
+    val out = q90(spark, "/root/testdata/sf0.001")
+      .select($"doc_id", $"lang").as[(Long, String)].collect()
+    assert(out.nonEmpty)
+    assert(out.forall(_._2 != null), "a null-lang doc entered the mixture")
+    val survivors = out.map(_._1).toSet
+    // independent containment recheck over the raw scan
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select($"doc_id", $"text")
+    val contaminated = graft.pipeline.Dedup.containmentPairs(
+        graft.pipeline.TextAnalysis.hashedShingles(
+          docs.filter($"doc_id" >= 20), 3),
+        graft.pipeline.TextAnalysis.hashedShingles(
+          docs.filter($"doc_id" < 20), 3))
+      .filter($"containment" >= 0.5)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(survivors.intersect(contaminated).isEmpty,
+      "a contaminated doc survived the chain")
+    val again = q90(spark, "/root/testdata/sf0.001")
+      .select($"doc_id", $"lang").as[(Long, String)].collect().toSet
+    assert(again === out.toSet)
+  }
+
   // q82's export manifest: the oracle pins the exact values; this spec
   // pins the export INVARIANTS a training run depends on — split
   // hygiene (one doc never straddles splits), rank being a permutation,
