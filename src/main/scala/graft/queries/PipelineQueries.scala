@@ -2514,7 +2514,7 @@ object PipelineQueries {
         |    least(greatest(coalesce(
         |      CAST(len(regexp_split_to_array(text, '\s+')) AS DOUBLE) / 80.0,
         |      0.0), 0.0), 3.0) AS w
-        |  FROM documents),
+        |  FROM documents WHERE doc_id IS NOT NULL),
         |n AS (
         |  SELECT doc_id, text, CAST(floor(w) AS BIGINT)
         |    + CASE WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '_rep'), 1, 15)) AS BIGINT)
@@ -2592,46 +2592,123 @@ object PipelineQueries {
     // the public shingle-level faces, no inlined stage bodies. Stages
     // carry ids + narrow features; text never re-tokenizes.
     Q("q90_curation_quality",
+      (s, dir) => curationV2(s, dir)._1,
+      Some(s"""$curationV2Sql
+        |SELECT doc_id, lang FROM mix90""".stripMargin)),
+
+    // Training ORDER end-to-end — the output side composed over the
+    // curation-v2 survivors (judge r15 item 2): mixture survivors →
+    // fractional epoch-weight upsampling (repeatByWeight, weight =
+    // n_tokens/80 capped at 3 epochs) → deterministic shuffle rank over
+    // the COMPOSITE (doc_id, rep) key → token-budget packing on the same
+    // composite key → the id-width training manifest (q82's column
+    // shape). The composite key is the point: repeated copies of one doc
+    // carry identical single-id hash keys AND tie-break ids, so the
+    // single-id rank/pack faces would assign rank↔copy and pack↔copy
+    // arbitrarily across retries/engines — (doc_id, rep) makes every
+    // row's deal key unique again, and the oracle reproduces the exact
+    // rank and pack of every copy.
+    Q("q91_training_order",
       (s, dir) => {
-        val docs = Tables.documents(s, dir)
-          .select(col("doc_id"), col("text"), col("lang"))
-        val evalDocs = docs.filter(col("doc_id") < 20)
-          .select(col("doc_id"), col("text"))
-        val pool = docs.filter(col("doc_id") >= 20)
-        // Stage 1 — quality gate (q34 params); pinned id+feature
-        // projection serves the gate and the election score.
-        val feats = graft.Pin.ser(TextAnalysis.qualityFilter(
-          pool.select(col("doc_id"), col("text")),
-          minTokens = 40, maxStopwordRatio = 0.2, maxShortTokenRatio = 0.3)
-          .select(col("doc_id"), col("n_tokens")))
-        val qualityText = pool.select(col("doc_id"), col("text"))
-          .join(feats.select(col("doc_id")), Seq("doc_id"), "left_semi")
-        // Stage 2 — ONE pinned shingle pass for everything downstream.
-        val sh = graft.Pin.ser(TextAnalysis.hashedShingles(qualityText, 3))
-        val sigs = Dedup.bandSigs(sh, numHashes = 16, rowsPerBand = 4)
-        val cands = sigs.select(col("band"), col("sig"), col("doc_id").as("doc_a"))
-          .join(sigs.select(col("band"), col("sig"), col("doc_id").as("doc_b")),
-            Seq("band", "sig"))
-          .filter(col("doc_a") < col("doc_b"))
-          .select("doc_a", "doc_b").distinct()
-        val pairs = Dedup.exactJaccard(cands, sh).filter(col("jaccard") >= 0.5)
-        val labels = Dedup.dedupClusters(pairs.select(col("doc_a"), col("doc_b")))
-        // Stage 3 — quality-aware election: the LONGEST cluster member.
-        val keptIds = Dedup.keepBestPerCluster(feats, labels, col("n_tokens"))
-          .select(col("doc_id"))
-        // Stage 4 — containment decontamination on the SAME shingles.
-        val cleanIds = keptIds.join(
-          Dedup.contaminatedByContainment(
-            sh.join(keptIds, Seq("doc_id"), "left_semi"),
-            TextAnalysis.hashedShingles(evalDocs, 3), minContainment = 0.5),
-          Seq("doc_id"), "left_anti")
-        // Stage 5 — temperature mixture over the surviving languages.
-        Sampling.temperatureMixture(
-          pool.select(col("doc_id"), col("lang"))
-            .join(cleanIds, Seq("doc_id"), "left_semi"),
-          "doc_id", col("lang"), targetRows = 120, alpha = 0.5, salt = "q90")
+        val (mixed, feats) = curationV2(s, dir)
+        val docs = mixed.select(col("doc_id")).join(feats, Seq("doc_id"))
+        val w = least(col("n_tokens").cast("double") / lit(80.0), lit(3.0))
+        val rep = Sampling.repeatByWeight(docs, "doc_id", w,
+          maxRepeat = 100, salt = "rep91")
+          .select(col("doc_id"), col("rep"), col("n_tokens"))
+        val ranked = Sampling.deterministicShuffleRank(rep,
+          Seq("doc_id", "rep"), salt = "shuffle91", shuffleBuckets = 64)
+        Sampling.packBudget(ranked, Seq("doc_id", "rep"), col("n_tokens"),
+          budget = 2048, packBuckets = 16, salt = "pack91")
+          .select(col("doc_id"), col("rep"), col("n_tokens"),
+            col("shuffle_rank"), col("pack_bucket"), col("pack_id"))
       },
-      Some(s"""WITH RECURSIVE tq AS (
+      Some(s"""$curationV2Sql,
+        |rep91 AS MATERIALIZED (
+        |  SELECT m.doc_id, q.n_tokens,
+        |    least(CAST(q.n_tokens AS DOUBLE) / 80.0, 3.0) AS w
+        |  FROM mix90 m JOIN q USING (doc_id)),
+        |nrep AS (
+        |  SELECT doc_id, n_tokens, CAST(floor(w) AS BIGINT)
+        |    + CASE WHEN ${h60("CAST(doc_id AS VARCHAR) || '_rep91'")}
+        |                % 10000 < (w - floor(w)) * 10000 THEN 1 ELSE 0 END AS n_rep
+        |  FROM rep91),
+        |ex91 AS MATERIALIZED (
+        |  SELECT doc_id, n_tokens, CAST(u.rep AS BIGINT) AS rep,
+        |    CAST(doc_id AS VARCHAR) || '#' || CAST(u.rep AS VARCHAR) AS ck
+        |  FROM nrep, UNNEST(range(1, n_rep + 1)) AS u(rep)),
+        |r91 AS (
+        |  SELECT doc_id, rep, n_tokens,
+        |    CAST(row_number() OVER (
+        |      ORDER BY ${h60("ck || '_shuffle91'")}, doc_id, rep) AS BIGINT)
+        |      AS shuffle_rank,
+        |    ${h60("ck || '_pack91'")} % 16 AS pack_bucket
+        |  FROM ex91),
+        |p91 AS (
+        |  SELECT *, SUM(n_tokens) OVER (PARTITION BY pack_bucket
+        |    ORDER BY doc_id, rep
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM r91)
+        |SELECT doc_id, rep, n_tokens, shuffle_rank, pack_bucket,
+        |  pack_bucket * (CAST(1 AS BIGINT) << 40)
+        |    + CAST(floor((cum - n_tokens) / 2048.0) AS BIGINT) AS pack_id
+        |FROM p91""".stripMargin))
+  )
+
+  /** The curation-v2 chain (q90), factored so the q91 training-order
+    * face composes over the IDENTICAL survivors: quality gate → one
+    * pinned shingle pass → banded near-dup candidates → Jaccard confirm
+    * → cluster election (longest member) → containment decontamination
+    * → temperature mixture. Returns (mixture survivors `(doc_id, lang)`,
+    * quality features `(doc_id, n_tokens)`) — q90 publishes the first;
+    * q91 joins the second back for epoch weights. */
+  private def curationV2(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), col("text"), col("lang"))
+    val evalDocs = docs.filter(col("doc_id") < 20)
+      .select(col("doc_id"), col("text"))
+    val pool = docs.filter(col("doc_id") >= 20)
+    // Stage 1 — quality gate (q34 params); pinned id+feature
+    // projection serves the gate and the election score.
+    val feats = graft.Pin.ser(TextAnalysis.qualityFilter(
+      pool.select(col("doc_id"), col("text")),
+      minTokens = 40, maxStopwordRatio = 0.2, maxShortTokenRatio = 0.3)
+      .select(col("doc_id"), col("n_tokens")))
+    val qualityText = pool.select(col("doc_id"), col("text"))
+      .join(feats.select(col("doc_id")), Seq("doc_id"), "left_semi")
+    // Stage 2 — ONE pinned shingle pass for everything downstream.
+    val sh = graft.Pin.ser(TextAnalysis.hashedShingles(qualityText, 3))
+    val sigs = Dedup.bandSigs(sh, numHashes = 16, rowsPerBand = 4)
+    val cands = sigs.select(col("band"), col("sig"), col("doc_id").as("doc_a"))
+      .join(sigs.select(col("band"), col("sig"), col("doc_id").as("doc_b")),
+        Seq("band", "sig"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+    val pairs = Dedup.exactJaccard(cands, sh).filter(col("jaccard") >= 0.5)
+    val labels = Dedup.dedupClusters(pairs.select(col("doc_a"), col("doc_b")))
+    // Stage 3 — quality-aware election: the LONGEST cluster member.
+    val keptIds = Dedup.keepBestPerCluster(feats, labels, col("n_tokens"))
+      .select(col("doc_id"))
+    // Stage 4 — containment decontamination on the SAME shingles.
+    val cleanIds = keptIds.join(
+      Dedup.contaminatedByContainment(
+        sh.join(keptIds, Seq("doc_id"), "left_semi"),
+        TextAnalysis.hashedShingles(evalDocs, 3), minContainment = 0.5),
+      Seq("doc_id"), "left_anti")
+    // Stage 5 — temperature mixture over the surviving languages.
+    val mixed = Sampling.temperatureMixture(
+      pool.select(col("doc_id"), col("lang"))
+        .join(cleanIds, Seq("doc_id"), "left_semi"),
+      "doc_id", col("lang"), targetRows = 120, alpha = 0.5, salt = "q90")
+    (mixed, feats)
+  }
+
+  /** Shared CTE chain of the curation-v2 oracle, ending at `mix90` (the
+    * temperature-mixture survivors); q90 selects it verbatim, q91
+    * extends it with the repeat/rank/pack CTEs. Every stage that is
+    * consumed under a downstream join is MATERIALIZED (memory:
+    * duckdb-oracle-pitfalls #1/#5). */
+  private def curationV2Sql: String = s"""WITH RECURSIVE tq AS (
         |  SELECT doc_id, text, regexp_split_to_array(text, '\\s+') AS toks,
         |    CAST(len(regexp_split_to_array(text, '\\s+')) AS BIGINT) AS n_tokens
         |  FROM documents WHERE doc_id >= 20),
@@ -2691,10 +2768,10 @@ object PipelineQueries {
         |tmix AS MATERIALIZED (
         |  SELECT g,
         |    least(10000, (10000 * 120 * wq) // (smix.s * n)) AS thr
-        |  FROM wmix, smix)
-        |SELECT d.doc_id, d.lang
-        |FROM documents d JOIN clean USING (doc_id) JOIN tmix ON d.lang = tmix.g
-        |WHERE CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || '_q90'), 1, 15)) AS BIGINT)
-        |      % 10000 < thr""".stripMargin))
-  )
+        |  FROM wmix, smix),
+        |mix90 AS MATERIALIZED (
+        |  SELECT d.doc_id, d.lang
+        |  FROM documents d JOIN clean USING (doc_id) JOIN tmix ON d.lang = tmix.g
+        |  WHERE CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || '_q90'), 1, 15)) AS BIGINT)
+        |        % 10000 < thr)""".stripMargin
 }

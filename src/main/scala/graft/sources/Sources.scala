@@ -821,9 +821,13 @@ object KeyedParquetStore {
     require(maxAgedBatches >= 1, s"maxAgedBatches must be >= 1: $maxAgedBatches")
     read(spark, path).foreach { df => // read() heals, so the listing is clean
       val f = fs(spark, path)
-      // batch value + data bytes per leaf dir, straight from the listing
-      // (batch ids here are plain `e<N>`/`rollup` tokens — no partition-
-      // value escaping to undo)
+      // batch value + data bytes per leaf dir, straight from the listing.
+      // Directory names carry Hadoop partition-value ESCAPING (':' →
+      // '%3A' etc.) — undo it before comparing with keepBatches, which
+      // holds the raw COLUMN values: an escaped live batch id would
+      // otherwise never match, silently aging the live horizon into
+      // premature O(store) folds (ADVICE r14; data stays correct either
+      // way — the relabel below uses real column values).
       val pathQ = f.makeQualified(new HPath(path)).toString
       val leaves = leafDataDirs(f, new HPath(path))
       val perBatch = leaves.flatMap { dir =>
@@ -833,7 +837,8 @@ object KeyedParquetStore {
             .filterNot { s => val n = s.getPath.getName
               n.startsWith("_") || n.startsWith(".") }
             .map(_.getLen).sum
-          (seg.stripPrefix("batch="), bytes)
+          (org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+            .unescapePathName(seg.stripPrefix("batch=")), bytes)
         }
       }.groupMapReduce(_._1)(_._2)(_ + _)
       val aged = perBatch.view

@@ -125,13 +125,30 @@ object TarShards {
         out.write(new Array[Byte](2 * Block)) // end-of-archive
         out.close()
         out = null
-        // commit: the final name only ever receives a COMPLETE archive.
+        // commit: the final name only ever receives a COMPLETE archive,
+        // via an ATOMIC overwrite rename (FileContext + Rename.OVERWRITE)
+        // — delete-then-rename would open a missing-dest window on every
+        // commit, and a losing attempt killed between its delete and its
+        // rename would remove the winner's shard for good (ADVICE r14).
         // Concurrent attempts wrote byte-identical temps (determinism),
-        // so whichever rename lands, readers see one complete shard; a
-        // losing rename just drops its own copy.
-        val dest = new org.apache.hadoop.fs.Path(base, s"shard-$shard.tar")
-        if (fs.exists(dest)) fs.delete(dest, false)
-        if (!fs.rename(tmp, dest)) fs.delete(tmp, false)
+        // so whichever overwrite lands last leaves identical content.
+        val dest = fs.makeQualified(
+          new org.apache.hadoop.fs.Path(base, s"shard-$shard.tar"))
+        val src = fs.makeQualified(tmp)
+        try {
+          org.apache.hadoop.fs.FileContext.getFileContext(dest.toUri, conf)
+            .rename(src, dest, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+        } catch {
+          case _: org.apache.hadoop.fs.UnsupportedFileSystemException =>
+            // no FileContext for this scheme: rename FIRST, and only on
+            // failure delete the stale dest — our complete temp is in
+            // hand the whole time, so the committed file is never
+            // removed without a replacement ready
+            if (!fs.rename(src, dest)) {
+              fs.delete(dest, false)
+              if (!fs.rename(src, dest)) fs.delete(src, false)
+            }
+        }
         acc += ((shard, n, bytes + 2 * Block))
       }
       def open(s: String): Unit = {

@@ -185,4 +185,27 @@ class PipelineEndToEndSpec extends SparkSpec {
       assert(tot < 2048 + 32, s"pack $pack in $sp overflows: $tot tokens")
     }
   }
+
+  test("q90/q91 on an ALL-contaminated corpus: the clean set empties " +
+      "mid-chain and every downstream stage is empty-out, not a crash (r15)") {
+    // Every pool doc embeds eval doc 0's full text → containment 1.0 →
+    // stage 4 drops everything. Distinct from the EMPTY edge corpus
+    // (where all stages see zero rows): here stages 1–3 carry real rows
+    // and the EMPTINESS TRANSITION happens mid-chain — temperatureMixture
+    // gets a populated lookup path with zero input rows, and q91's
+    // repeat/rank/pack faces all run over the empty survivor set.
+    val evalText = "zebra quokka wombat numbat dingo"
+    val filler = (1 to 45).map(j => s"filler${j}word").mkString(" ")
+    val docs =
+      (0L until 5L).map(i => (i, s"$evalText marker$i", "en", "web", 0L)) ++
+        (20L until 31L).map(i => (i, s"$evalText $filler extra$i", "en", "web", 0L))
+    val dir = java.nio.file.Files.createTempDirectory("allcontam").toString
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .withColumn("n_chars", length($"text").cast("long"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val q90 = graft.SparkEntry.queries("q90_curation_quality")(spark, dir)
+    assert(q90.count() === 0L, "all pool docs are contaminated — clean set must be empty")
+    val q91 = graft.SparkEntry.queries("q91_training_order")(spark, dir)
+    assert(q91.count() === 0L, "empty survivors must pack to an empty manifest")
+  }
 }
