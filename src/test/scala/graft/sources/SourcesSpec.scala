@@ -683,6 +683,46 @@ class SourcesSpec extends SparkSpec {
     assert(KeyedParquetStore.read(spark, path).get.count() === 11004L)
   }
 
+  test("rollupBatchPartitions unescapes partition dir names before the " +
+      "keep-horizon compare: an escape-needing live batch id defers, " +
+      "and the fold relabels only truly-aged batches (ADVICE r14)") {
+    // ':' is in Hadoop's charToEscape set, so batch id "e:1" lands on
+    // disk as dir "batch=e%3A1". Pre-fix, the gate compared the RAW dir
+    // token against keepBatches' column values: the live horizon never
+    // matched, was counted as aged, and a dominant live batch forced a
+    // premature O(store) fold that relabeled... nothing it should.
+    val path = Files.createTempDirectory("store_esc").toString + "/idx"
+    def ingest(b: String, rows: Int): Unit =
+      KeyedParquetStore.upsert(spark, path,
+        (0 until rows).map(i => (s"$b-$i", 1L, b)).toDF("k", "v", "batch"),
+        Seq("k"), Seq(lit(1)), partitionCols = Seq("batch"),
+        partitionValues = Seq(Seq(b)))
+    def batchDirs: Set[String] = new java.io.File(path).listFiles
+      .filter(f => f.isDirectory && f.getName.startsWith("batch="))
+      .map(_.getName).toSet
+    ingest("e0", 40)       // small genuinely-aged history
+    ingest("e:1", 4000)    // the live horizon, escape-needing id
+    assert(batchDirs === Set("batch=e0", "batch=e%3A1")) // escaping is real
+    // live bytes dominate: with the horizon correctly classified as
+    // KEPT, aged bytes (e0) ≪ half the store → the fold must DEFER.
+    // Under the raw-token compare e:1 counted as aged → fold fired.
+    KeyedParquetStore.rollupBatchPartitions(spark, path,
+      keepBatches = Set("e:1"))
+    assert(batchDirs === Set("batch=e0", "batch=e%3A1"))
+    // force the fold: only e0 relabels; the escaped horizon stays put
+    KeyedParquetStore.rollupBatchPartitions(spark, path,
+      keepBatches = Set("e:1"), minAgedBytesFraction = 0.0)
+    assert(batchDirs === Set("batch=rollup", "batch=e%3A1"))
+    assert(KeyedParquetStore.read(spark, path).get.count() === 4040L)
+    // the horizon still replays idempotently after the fold
+    KeyedParquetStore.upsert(spark, path,
+      Seq(("e:1-0", 9L, "e:1")).toDF("k", "v", "batch"),
+      Seq("k"), Seq(lit(2)), partitionCols = Seq("batch"),
+      partitionValues = Seq(Seq("e:1")))
+    assert(KeyedParquetStore.read(spark, path).get
+      .filter($"k" === "e:1-0").select($"v").as[Long].collect().toSeq === Seq(9L))
+  }
+
   test("q83 JSONL ingest: corrupt lines quarantine whole, clean lines " +
       "round-trip exactly (r13)") {
     // The registry face asserts the clean-output contract against the

@@ -84,6 +84,26 @@ class TarShardsSpec extends SparkSpec {
     }
   }
 
+  test("re-committing over existing shards goes through the atomic " +
+      "overwrite rename: dest stays complete, content stays identical " +
+      "(ADVICE r14)") {
+    // A retried/speculative job re-writes shards that already exist.
+    // Pre-fix the commit was exists→delete→rename: every re-commit
+    // opened a missing-dest window, and an attempt killed between its
+    // delete and rename removed the winner's shard for good. The
+    // FileContext OVERWRITE rename has no such window; this pins the
+    // overwrite path end-to-end (same bytes, still a complete archive).
+    val dir = Files.createTempDirectory("tar_ow").toString
+    TarShards.write(samples, dir, "shard", "key", "payload")
+    val first = Files.readAllBytes(Paths.get(s"$dir/shard-train-0.tar"))
+    TarShards.write(samples.repartition(3), dir, "shard", "key", "payload")
+    val second = Files.readAllBytes(Paths.get(s"$dir/shard-train-0.tar"))
+    assert(java.util.Arrays.equals(first, second),
+      "overwrite commit must land the identical complete archive")
+    assert(readTar(s"$dir/shard-train-0.tar").map(_._1) ===
+      Seq("00001.txt", "00002.bin", "00003.txt", "00004.bin"))
+  }
+
   test("refuses duplicate member names and over-long names loudly") {
     val dir = Files.createTempDirectory("tar_dup").toString
     val dup = Seq(("s", "k.txt", "a".getBytes), ("s", "k.txt", "b".getBytes))
