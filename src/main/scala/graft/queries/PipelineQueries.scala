@@ -248,7 +248,17 @@ object PipelineQueries {
   /** SQL fragments for the incremental-dedup oracle (q49): the
     * shingle→minhash→band chain over a source CTE `b$tag(doc_id, text)`,
     * producing `h$tag` (hashed shingles), `sizes$tag` and `bands$tag` —
-    * mirrors `TextAnalysis.hashedShingles` + `Dedup.bandSigs`. */
+    * mirrors `TextAnalysis.hashedShingles` + `Dedup.bandSigs`.
+    *
+    * `bands$tag` and `sizes$tag` are AS MATERIALIZED because each is
+    * consumed TWICE downstream (the band self-join; the sa/sb size
+    * join) and DuckDB re-evaluates a plain CTE per consumer: at sf10
+    * the 16-seed minhash UNNEST ran twice (~6G rows each), which is
+    * most of a ~100 GB peak that q90's oracle survived only because the
+    * gate host held it in RAM — q91's three extra KB-sized CTEs on the
+    * same chain tipped it into a 77 GB disk-filling spill (r15; the
+    * third member of the duckdb-oracle-pitfalls re-evaluation class
+    * after the recursive-CTE and hoisted-scalar instances). */
   private def bandChainSql(tag: String): String =
     s"""t$tag AS (SELECT doc_id, regexp_split_to_array(text, '\\s+') AS w FROM b$tag),
        |s$tag AS (
@@ -256,12 +266,12 @@ object PipelineQueries {
        |  FROM t$tag, UNNEST(range(1, len(w) - 1)) AS t(i)
        |  WHERE len(w) >= 3),
        |h$tag AS MATERIALIZED (SELECT doc_id, ${h60("shingle")} AS h FROM s$tag),
-       |sizes$tag AS (SELECT doc_id, count(*) AS n FROM h$tag GROUP BY 1),
+       |sizes$tag AS MATERIALIZED (SELECT doc_id, count(*) AS n FROM h$tag GROUP BY 1),
        |mh$tag AS (
        |  SELECT doc_id, CAST(seed AS INT) AS seed,
        |         min(((2*seed + 1) * (h % 2147483647) + (seed*12347 + 89)) % 2147483647) AS mh
        |  FROM h$tag, UNNEST(range(0, 16)) AS u(seed) GROUP BY 1, 2),
-       |bands$tag AS (
+       |bands$tag AS MATERIALIZED (
        |  SELECT doc_id, seed // 4 AS band,
        |         md5(string_agg(CAST(mh AS VARCHAR), ',' ORDER BY seed)) AS sig
        |  FROM mh$tag GROUP BY 1, 2)""".stripMargin
@@ -318,7 +328,7 @@ object PipelineQueries {
       |  SELECT doc_id, CAST(seed AS INT) AS seed,
       |         min(((2*seed + 1) * (h % 2147483647) + (seed*12347 + 89)) % 2147483647) AS mh
       |  FROM hsh, UNNEST(range(0, 16)) AS u(seed) GROUP BY 1, 2),
-      |bands AS (
+      |bands AS MATERIALIZED (
       |  SELECT doc_id, seed // 4 AS band,
       |         md5(string_agg(CAST(mh AS VARCHAR), ',' ORDER BY seed)) AS sig
       |  FROM mh GROUP BY 1, 2),
@@ -326,7 +336,7 @@ object PipelineQueries {
       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
       |  FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig
       |  WHERE a.doc_id < b.doc_id),
-      |sizes AS (SELECT doc_id, count(*) AS n FROM hsh GROUP BY 1),
+      |sizes AS MATERIALIZED (SELECT doc_id, count(*) AS n FROM hsh GROUP BY 1),
       |inter AS (
       |  SELECT p.doc_a, p.doc_b, count(*) AS ni
       |  FROM cand p
@@ -341,7 +351,7 @@ object PipelineQueries {
       |  JOIN sizes sb ON i.doc_b = sb.doc_id)""".stripMargin
 
   private val jaccardTailSql =
-    """sizes AS (SELECT doc_id, count(*) AS n FROM hsh GROUP BY 1),
+    """sizes AS MATERIALIZED (SELECT doc_id, count(*) AS n FROM hsh GROUP BY 1),
       |inter AS (
       |  SELECT p.doc_a, p.doc_b, count(*) AS ni
       |  FROM cand p
