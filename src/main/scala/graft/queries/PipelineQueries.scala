@@ -2662,7 +2662,56 @@ object PipelineQueries {
         |SELECT doc_id, rep, n_tokens, shuffle_rank, pack_bucket,
         |  pack_bucket * (CAST(1 AS BIGINT) << 40)
         |    + CAST(floor((cum - n_tokens) / 2048.0) AS BIGINT) AS pack_id
-        |FROM p91""".stripMargin))
+        |FROM p91""".stripMargin)),
+
+    // Curriculum / ANNEALING order — the other standard multi-epoch
+    // schedule next to q91's uniform epoch repeats: a full pass over
+    // the curation-v2 survivors (epoch 1), then a stricter high-quality
+    // slice re-shuffled under a FRESH salt as the anneal phase
+    // (epoch 2) — the published "midtraining on the cleanest data last"
+    // move. Epoch 2's global order offsets by |epoch 1| via a one-row
+    // broadcast stat cross join (the q38 tile pattern; the count is a
+    // scalar, the corpus never re-shuffles for it), and the fresh salt
+    // matters: reusing epoch 1's salt would replay the same relative
+    // order and the anneal pass would see documents in correlated
+    // positions across epochs. Composed entirely from public faces over
+    // the SHARED curationV2 relations — one curation chain, two ranks.
+    Q("q92_curriculum_order",
+      (s, dir) => {
+        val (mixed, feats) = curationV2(s, dir)
+        val docs = graft.Pin.ser(
+          mixed.select(col("doc_id")).join(feats, Seq("doc_id")))
+        val ep1 = Sampling.deterministicShuffleRank(docs, Seq("doc_id"),
+          salt = "ep1q92", shuffleBuckets = 64)
+        val ranked2 = Sampling.deterministicShuffleRank(
+          docs.filter(col("n_tokens") >= 60), Seq("doc_id"),
+          salt = "ep2q92", shuffleBuckets = 64)
+        val n1 = broadcast(ep1.agg(count(lit(1)).cast("long").as("__n1")))
+        ep1.select(col("doc_id"), col("n_tokens"), lit(1L).as("epoch"),
+            col("shuffle_rank").as("order_rank"))
+          .unionByName(ranked2.crossJoin(n1)
+            .select(col("doc_id"), col("n_tokens"), lit(2L).as("epoch"),
+              (col("shuffle_rank") + col("__n1")).as("order_rank")))
+      },
+      Some(s"""$curationV2Sql,
+        |cd92 AS MATERIALIZED (
+        |  SELECT m.doc_id, q.n_tokens
+        |  FROM mix90 m JOIN q USING (doc_id)),
+        |r1q92 AS MATERIALIZED (
+        |  SELECT doc_id, n_tokens, CAST(1 AS BIGINT) AS epoch,
+        |    CAST(row_number() OVER (
+        |      ORDER BY ${h60("CAST(doc_id AS VARCHAR) || '_ep1q92'")}, doc_id)
+        |      AS BIGINT) AS order_rank
+        |  FROM cd92),
+        |n1q92 AS MATERIALIZED (SELECT count(*) AS n1 FROM r1q92),
+        |r2q92 AS (
+        |  SELECT doc_id, n_tokens, CAST(2 AS BIGINT) AS epoch,
+        |    CAST(row_number() OVER (
+        |      ORDER BY ${h60("CAST(doc_id AS VARCHAR) || '_ep2q92'")}, doc_id)
+        |      AS BIGINT) + n1q92.n1 AS order_rank
+        |  FROM cd92, n1q92 WHERE n_tokens >= 60)
+        |SELECT doc_id, n_tokens, epoch, order_rank FROM r1q92
+        |UNION ALL SELECT doc_id, n_tokens, epoch, order_rank FROM r2q92""".stripMargin))
   )
 
   /** The curation-v2 chain (q90), factored so the q91 training-order

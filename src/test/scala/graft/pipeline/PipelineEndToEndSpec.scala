@@ -208,4 +208,31 @@ class PipelineEndToEndSpec extends SparkSpec {
     val q91 = graft.SparkEntry.queries("q91_training_order")(spark, dir)
     assert(q91.count() === 0L, "empty survivors must pack to an empty manifest")
   }
+
+  test("q92 curriculum order: anneal set nests in epoch 1, global ranks " +
+      "are an exact 1..n permutation, the fresh salt decorrelates the " +
+      "two epochs' orders, and reruns agree row-for-row (r15)") {
+    val dir = "/root/testdata/sf0.01"
+    def run() = graft.SparkEntry.queries("q92_curriculum_order")(spark, dir)
+      .as[(Long, Long, Long, Long)].collect().sortBy(t => (t._3, t._4))
+    val rows = run()
+    val (ep1, ep2) = rows.partition(_._3 == 1L)
+    assert(ep1.nonEmpty && ep2.nonEmpty, "both epochs must be exercised")
+    // the anneal slice is a strict, criterion-exact subset of epoch 1
+    assert(ep2.map(_._1).toSet.subsetOf(ep1.map(_._1).toSet))
+    assert(ep2.forall(_._2 >= 60) && ep2.length < ep1.length)
+    assert(ep1.filter(_._2 >= 60).map(_._1).toSet === ep2.map(_._1).toSet,
+      "epoch 2 is exactly the >= 60-token survivors, nothing dropped")
+    // global order: epoch 1 is 1..n1, epoch 2 continues to n1+n2
+    assert(ep1.map(_._4).sorted === (1L to ep1.length.toLong))
+    assert(ep2.map(_._4).sorted ===
+      ((ep1.length + 1).toLong to (ep1.length + ep2.length).toLong))
+    // fresh salt: the shared docs must NOT replay epoch 1's relative
+    // order (a reused salt would — the correlated-curriculum hazard)
+    val order1 = ep1.filter(_._2 >= 60).sortBy(_._4).map(_._1).toSeq
+    val order2 = ep2.sortBy(_._4).map(_._1).toSeq
+    assert(order1 !== order2, "anneal pass must reshuffle, not replay")
+    // retry-determinism across independent plans
+    assert(run().toSeq === rows.toSeq)
+  }
 }
