@@ -516,6 +516,46 @@ object Dedup {
           .as("containment"))
   }
 
+  /** Every (train span, eval doc) pair sharing ≥ 1 shingle, with the
+    * exact 6-dp SPAN containment ∩/|train| — the TRANSPOSE of
+    * [[containmentPairs]]' ∩/|eval|, for the chunk/span decontamination
+    * grain: "how much of this span IS benchmark text". At span grain the
+    * eval-denominator ratio structurally cannot fire — a fully
+    * plagiarized 64-token chunk of a 200-token eval doc sits at
+    * ∩/ne ≈ 0.3 forever — and swapping [[containmentPairs]]' arguments
+    * would broadcast the CORPUS side. Here the span sizes are a
+    * corpus-side agg joined back on the span id (the shared-shingle
+    * pair relation is report-sized against a benchmark eval set, so
+    * AQE broadcasts it, not the corpus) and the eval side broadcasts —
+    * the same scale shape as every decontamination face. Same
+    * contracts as [[containmentPairs]]: pre-hashed DISTINCT (id, h)
+    * relations, caller owns the broadcast-small eval guard; same
+    * integer micro-unit quantization, so the value is engine-exact. */
+  def spanContainmentPairs(trainShingles: DataFrame,
+                           evalShingles: DataFrame): DataFrame = {
+    val trainSizes = trainShingles.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("nt"))
+    trainShingles
+      .join(broadcast(evalShingles.select(col("doc_id").as("eval_id"), col("h"))),
+        Seq("h"))
+      .groupBy(col("doc_id"), col("eval_id")).agg(count(lit(1)).as("ni"))
+      .join(trainSizes, Seq("doc_id"))
+      .select(col("doc_id"), col("eval_id"),
+        (expr("(2000000 * ni + nt) div (2 * nt)") / lit(1000000.0))
+          .as("containment"))
+  }
+
+  /** Span ids whose containment OF EVAL TEXT reaches the threshold —
+    * the decision face over [[spanContainmentPairs]], the surgical
+    * alternative to [[contaminatedByContainment]]: drop the plagiarized
+    * CHUNKS and keep the rest of the document, instead of burning the
+    * whole doc for one embedded benchmark string. */
+  def contaminatedSpans(trainShingles: DataFrame, evalShingles: DataFrame,
+                        minContainment: Double): DataFrame =
+    spanContainmentPairs(trainShingles, evalShingles)
+      .filter(col("containment") >= minContainment)
+      .select(col("doc_id")).distinct()
+
   /** All-pairs n-gram Jaccard via shingle equi-join — QUADRATIC in docs
     * sharing a shingle; the small-scale baseline the LSH path is verified
     * against. Refuses corpora above `maxRows` (verdict r10 item 5): the

@@ -2711,7 +2711,70 @@ object PipelineQueries {
         |      AS BIGINT) + n1q92.n1 AS order_rank
         |  FROM cd92, n1q92 WHERE n_tokens >= 60)
         |SELECT doc_id, n_tokens, epoch, order_rank FROM r1q92
-        |UNION ALL SELECT doc_id, n_tokens, epoch, order_rank FROM r2q92""".stripMargin))
+        |UNION ALL SELECT doc_id, n_tokens, epoch, order_rank FROM r2q92""".stripMargin)),
+
+    // SURGICAL (chunk-grain) decontamination — drop the plagiarized
+    // spans, keep the rest of the document, where q51/q84/q85 burn the
+    // whole doc for one embedded benchmark string. The grain forces the
+    // TRANSPOSED ratio: a fully-plagiarized 64-token chunk of a
+    // 200-token eval doc never reaches 0.5 on ∩/|eval|, so the decision
+    // runs on `spanContainmentPairs`' ∩/|chunk| ("how much of this
+    // chunk IS benchmark text"). Chunk identity is the '#'-joined
+    // composite string key (the q82/q91 convention), so the shingle
+    // faces run unchanged at chunk grain; chunks too short to shingle
+    // (< 3 tokens) can never be contaminated and survive by contract.
+    Q("q93_chunk_decontaminate",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+        val evalDocs = docs.filter(col("doc_id") < 20)
+        val pool = docs.filter(col("doc_id") >= 20)
+        val chunks = graft.Pin.ser(
+          TextAnalysis.chunkDocuments(pool, maxTokens = 64, overlap = 0))
+        val ckey = concat(col("doc_id").cast("string"), lit("#"),
+          col("chunk_id").cast("string"))
+        val csh = TextAnalysis.hashedShingles(
+          chunks.select(ckey.as("doc_id"), col("chunk_text").as("text")), 3)
+        val bad = Dedup.contaminatedSpans(csh,
+            TextAnalysis.hashedShingles(evalDocs, 3), minContainment = 0.5)
+          .select(col("doc_id").as("__ck"))
+        chunks.join(bad, ckey === col("__ck"), "left_anti")
+          .select(col("doc_id"), col("chunk_id"), col("n_chunk_tokens"))
+      },
+      Some(s"""WITH t93 AS (
+        |  SELECT doc_id, regexp_split_to_array(text, '\\s+') AS t
+        |  FROM documents WHERE doc_id >= 20 AND trim(text) <> ''),
+        |ch93 AS MATERIALIZED (
+        |  SELECT doc_id, k AS chunk_id,
+        |    list_slice(t, k*64 + 1, LEAST(k*64 + 64, len(t))) AS ctoks,
+        |    CAST(len(list_slice(t, k*64 + 1, LEAST(k*64 + 64, len(t)))) AS BIGINT)
+        |      AS n_chunk_tokens
+        |  FROM (SELECT doc_id, t,
+        |          unnest(generate_series(0,
+        |            GREATEST(1, CAST(ceil(len(t) * 1.0 / 64) AS BIGINT)) - 1)) AS k
+        |        FROM t93)),
+        |csh93 AS MATERIALIZED (
+        |  SELECT DISTINCT
+        |    CAST(doc_id AS VARCHAR) || '#' || CAST(chunk_id AS VARCHAR) AS ck,
+        |    ${h60("ctoks[i] || ' ' || ctoks[i+1] || ' ' || ctoks[i+2]")} AS h
+        |  FROM ch93, UNNEST(range(1, len(ctoks) - 1)) AS u(i)
+        |  WHERE len(ctoks) >= 3),
+        |sz93 AS MATERIALIZED (SELECT ck, count(*) AS nt FROM csh93 GROUP BY 1),
+        |ew93 AS (
+        |  SELECT doc_id, regexp_split_to_array(text, '\\s+') AS w2
+        |  FROM documents WHERE doc_id < 20),
+        |eh93 AS MATERIALIZED (
+        |  SELECT DISTINCT doc_id,
+        |    ${h60("w2[i] || ' ' || w2[i+1] || ' ' || w2[i+2]")} AS h
+        |  FROM ew93, UNNEST(range(1, len(w2) - 1)) AS u(i) WHERE len(w2) >= 3),
+        |bad93 AS MATERIALIZED (
+        |  SELECT DISTINCT i.ck
+        |  FROM (SELECT c.ck, e.doc_id AS eval_id, count(*) AS ni
+        |        FROM csh93 c JOIN eh93 e ON c.h = e.h GROUP BY 1, 2) i
+        |  JOIN sz93 USING (ck)
+        |  WHERE ((2000000 * i.ni + nt) // (2 * nt)) / 1000000.0 >= 0.5)
+        |SELECT doc_id, chunk_id, n_chunk_tokens FROM ch93
+        |WHERE CAST(doc_id AS VARCHAR) || '#' || CAST(chunk_id AS VARCHAR)
+        |      NOT IN (SELECT ck FROM bad93)""".stripMargin))
   )
 
   /** The curation-v2 chain (q90), factored so the q91 training-order

@@ -209,6 +209,41 @@ class PipelineEndToEndSpec extends SparkSpec {
     assert(q91.count() === 0L, "empty survivors must pack to an empty manifest")
   }
 
+  test("q93 surgical decontamination on a planted corpus: the plagiarized " +
+      "chunk drops, the clean chunks of the SAME doc survive — where " +
+      "doc-grain containment burns the whole doc (r15)") {
+    // doc 30: chunk 0 = eval doc 0's text verbatim (64 tokens), chunks
+    // 1–2 = clean filler. Chunk grain keeps 2 of 3 chunks; doc grain at
+    // the same 0.5 threshold drops all three (the eval doc is fully
+    // contained in doc 30 → doc containment 1.0).
+    val evalToks = (1 to 64).map(i => s"bench${i}tok").mkString(" ")
+    val clean = (1 to 128).map(i => s"clean${i}tok").mkString(" ")
+    val docs = Seq(
+      (0L, evalToks, "en", "web", 0L),
+      (30L, s"$evalToks $clean", "en", "web", 0L),
+      (31L, clean, "en", "web", 0L))
+    val dir = java.nio.file.Files.createTempDirectory("surgical").toString
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .withColumn("n_chars", length($"text").cast("long"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val kept = graft.SparkEntry.queries("q93_chunk_decontaminate")(spark, dir)
+      .as[(Long, Long, Long)].collect().sortBy(t => (t._1, t._2))
+    // doc 30 keeps exactly chunks 1 and 2; doc 31 keeps both of its own
+    assert(kept.filter(_._1 == 30L).map(_._2).toSeq === Seq(1L, 2L))
+    assert(kept.filter(_._1 == 31L).map(_._2).toSeq === Seq(0L, 1L))
+    // the doc-grain face at the same threshold burns doc 30 whole
+    val pool = spark.read.parquet(s"$dir/documents.parquet")
+      .filter($"doc_id" >= 20).select($"doc_id", $"text")
+    val evalD = spark.read.parquet(s"$dir/documents.parquet")
+      .filter($"doc_id" < 20).select($"doc_id", $"text")
+    val docGrainBad = graft.pipeline.Dedup.contaminatedByContainment(
+      graft.pipeline.TextAnalysis.hashedShingles(pool, 3),
+      graft.pipeline.TextAnalysis.hashedShingles(evalD, 3),
+      minContainment = 0.5).as[Long].collect().toSet
+    assert(docGrainBad === Set(30L),
+      "doc grain drops doc 30 entirely — the data q93 saves")
+  }
+
   test("q92 curriculum order: anneal set nests in epoch 1, global ranks " +
       "are an exact 1..n permutation, the fresh salt decorrelates the " +
       "two epochs' orders, and reruns agree row-for-row (r15)") {

@@ -309,6 +309,37 @@ class DedupSpec extends SparkSpec {
     assert(c === 1.0)
   }
 
+  test("spanContainmentPairs is the exact transpose of containmentPairs: " +
+      "a span fully inside a big eval doc scores 1.0 on the span ratio " +
+      "while the eval ratio stays structurally below threshold (r15)") {
+    // span: 10 shingles, all shared with a 200-shingle eval doc — the
+    // plagiarized-chunk shape. ∩/|span| = 1.0 (fires); ∩/|eval| = 0.05
+    // (can never fire at any sane threshold — the reason the chunk
+    // grain needs the transposed face, not swapped arguments, which
+    // would also broadcast the corpus side).
+    val span = spark.range(10).select(lit("7#0").as("doc_id"), $"id".as("h"))
+    val eval_ = spark.range(200).select(lit(0L).as("doc_id"), $"id".as("h"))
+    val sp = Dedup.spanContainmentPairs(span, eval_)
+      .select($"containment").as[Double].head()
+    assert(sp === 1.0)
+    val ev = Dedup.containmentPairs(
+        span.select($"doc_id", $"h"), eval_)
+      .select($"containment").as[Double].head()
+    assert(ev === 0.05)
+    // same micro-unit rounding discipline as containmentPairs, nt-side
+    def ref(ni: Long, nt: Long): Double =
+      new java.math.BigDecimal(ni * 1000000L)
+        .divide(new java.math.BigDecimal(nt), 0, java.math.RoundingMode.HALF_UP)
+        .longValueExact() / 1e6
+    Seq((1L, 3L), (1L, 2000000L), (1999999L, 2000000L)).foreach { case (ni, nt) =>
+      val tr = spark.range(nt).select(lit("s").as("doc_id"), $"id".as("h"))
+      val ev2 = spark.range(ni).select(lit(9L).as("doc_id"), $"id".as("h"))
+      val got = Dedup.spanContainmentPairs(tr, ev2)
+        .select($"containment").as[Double].head()
+      assert(got === ref(ni, nt), s"ni=$ni nt=$nt")
+    }
+  }
+
   test("containmentPairs: exact 6-dp half-up micro-unit rounding at " +
       "adversarial ne — ne = 1, huge ne, the .5-boundary tie (r15)") {
     // reference: round-half-up(10^6 · ni / ne) integer micro-units
