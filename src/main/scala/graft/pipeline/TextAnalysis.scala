@@ -229,6 +229,38 @@ object TextAnalysis {
     * rank-limit window per doc. Scores round to 6 dp so the ranking (and
     * the DuckDB differential) is stable across libm ulp differences in
     * `ln`. */
+  /** Snapshot DIFF report between two corpus versions — the crawl-refresh
+    * question ("what changed since the last dump?") answered at id +
+    * content-hash grain: per `group`, how many docs are NEW (id only in
+    * `cur`), REMOVED (id only in `prev`), CHANGED (id in both, content
+    * hash differs), SAME. Content compares by 60-bit hash computed AT THE
+    * SCAN, so only (id, 8-byte hash, group) ever shuffles — never the
+    * bodies — through ONE full-outer id join and a KB-sized group agg;
+    * the scale shape of exact dedup. Hash equality is NULL-SAFE (`<=>`):
+    * a null body on both sides is SAME, null vs text is CHANGED — a
+    * crawl that nulls a body out is a change, not a phantom add/remove.
+    * Group label comes from the surviving side (cur wins when both). */
+  def corpusDiff(cur: DataFrame, prev: DataFrame, idCol: String,
+                 contentCol: String, groupCol: String): DataFrame = {
+    def side(df: DataFrame, h: String, g: String, p: String): DataFrame =
+      df.select(col(idCol).as("__id"),
+        md5Hash60(col(contentCol)).as(h), col(groupCol).as(g),
+        lit(1).as(p))
+    side(cur, "__hc", "__gc", "__pc")
+      .join(side(prev, "__hp", "__gp", "__pp"), Seq("__id"), "full_outer")
+      .select(coalesce(col("__gc"), col("__gp")).as("grp"),
+        when(col("__pp").isNull, "new")
+          .when(col("__pc").isNull, "removed")
+          .when(col("__hc") <=> col("__hp"), "same")
+          .otherwise("changed").as("status"))
+      .groupBy(col("grp"))
+      .agg(
+        sum(when(col("status") === "new", 1L).otherwise(0L)).as("n_new"),
+        sum(when(col("status") === "removed", 1L).otherwise(0L)).as("n_removed"),
+        sum(when(col("status") === "changed", 1L).otherwise(0L)).as("n_changed"),
+        sum(when(col("status") === "same", 1L).otherwise(0L)).as("n_same"))
+  }
+
   def tfidfTopTerms(docs: DataFrame, k: Int): DataFrame = {
     val tok = docs.select(col("doc_id"), explode(tokens(col("text"))).as("term"))
     val tf = tok.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))

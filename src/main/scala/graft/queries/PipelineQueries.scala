@@ -2774,7 +2774,62 @@ object PipelineQueries {
         |  WHERE ((2000000 * i.ni + nt) // (2 * nt)) / 1000000.0 >= 0.5)
         |SELECT doc_id, chunk_id, n_chunk_tokens FROM ch93
         |WHERE CAST(doc_id AS VARCHAR) || '#' || CAST(chunk_id AS VARCHAR)
-        |      NOT IN (SELECT ck FROM bad93)""".stripMargin))
+        |      NOT IN (SELECT ck FROM bad93)""".stripMargin)),
+
+    // Corpus snapshot DIFF — the crawl-refresh report ("what changed
+    // since the last dump?"): per language, docs NEW / REMOVED /
+    // CHANGED / SAME between two snapshot versions, compared at id +
+    // content-hash grain through `TextAnalysis.corpusDiff` (only
+    // (id, 8-byte hash, lang) shuffles — bodies never cross an
+    // exchange). The "previous" snapshot derives deterministically from
+    // the current one so the oracle rebuilds it byte-identically:
+    // doc_id ≡ 3 (mod 7) absent from prev (⇒ new), doc_id ≡ 5 (mod 11)
+    // drift-marked in prev (⇒ changed), a doc_id ≡ 0 (mod 5) copy at
+    // +500000 present only in prev (⇒ removed). Null-safe hash equality
+    // makes null-body pairs SAME (nulls corpus: a drift-marked null
+    // body stays null under concat in BOTH engines — still same).
+    Q("q94_corpus_diff",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+          .select(col("doc_id"), col("text"), col("lang"))
+        val prev = docs.filter(pmod(col("doc_id"), lit(7)) =!= 3)
+          .select(col("doc_id"),
+            when(pmod(col("doc_id"), lit(11)) === 5,
+              concat(col("text"), lit(" DRIFTMARK")))
+              .otherwise(col("text")).as("text"),
+            col("lang"))
+          .unionByName(docs.filter(pmod(col("doc_id"), lit(5)) === 0)
+            .select((col("doc_id") + 500000L).as("doc_id"),
+              col("text"), col("lang")))
+        TextAnalysis.corpusDiff(docs, prev, "doc_id", "text", "lang")
+          .withColumnRenamed("grp", "lang")
+      },
+      Some(s"""WITH prev94 AS MATERIALIZED (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 11 = 5 THEN text || ' DRIFTMARK'
+        |         ELSE text END AS text,
+        |    lang
+        |  FROM documents WHERE doc_id % 7 <> 3
+        |  UNION ALL
+        |  SELECT doc_id + 500000 AS doc_id, text, lang
+        |  FROM documents WHERE doc_id % 5 = 0),
+        |c94 AS (SELECT doc_id AS cid, ${h60("text")} AS hc, lang AS gc
+        |        FROM documents),
+        |p94 AS (SELECT doc_id AS pid, ${h60("text")} AS hp, lang AS gp
+        |        FROM prev94),
+        |j94 AS (
+        |  SELECT COALESCE(gc, gp) AS lang,
+        |    CASE WHEN pid IS NULL THEN 'new'
+        |         WHEN cid IS NULL THEN 'removed'
+        |         WHEN hc IS NOT DISTINCT FROM hp THEN 'same'
+        |         ELSE 'changed' END AS status
+        |  FROM c94 FULL OUTER JOIN p94 ON cid = pid)
+        |SELECT lang,
+        |  CAST(sum(CASE WHEN status = 'new' THEN 1 ELSE 0 END) AS BIGINT) AS n_new,
+        |  CAST(sum(CASE WHEN status = 'removed' THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+        |  CAST(sum(CASE WHEN status = 'changed' THEN 1 ELSE 0 END) AS BIGINT) AS n_changed,
+        |  CAST(sum(CASE WHEN status = 'same' THEN 1 ELSE 0 END) AS BIGINT) AS n_same
+        |FROM j94 GROUP BY 1""".stripMargin))
   )
 
   /** The curation-v2 chain (q90), factored so the q91 training-order

@@ -1573,6 +1573,31 @@ class IncrementalEmbedDedupSpec extends SparkSpec {
 class TextAnalysisSpec extends SparkSpec {
   import spark.implicits._
 
+  test("corpusDiff classifies new/removed/changed/same per group, is " +
+      "null-safe on content, and takes the group from the surviving " +
+      "side (r15)") {
+    val cur = Seq(
+      (1L, "alpha", "en"),              // same
+      (2L, "beta CHANGED", "en"),       // changed
+      (3L, "gamma", "de"),              // new (absent from prev)
+      (5L, null.asInstanceOf[String], "fr"), // null body both sides: SAME
+      (6L, "zeta", "en")                // null body in prev: CHANGED
+    ).toDF("doc_id", "text", "lang")
+    val prev = Seq(
+      (1L, "alpha", "en"),
+      (2L, "beta", "en"),
+      (4L, "delta", "de"),              // removed — lang from PREV side
+      (5L, null.asInstanceOf[String], "fr"),
+      (6L, null.asInstanceOf[String], "en")
+    ).toDF("doc_id", "text", "lang")
+    val got = TextAnalysis.corpusDiff(cur, prev, "doc_id", "text", "lang")
+      .as[(String, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    assert(got("en") === ((0L, 0L, 2L, 1L)))  // 2 changed (one via null), 1 same
+    assert(got("de") === ((1L, 1L, 0L, 0L)))  // new id 3, removed id 4
+    assert(got("fr") === ((0L, 0L, 0L, 1L)))  // null <=> null is SAME
+  }
+
   test("redactPii replaces typed PII with placeholders and counts it (r7)") {
     val df = Seq(
       (1L, "mail a.b@ex.org or c@d.co, ip 192.168.0.1, acct 12345678 ok"),
