@@ -229,38 +229,6 @@ object TextAnalysis {
     * rank-limit window per doc. Scores round to 6 dp so the ranking (and
     * the DuckDB differential) is stable across libm ulp differences in
     * `ln`. */
-  /** Snapshot DIFF report between two corpus versions — the crawl-refresh
-    * question ("what changed since the last dump?") answered at id +
-    * content-hash grain: per `group`, how many docs are NEW (id only in
-    * `cur`), REMOVED (id only in `prev`), CHANGED (id in both, content
-    * hash differs), SAME. Content compares by 60-bit hash computed AT THE
-    * SCAN, so only (id, 8-byte hash, group) ever shuffles — never the
-    * bodies — through ONE full-outer id join and a KB-sized group agg;
-    * the scale shape of exact dedup. Hash equality is NULL-SAFE (`<=>`):
-    * a null body on both sides is SAME, null vs text is CHANGED — a
-    * crawl that nulls a body out is a change, not a phantom add/remove.
-    * Group label comes from the surviving side (cur wins when both). */
-  def corpusDiff(cur: DataFrame, prev: DataFrame, idCol: String,
-                 contentCol: String, groupCol: String): DataFrame = {
-    def side(df: DataFrame, h: String, g: String, p: String): DataFrame =
-      df.select(col(idCol).as("__id"),
-        md5Hash60(col(contentCol)).as(h), col(groupCol).as(g),
-        lit(1).as(p))
-    side(cur, "__hc", "__gc", "__pc")
-      .join(side(prev, "__hp", "__gp", "__pp"), Seq("__id"), "full_outer")
-      .select(coalesce(col("__gc"), col("__gp")).as("grp"),
-        when(col("__pp").isNull, "new")
-          .when(col("__pc").isNull, "removed")
-          .when(col("__hc") <=> col("__hp"), "same")
-          .otherwise("changed").as("status"))
-      .groupBy(col("grp"))
-      .agg(
-        sum(when(col("status") === "new", 1L).otherwise(0L)).as("n_new"),
-        sum(when(col("status") === "removed", 1L).otherwise(0L)).as("n_removed"),
-        sum(when(col("status") === "changed", 1L).otherwise(0L)).as("n_changed"),
-        sum(when(col("status") === "same", 1L).otherwise(0L)).as("n_same"))
-  }
-
   def tfidfTopTerms(docs: DataFrame, k: Int): DataFrame = {
     val tok = docs.select(col("doc_id"), explode(tokens(col("text"))).as("term"))
     val tf = tok.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
@@ -276,6 +244,67 @@ object TextAnalysis {
       .select(col("doc_id"), col("term"), col("tf"), col("df"),
         col("tfidf"), col("rn").cast("long").as("rank"))
   }
+
+  /** PER-DOC snapshot diff between two corpus versions — the id-grain
+    * verdict relation that DRIVES a crawl refresh: one row per doc id
+    * present in either snapshot, `status` ∈ new (id only in `cur`) /
+    * removed (id only in `prev`) / changed (id in both, content hash
+    * differs) / same. [[corpusDiff]] is the report face over this
+    * relation; an incremental refresh routes `new`/`changed` rows into
+    * the ingest stores and `removed` rows into retirement (q95).
+    *
+    * Content compares by 60-bit hash computed AT THE SCAN, so only
+    * (id, 8-byte hash[, group]) ever shuffles — never the bodies —
+    * through ONE full-outer id join; the scale shape of exact dedup.
+    * The hash bound is the contract a per-row consumer inherits: a
+    * changed doc reads `same` at ~2⁻⁶⁰ per pair — the right trade for
+    * refresh routing (a missed re-ingest of one near-identical doc),
+    * documented here because this face acts PER ROW where the count
+    * report only mis-tallies. Hash equality is NULL-SAFE (`<=>`): a
+    * null body on both sides is SAME, null vs text is CHANGED — a crawl
+    * that nulls a body out is a change, not a phantom add/remove.
+    *
+    * CONTRACT (caller-vouched, the [[Sampling.repeatByWeight]]-style
+    * convention): `idCol` is DISTINCT within each snapshot. A duplicate
+    * id on either side fans the full-outer join out and every duplicate
+    * pair double-counts downstream — silently, because the join itself
+    * is shape-valid. Crawl snapshots are keyed by id at write time; a
+    * source that can re-emit ids must `dropDuplicates(idCol)` first. */
+  def docStatus(cur: DataFrame, prev: DataFrame, idCol: String,
+                contentCol: String, groupCol: Option[String]): DataFrame = {
+    def side(df: DataFrame, h: String, g: String, p: String): DataFrame =
+      df.select(Seq(col(idCol).as("__id"),
+        md5Hash60(col(contentCol)).as(h), lit(1).as(p)) ++
+        groupCol.map(gc => col(gc).as(g)): _*)
+    val statusCol = when(col("__pp").isNull, "new")
+      .when(col("__pc").isNull, "removed")
+      .when(col("__hc") <=> col("__hp"), "same")
+      .otherwise("changed").as("status")
+    val joined = side(cur, "__hc", "__gc", "__pc")
+      .join(side(prev, "__hp", "__gp", "__pp"), Seq("__id"), "full_outer")
+    // Group label comes from the surviving side (cur wins when both).
+    if (groupCol.isDefined)
+      joined.select(col("__id").as(idCol),
+        coalesce(col("__gc"), col("__gp")).as("grp"), statusCol)
+    else joined.select(col("__id").as(idCol), statusCol)
+  }
+
+  /** Snapshot DIFF report between two corpus versions — the crawl-refresh
+    * question ("what changed since the last dump?") answered per `group`:
+    * how many docs are NEW / REMOVED / CHANGED / SAME. The counts face
+    * over [[docStatus]] (which carries the shuffle shape, the null-safe
+    * hash-equality semantics, the 60-bit collision bound, and the
+    * distinct-id-per-snapshot contract): the id-grain statuses collapse
+    * through one KB-sized group agg. */
+  def corpusDiff(cur: DataFrame, prev: DataFrame, idCol: String,
+                 contentCol: String, groupCol: String): DataFrame =
+    docStatus(cur, prev, idCol, contentCol, Some(groupCol))
+      .groupBy(col("grp"))
+      .agg(
+        sum(when(col("status") === "new", 1L).otherwise(0L)).as("n_new"),
+        sum(when(col("status") === "removed", 1L).otherwise(0L)).as("n_removed"),
+        sum(when(col("status") === "changed", 1L).otherwise(0L)).as("n_changed"),
+        sum(when(col("status") === "same", 1L).otherwise(0L)).as("n_same"))
 
   /** BM25 keyword search: rank documents for a bag-of-words query by
     * `Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl))` with

@@ -17,6 +17,35 @@ object PipelineQueries {
   private def h60(e: String): String =
     s"CAST(('0x' || substr(md5($e), 1, 15)) AS BIGINT)"
 
+  /** Id offset for the snapshot faces' derived "previous" copies
+    * (q94/q95): clear of every ladder corpus's ids — ScaleUp replicas
+    * keep per-band residues under 10⁶ on their 10⁸ stride, sf0.1
+    * originals top out near 10⁵ — and EXACTLY probed per run by
+    * [[requireNoIdCollision]], so the clearance is enforced, not
+    * assumed (ADVICE r15: the old +500000 offset sat inside a
+    * plausible id span and a collision would have corrupted the diff
+    * counts silently while the hash gate stayed green — both engines
+    * derive identically). */
+  private val SnapshotCopyOffset = 50000000L
+
+  /** Refuse a derived-snapshot id collision LOUDLY: `shifted` copies
+    * that land on a real id would alias two documents under one key and
+    * silently corrupt every downstream count/status (both engines
+    * derive identically, so the oracle hash gate cannot catch it). The
+    * probe is one narrow semi-join on a single pruned id column —
+    * exact for ANY corpus, no stride assumptions — bounded by
+    * `limit(3)` on the driver side. */
+  private def requireNoIdCollision(real: DataFrame, shifted: DataFrame,
+                                   idCol: String, what: String): Unit = {
+    val hits = shifted.select(col(idCol))
+      .join(real.select(col(idCol)), Seq(idCol), "left_semi")
+      .limit(3).collect().map(_.get(0))
+    require(hits.isEmpty,
+      s"$what: shifted copy id(s) ${hits.mkString(", ")} collide with real " +
+        "ids — the derived snapshot would alias two documents under one " +
+        "key; use a larger offset for this corpus")
+  }
+
   /** Scratch keyed-store roots for the stateful-ingest query faces
     * (q49/q61/q65/q71/q72/q79). Two contracts (ADVICE r12 — the bare
     * `createTempDirectory` under /tmp accumulated orphan stores across
@@ -2785,22 +2814,29 @@ object PipelineQueries {
     // the current one so the oracle rebuilds it byte-identically:
     // doc_id ≡ 3 (mod 7) absent from prev (⇒ new), doc_id ≡ 5 (mod 11)
     // drift-marked in prev (⇒ changed), a doc_id ≡ 0 (mod 5) copy at
-    // +500000 present only in prev (⇒ removed). Null-safe hash equality
-    // makes null-body pairs SAME (nulls corpus: a drift-marked null
-    // body stays null under concat in BOTH engines — still same).
+    // +50000000 present only in prev (⇒ removed; the offset sits clear
+    // of every ladder corpus's ids — ScaleUp replicas keep residues
+    // < 10⁶ under their 10⁸ stride — and `requireNoIdCollision` probes
+    // it EXACTLY, so a corpus that does reach the offset refuses loudly
+    // instead of silently folding copies into real ids; ADVICE r15).
+    // Null-safe hash equality makes null-body pairs SAME (nulls corpus:
+    // a drift-marked null body stays null under concat in BOTH engines
+    // — still same).
     Q("q94_corpus_diff",
       (s, dir) => {
         val docs = Tables.documents(s, dir)
           .select(col("doc_id"), col("text"), col("lang"))
+        val copies = docs.filter(pmod(col("doc_id"), lit(5)) === 0)
+          .select((col("doc_id") + SnapshotCopyOffset).as("doc_id"),
+            col("text"), col("lang"))
+        requireNoIdCollision(docs, copies, "doc_id", "q94 derived prev snapshot")
         val prev = docs.filter(pmod(col("doc_id"), lit(7)) =!= 3)
           .select(col("doc_id"),
             when(pmod(col("doc_id"), lit(11)) === 5,
               concat(col("text"), lit(" DRIFTMARK")))
               .otherwise(col("text")).as("text"),
             col("lang"))
-          .unionByName(docs.filter(pmod(col("doc_id"), lit(5)) === 0)
-            .select((col("doc_id") + 500000L).as("doc_id"),
-              col("text"), col("lang")))
+          .unionByName(copies)
         TextAnalysis.corpusDiff(docs, prev, "doc_id", "text", "lang")
           .withColumnRenamed("grp", "lang")
       },
@@ -2811,7 +2847,7 @@ object PipelineQueries {
         |    lang
         |  FROM documents WHERE doc_id % 7 <> 3
         |  UNION ALL
-        |  SELECT doc_id + 500000 AS doc_id, text, lang
+        |  SELECT doc_id + 50000000 AS doc_id, text, lang
         |  FROM documents WHERE doc_id % 5 = 0),
         |c94 AS (SELECT doc_id AS cid, ${h60("text")} AS hc, lang AS gc
         |        FROM documents),

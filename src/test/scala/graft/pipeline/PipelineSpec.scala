@@ -1598,6 +1598,41 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got("fr") === ((0L, 0L, 0L, 1L)))  // null <=> null is SAME
   }
 
+  test("docStatus is the id-grain verdict under corpusDiff: per-doc " +
+      "statuses, cur-wins group on label drift, ungrouped overload (r16)") {
+    val cur = Seq(
+      (1L, "alpha", "en"),   // same content, group RELABELED de→en in cur
+      (2L, "beta CHANGED", "en"),
+      (3L, "gamma", "de")    // new
+    ).toDF("doc_id", "text", "lang")
+    val prev = Seq(
+      (1L, "alpha", "de"),   // old label — cur must win
+      (2L, "beta", "en"),
+      (4L, "delta", "fr")    // removed — prev's label survives (only side)
+    ).toDF("doc_id", "text", "lang")
+    val got = TextAnalysis.docStatus(cur, prev, "doc_id", "text", Some("lang"))
+      .as[(Long, String, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    // a group-label change with UNCHANGED content reads `same` — the diff
+    // is content-grain by contract; the label reported is cur's
+    assert(got(1L) === (("en", "same")))
+    assert(got(2L) === (("en", "changed")))
+    assert(got(3L) === (("de", "new")))
+    assert(got(4L) === (("fr", "removed")))
+    // ungrouped overload: identical statuses, two-column shape
+    val ug = TextAnalysis.docStatus(cur, prev, "doc_id", "text", None)
+    assert(ug.columns.toSeq === Seq("doc_id", "status"))
+    assert(ug.as[(Long, String)].collect().toMap ===
+      got.map { case (k, (_, s)) => k -> s })
+    // the counts face delegates: same inputs, aggregated verdicts
+    val cd = TextAnalysis.corpusDiff(cur, prev, "doc_id", "text", "lang")
+      .as[(String, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    assert(cd("en") === ((0L, 0L, 1L, 1L)))
+    assert(cd("de") === ((1L, 0L, 0L, 0L)))
+    assert(cd("fr") === ((0L, 1L, 0L, 0L)))
+  }
+
   test("redactPii replaces typed PII with placeholders and counts it (r7)") {
     val df = Seq(
       (1L, "mail a.b@ex.org or c@d.co, ip 192.168.0.1, acct 12345678 ok"),
