@@ -897,6 +897,132 @@ object KeyedParquetStore {
     } finally h.release()
   }
 
+  /** DELETE every store row whose `on` tuple matches a row of `victims`
+    * — the retirement primitive the incremental indexes need for a crawl
+    * refresh (a removed/changed doc's stale signatures must leave the
+    * store, which neither `upsert`'s last-wins merge nor a tombstone can
+    * express without poisoning every reader). Same writer lock + staged
+    * swap discipline as the merge path.
+    *
+    * Scale shape: on a PARTITIONED store only the partitions that
+    * actually hold victim rows are read back, anti-joined, and swapped —
+    * discovery is one semi-join distinct bounded by the number of
+    * partitions hit, never the store. A partition whose every row was a
+    * victim stages nothing; its live directory is deleted outright
+    * (NOT displaced to `.old` — heal() restores `.old` pre-images, which
+    * would resurrect the retired rows on the next read). Crash mid-way
+    * is safe by idempotence, not atomicity: every row a partial run
+    * removed was a victim, and a re-run with the same `victims` finishes
+    * the job; it can never damage a non-victim row.
+    *
+    * Partition-scoped deletion requires PLAIN partition-value renderings
+    * (the upsert fast path's guard: `[A-Za-z0-9._-]`, the batch-id
+    * shape) so the emptied-partition check can name live directories
+    * without re-deriving Spark's path escaping. Anything else falls back
+    * to a FULL store rewrite — correct for any rendering, just not
+    * partition-scoped. Unpartitioned stores always rewrite wholesale
+    * (they are the small-dim shape). Deleting the last row of a
+    * partitioned store deletes the store (absent-after-empty, exactly
+    * [[replace]]'s rendering of "the new truth is nothing").
+    *
+    * Returns the number of partition directories rewritten or removed
+    * (1 for a full rewrite), so schedulers can no-op cheaply. */
+  def deleteMatching(spark: SparkSession, path: String, victims: DataFrame,
+                     on: Seq[String], partitionCols: Seq[String] = Nil,
+                     lockTtlMs: Long = 10L * 60 * 1000,
+                     schema: Option[StructType] = None): Int = {
+    require(on.nonEmpty, "deleteMatching needs at least one match column")
+    val f = fs(spark, path)
+    if (!f.exists(new HPath(path))) return 0 // absent store: nothing to delete
+    val h = acquireLock(f, new HPath(path + ".lock"), lockTtlMs)
+    try withWritePlanning(spark) {
+      heal(f, path)
+      if (!f.exists(new HPath(path))) 0
+      else {
+        val existing = schema match {
+          case Some(sc) => spark.read.schema(sc).parquet(path)
+          case None => spark.read.option("mergeSchema", "true").parquet(path)
+        }
+        // distinct: victims at natural grain (e.g. one doc id retiring
+        // many band rows) must not fan the anti-join's build side out
+        val vict = victims.select(on.map(col): _*).distinct()
+        val staging = path + ".staging"
+        f.delete(new HPath(staging), true)
+
+        def fullRewrite(): Int = {
+          val remaining = existing.join(vict, on, "left_anti")
+          val w = remaining.write.mode(SaveMode.Overwrite)
+          (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
+            .parquet(staging)
+          h.assertStillOwned()
+          if (partitionCols.nonEmpty && !stagedHasData(f, staging)) {
+            f.delete(new HPath(staging), true)
+            f.delete(new HPath(path), true) // empty truth: absent store
+          } else
+            swap(f, new HPath(staging), new HPath(path), new HPath(path + ".old"))
+          1
+        }
+
+        if (partitionCols.isEmpty) fullRewrite()
+        else {
+          // Only partitions holding victim rows — bounded by partitions
+          // hit, not store size (the doUpsert discovery shape).
+          val tuples: Seq[Seq[Any]] = existing.join(vict, on, "left_semi")
+            .select(partitionCols.map(col): _*).distinct().collect()
+            .toSeq.map(r => (0 until r.length).map(r.get))
+          if (tuples.isEmpty) 0
+          else {
+            require(tuples.forall(_.forall(_ != null)),
+              "null partition values are not supported by the partition-scoped delete")
+            val plainForm = tuples.forall(_.forall { v =>
+              val s = v.toString
+              s.nonEmpty && s.forall(c => c.isLetterOrDigit && c < 128 || "-_.".contains(c))
+            })
+            if (!plainForm) fullRewrite()
+            else {
+              val pred = tuples.map { t =>
+                partitionCols.zip(t)
+                  .map { case (c, v) => col(c) === lit(v) }
+                  .reduce(_ && _)
+              }.reduce(_ || _)
+              val remaining = existing.filter(pred).join(vict, on, "left_anti")
+              remaining.write.mode(SaveMode.Overwrite)
+                .partitionBy(partitionCols: _*).parquet(staging)
+              h.assertStillOwned()
+              val expectedRels = tuples.map { t =>
+                partitionCols.zip(t).map { case (c, v) => s"$c=$v" }.mkString("/")
+              }
+              val stagingQ = f.makeQualified(new HPath(staging)).toString
+              val stagedRels =
+                if (!stagedHasData(f, staging)) Set.empty[String]
+                else partitionDirs(f, new HPath(staging), partitionCols.length)
+                  .map(d => f.makeQualified(d).toString
+                    .stripPrefix(stagingQ).stripPrefix("/")).toSet
+              // plainForm holds, so the staged renderings equal the "$c=$v"
+              // forms — a rel in expected but not staged is a partition
+              // whose every row was a victim: delete its live dir (see
+              // scaladoc for why not a .old displacement)
+              expectedRels.filterNot(stagedRels.contains).foreach { rel =>
+                f.delete(new HPath(s"$path/$rel"), true)
+              }
+              if (stagedRels.nonEmpty)
+                swapStagedPartitions(spark, f, path, staging, partitionCols.length)
+              else f.delete(new HPath(staging), true)
+              // every partition gone → absent store, the replace() rendering
+              val anyLeft = f.exists(new HPath(path)) &&
+                f.listStatus(new HPath(path)).exists { s =>
+                  val n = s.getPath.getName
+                  !n.startsWith("_") && !n.startsWith(".")
+                }
+              if (!anyLeft) f.delete(new HPath(path), true)
+              tuples.size
+            }
+          }
+        }
+      }
+    } finally h.release()
+  }
+
   /** Did a staged partitioned write produce any DATA entries? A write of
     * zero rows stages only markers (_SUCCESS) — the one definition of
     * "empty staging" shared by upsert's no-op and replace's

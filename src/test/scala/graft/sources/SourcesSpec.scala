@@ -603,6 +603,77 @@ class SourcesSpec extends SparkSpec {
     assert(healed === got)
   }
 
+  test("deleteMatching removes matching rows partition-scoped, drops " +
+      "emptied partitions, leaves untouched partitions alone (r16)") {
+    val path = Files.createTempDirectory("store_delete").toString + "/bands"
+    val rows = Seq(
+      (1L, 0, "s10", "b0"), (1L, 1, "s11", "b0"), (2L, 0, "s20", "b0"),
+      (3L, 0, "s30", "b1"),                      // b1 holds ONLY victim 3
+      (4L, 0, "s40", "b2"), (5L, 0, "s50", "b2") // b2 untouched
+    ).toDF("doc_id", "band", "sig", "batch")
+    KeyedParquetStore.upsert(spark, path, rows, Seq("doc_id", "band"),
+      Seq(lit(1)), partitionCols = Seq("batch"), incomingUnique = true)
+    val f = org.apache.hadoop.fs.FileSystem.get(new java.net.URI("file:///"),
+      spark.sparkContext.hadoopConfiguration)
+    val b2Before = f.getFileStatus(
+      new org.apache.hadoop.fs.Path(s"$path/batch=b2")).getModificationTime
+    // victims at NATURAL grain (duplicate ids must not fan the anti-join)
+    val victims = Seq(1L, 1L, 3L, 99L).toDF("doc_id")
+    val n = KeyedParquetStore.deleteMatching(spark, path, victims,
+      on = Seq("doc_id"), partitionCols = Seq("batch"))
+    assert(n === 2) // b0 rewritten, b1 removed; b2 never touched
+    val got = KeyedParquetStore.read(spark, path).get
+      .select($"doc_id", $"batch").as[(Long, String)].collect().toSet
+    assert(got === Set((2L, "b0"), (4L, "b2"), (5L, "b2")))
+    assert(!f.exists(new org.apache.hadoop.fs.Path(s"$path/batch=b1")))
+    assert(f.getFileStatus(new org.apache.hadoop.fs.Path(s"$path/batch=b2"))
+      .getModificationTime === b2Before)
+    // no victims present → 0, no write at all
+    assert(KeyedParquetStore.deleteMatching(spark, path,
+      Seq(42L).toDF("doc_id"), Seq("doc_id"), Seq("batch")) === 0)
+    // idempotent re-run of the same victims → 0 (already gone)
+    assert(KeyedParquetStore.deleteMatching(spark, path, victims,
+      Seq("doc_id"), Seq("batch")) === 0)
+  }
+
+  test("deleteMatching: deleting every row leaves an ABSENT store; " +
+      "absent store is a no-op; unpartitioned stores rewrite (r16)") {
+    val path = Files.createTempDirectory("store_delete_all").toString + "/idx"
+    assert(KeyedParquetStore.deleteMatching(spark, path,
+      Seq(1L).toDF("doc_id"), Seq("doc_id")) === 0) // absent: no-op
+    val rows = Seq((1L, "x", "b0"), (2L, "y", "b0")).toDF("doc_id", "v", "batch")
+    KeyedParquetStore.upsert(spark, path, rows, Seq("doc_id"), Seq(lit(1)),
+      partitionCols = Seq("batch"), incomingUnique = true)
+    KeyedParquetStore.deleteMatching(spark, path, Seq(1L, 2L).toDF("doc_id"),
+      Seq("doc_id"), Seq("batch"))
+    // absent-after-empty: replace()'s rendering of "the new truth is nothing"
+    assert(KeyedParquetStore.read(spark, path).isEmpty)
+    // unpartitioned: wholesale rewrite, store stays readable when emptied
+    val p2 = Files.createTempDirectory("store_delete_flat").toString + "/dim"
+    KeyedParquetStore.upsert(spark, p2,
+      Seq((1L, "a"), (2L, "b")).toDF("k", "v"), Seq("k"), Seq(lit(1)))
+    assert(KeyedParquetStore.deleteMatching(spark, p2,
+      Seq(1L).toDF("k"), Seq("k")) === 1)
+    assert(KeyedParquetStore.read(spark, p2).get
+      .select($"k").as[Long].collect().toSeq === Seq(2L))
+  }
+
+  test("deleteMatching falls back to a full rewrite on non-plain " +
+      "partition renderings and still deletes correctly (r16)") {
+    val path = Files.createTempDirectory("store_delete_esc").toString + "/idx"
+    // ':' forces Hadoop path escaping — the scoped path cannot name the
+    // emptied live dir safely, so the fallback full rewrite must run
+    val rows = Seq((1L, "b:0"), (2L, "b:0"), (3L, "b:1"))
+      .toDF("doc_id", "batch")
+    KeyedParquetStore.upsert(spark, path, rows, Seq("doc_id"), Seq(lit(1)),
+      partitionCols = Seq("batch"), incomingUnique = true)
+    assert(KeyedParquetStore.deleteMatching(spark, path,
+      Seq(3L).toDF("doc_id"), Seq("doc_id"), Seq("batch")) === 1) // full rewrite
+    assert(KeyedParquetStore.read(spark, path).get
+      .select($"doc_id", $"batch").as[(Long, String)].collect().toSet ===
+      Set((1L, "b:0"), (2L, "b:0")))
+  }
+
   test("rollupBatchPartitions folds aged batch dirs verbatim, keeps the " +
       "horizon, preserves sub-partitions, and stays idempotent (r13)") {
     val path = Files.createTempDirectory("store_rollup").toString + "/postings"
