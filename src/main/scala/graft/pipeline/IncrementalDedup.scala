@@ -167,6 +167,47 @@ object IncrementalDedup {
     }
   }
 
+  /** RETIRE documents from the stored index — the other half of a crawl
+    * refresh ([[graft.queries.PipelineQueries]] q95): docs the new
+    * snapshot REMOVED leave the index for good; docs it CHANGED retire
+    * their stale signatures here and re-enter through [[ingestBatch]]
+    * under a NEW batch id. Retirement restores re-deliverability: the
+    * ingest precondition forbids re-sending a doc_id under a different
+    * batch only because a stored copy would shadow it via the self-pair
+    * exemption — once no stored row remains, the debugChecks resent
+    * probe passes and the re-ingest is sound, not merely unflagged.
+    *
+    * Retirement is FORWARD-LOOKING by contract: labels already emitted
+    * are not rewritten, and retiring a cluster's stored canonical does
+    * NOT resurrect duplicates it previously rejected — they were never
+    * indexed, and nothing here re-examines them. A refresh that must
+    * re-adjudicate history is a batch re-curation, not an index edit.
+    *
+    * Cost shape: two partition-scoped [[KeyedParquetStore.deleteMatching]]
+    * calls, each reading back only the `batch=` partitions that hold the
+    * retired ids — never the accumulated store. Bands delete FIRST: a
+    * crash between the two deletes then leaves orphan shingle rows,
+    * which are unreachable (candidates arise only from band collisions)
+    * and a re-run completes the job; the reverse order would leave band
+    * rows whose Jaccard confirm finds no shingles, and every future
+    * near-dup of a half-retired doc would silently read as `kept`.
+    *
+    * Returns (band partitions touched, shingle partitions touched). */
+  def retireDocs(spark: SparkSession, ids: DataFrame,
+                 bandsPath: String, shinglesPath: String): (Int, Int) = {
+    // Pinned: each delete consumes the victims twice (discovery semi-join
+    // + the anti-join) across two stores — a derived `ids` relation (the
+    // docStatus filter) would otherwise re-run four times.
+    val victims = graft.Pin.ser(ids.select(col("doc_id")).distinct())
+    val nb = KeyedParquetStore.deleteMatching(spark, bandsPath, victims,
+      on = Seq("doc_id"), partitionCols = Seq("batch"),
+      schema = Some(bandStoreSchema))
+    val ns = KeyedParquetStore.deleteMatching(spark, shinglesPath, victims,
+      on = Seq("doc_id"), partitionCols = Seq("batch"),
+      schema = Some(shingleStoreSchema))
+    (nb, ns)
+  }
+
   /** Label `batch` against the stored index WITHOUT mutating it — the
     * dry-run / query-the-index face of [[ingestBatch]]: identical
     * statuses, no upsert. Shares the ingest face's parameter-drift

@@ -256,6 +256,63 @@ class DedupSpec extends SparkSpec {
     } finally spark.conf.unset("spark.graft.store.debugChecks")
   }
 
+  test("retireDocs: a refreshed index equals a from-scratch build over " +
+      "the merged corpus, and retirement restores re-deliverability (r16)") {
+    val dir = java.nio.file.Files.createTempDirectory("inc_dedup_retire").toString
+    val (bands, shingles) = (dir + "/bands", dir + "/shingles")
+    val (bands2, shingles2) = (dir + "/bands2", dir + "/shingles2")
+    val t1 = "the quick brown fox jumps over the lazy dog near the river bank"
+    val nd1 = "the quick brown fox jumps over the lazy dog near the river shore"
+    val tG = "gamma rays cross interstellar dust clouds and reach detectors on earth today"
+    val tD = "delta waves dominate deep sleep stages in most healthy adults every night"
+    val tE = "epsilon is the smallest letter used for limits in classical analysis texts"
+    val tE2 = "entirely rewritten body about container orchestration and cluster scheduling at scale"
+    val tZ = "zeta functions encode primes through an infinite product over all prime numbers"
+    val ndZ = "zeta functions encode primes through an infinite product over all prime values"
+    // prev snapshot: 2 is an in-batch dup of 1 (never indexed);
+    // 4 will be REMOVED by the refresh, 5 CHANGED
+    val prev = Seq((1L, t1), (2L, nd1), (3L, tG), (4L, tD), (5L, tE))
+      .toDF("doc_id", "text")
+    val r0 = IncrementalDedup.ingestBatch(spark, prev, "b0", bands, shingles)
+      .select($"doc_id", $"status").as[(Long, String)].collect().toMap
+    assert(r0 === Map(1L -> "kept", 2L -> "dup_in_batch", 3L -> "kept",
+      4L -> "kept", 5L -> "kept"))
+    // refresh: retire removed(4) + changed(5), re-ingest 5's new content
+    // with the new docs under a NEW batch id — WITH the guards armed, to
+    // prove retirement makes the re-delivery sound, not merely unflagged
+    val (nb, ns) = IncrementalDedup.retireDocs(spark,
+      Seq(4L, 5L).toDF("doc_id"), bands, shingles)
+    assert(nb >= 1 && ns >= 1)
+    val b1 = Seq((5L, tE2), (6L, tZ), (7L, nd1)).toDF("doc_id", "text")
+    spark.conf.set("spark.graft.store.debugChecks", "true")
+    val r1 = try IncrementalDedup.ingestBatch(spark, b1, "b1", bands, shingles)
+      .select($"doc_id", $"status").as[(Long, String)].collect().toMap
+    finally spark.conf.unset("spark.graft.store.debugChecks")
+    assert(r1 === Map(5L -> "kept", 6L -> "kept", 7L -> "dup_of_stored"))
+    // stream≡batch: the refreshed index must EQUAL a from-scratch build
+    // over the merged (current) corpus — contents compared ignoring the
+    // provenance columns (batch/cfg), which legitimately differ
+    val merged = Seq((1L, t1), (3L, tG), (5L, tE2), (6L, tZ), (7L, nd1))
+      .toDF("doc_id", "text")
+    IncrementalDedup.ingestBatch(spark, merged, "all", bands2, shingles2)
+    def bandRows(p: String) = graft.sources.KeyedParquetStore.read(spark, p).get
+      .select($"doc_id", $"band", $"sig").as[(Long, Int, String)].collect().toSet
+    def shingleRows(p: String) = graft.sources.KeyedParquetStore.read(spark, p).get
+      .select($"doc_id", $"h").as[(Long, Long)].collect().toSet
+    assert(bandRows(bands) === bandRows(bands2))
+    assert(shingleRows(shingles) === shingleRows(shingles2))
+    // and both stores adjudicate a future probe identically
+    val probe = Seq((8L, ndZ)).toDF("doc_id", "text")
+    val lab1 = IncrementalDedup.dedupBatch(spark, probe, bands, shingles)
+      .select($"status").as[String].head()
+    val lab2 = IncrementalDedup.dedupBatch(spark, probe, bands2, shingles2)
+      .select($"status").as[String].head()
+    assert(lab1 === "dup_of_stored" && lab1 === lab2)
+    // retiring ids the store never held is a no-op
+    assert(IncrementalDedup.retireDocs(spark,
+      Seq(99L).toDF("doc_id"), bands, shingles) === ((0, 0)))
+  }
+
   test("decontaminate drops train docs overlapping the eval set, keeps the rest (r4)") {
     val eval = docs.filter($"doc_id" === 1) // "benchmark" doc
     val train = docs.filter($"doc_id" >= 3) // 3 near-dups eval; 4, 5 unrelated
