@@ -2865,7 +2865,131 @@ object PipelineQueries {
         |  CAST(sum(CASE WHEN status = 'removed' THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
         |  CAST(sum(CASE WHEN status = 'changed' THEN 1 ELSE 0 END) AS BIGINT) AS n_changed,
         |  CAST(sum(CASE WHEN status = 'same' THEN 1 ELSE 0 END) AS BIGINT) AS n_same
-        |FROM j94 GROUP BY 1""".stripMargin))
+        |FROM j94 GROUP BY 1""".stripMargin)),
+
+    // INCREMENTAL CRAWL REFRESH — the composition the 100 TB production
+    // cadence actually runs every dump: diff the new snapshot against
+    // the last one (per-doc `TextAnalysis.docStatus`), retire removed +
+    // changed docs' stale signatures from the PERSISTED dedup index
+    // (`IncrementalDedup.retireDocs` — partition-scoped deletes, never a
+    // store scan), then route ONLY the new/changed docs through
+    // `ingestBatch` against the surviving index. Nothing else is
+    // re-read: unchanged docs cost one id+hash row in the diff and zero
+    // index I/O. The snapshot pair derives deterministically from the
+    // corpus (q94's pattern: ≡3 mod 7 new, ≡5 mod 11 drift-marked ⇒
+    // changed, ≡0 mod 5 copies at +400000 removed) plus near-dup copies
+    // of stored docs at +200000 arriving as NEW — so the refresh
+    // exercises every verdict: retire/removed, retire/changed,
+    // ingest/kept (incl. re-ingested changed docs), ingest/dup_of_stored
+    // (new doc duplicating a surviving stored doc), ingest/dup_in_batch.
+    // Offsets are collision-probed like q94's. Bounded id slice keeps
+    // the work constant across SFs (q49's convention). The stream≡batch
+    // discipline — refreshed store ≡ from-scratch build over the merged
+    // corpus — is DedupSpec's retireDocs spec; this face is the
+    // end-to-end verdict report the oracle replays logically.
+    Q("q95_incremental_refresh",
+      (s, dir) => {
+        val tmp = TempStores.create("graft_q95")
+        val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+        val cur0 = docs.filter(col("doc_id") < 400)
+        val newCopies = docs.filter(col("doc_id") < 30)
+          .select((col("doc_id") + 200000L).as("doc_id"), col("text"))
+        val removedCopies = cur0.filter(pmod(col("doc_id"), lit(5)) === 0)
+          .select((col("doc_id") + 400000L).as("doc_id"), col("text"))
+        requireNoIdCollision(docs,
+          newCopies.unionByName(removedCopies), "doc_id",
+          "q95 derived snapshot copies")
+        val cur = cur0.unionByName(newCopies)
+        val prev = cur0.filter(pmod(col("doc_id"), lit(7)) =!= 3)
+          .select(col("doc_id"),
+            when(pmod(col("doc_id"), lit(11)) === 5,
+              concat(col("text"), lit(" DRIFTMARK")))
+              .otherwise(col("text")).as("text"))
+          .unionByName(removedCopies)
+        // yesterday's index: the state a real refresh starts from
+        graft.pipeline.IncrementalDedup.ingestBatch(
+          s, prev, "b0", s"$tmp/bands", s"$tmp/shingles")
+        // the diff drives everything; pinned — consumed by the retire
+        // set, the ingest routing, and the report
+        val st = graft.Pin.ser(
+          TextAnalysis.docStatus(cur, prev, "doc_id", "text", None))
+        val retired = st.filter(col("status").isin("removed", "changed"))
+        graft.pipeline.IncrementalDedup.retireDocs(
+          s, retired.select(col("doc_id")), s"$tmp/bands", s"$tmp/shingles")
+        val ingest = cur.join(
+          st.filter(col("status").isin("new", "changed")),
+          Seq("doc_id"), "left_semi")
+        val labeled = graft.pipeline.IncrementalDedup.ingestBatch(
+          s, ingest, "b1", s"$tmp/bands", s"$tmp/shingles")
+        retired
+          .select(col("doc_id"), lit("retire").as("action"),
+            col("status").as("verdict"))
+          .unionByName(labeled.select(col("doc_id"),
+            lit("ingest").as("action"), col("status").as("verdict")))
+      },
+      Some(s"""WITH RECURSIVE
+        |cur95 AS MATERIALIZED (
+        |  SELECT doc_id, text FROM documents WHERE doc_id < 400
+        |  UNION ALL
+        |  SELECT doc_id + 200000 AS doc_id, text FROM documents WHERE doc_id < 30),
+        |prev95 AS MATERIALIZED (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 11 = 5 THEN text || ' DRIFTMARK'
+        |         ELSE text END AS text
+        |  FROM documents WHERE doc_id < 400 AND doc_id % 7 <> 3
+        |  UNION ALL
+        |  SELECT doc_id + 400000 AS doc_id, text
+        |  FROM documents WHERE doc_id < 400 AND doc_id % 5 = 0),
+        |st95 AS MATERIALIZED (
+        |  SELECT COALESCE(c.doc_id, p.doc_id) AS doc_id,
+        |    CASE WHEN p.doc_id IS NULL THEN 'new'
+        |         WHEN c.doc_id IS NULL THEN 'removed'
+        |         WHEN ${h60("c.text")} IS NOT DISTINCT FROM ${h60("p.text")}
+        |           THEN 'same'
+        |         ELSE 'changed' END AS status
+        |  FROM cur95 c FULL OUTER JOIN prev95 p ON c.doc_id = p.doc_id),
+        |b0 AS (SELECT doc_id, text FROM prev95),
+        |${bandChainSql("0")},
+        |${selfDedupSql("0")},
+        |kept0 AS MATERIALIZED (
+        |  SELECT doc_id FROM b0
+        |  WHERE doc_id NOT IN (SELECT doc_id FROM noncanon0)),
+        |live0 AS MATERIALIZED (
+        |  SELECT doc_id FROM kept0
+        |  WHERE doc_id NOT IN (
+        |    SELECT doc_id FROM st95 WHERE status IN ('removed', 'changed'))),
+        |b1 AS MATERIALIZED (
+        |  SELECT c.doc_id, c.text FROM cur95 c
+        |  JOIN st95 s ON s.doc_id = c.doc_id AND s.status IN ('new', 'changed')),
+        |${bandChainSql("1")},
+        |${selfDedupSql("1")},
+        |candS AS (
+        |  SELECT DISTINCT n.doc_id AS doc_a, s.doc_id AS doc_b
+        |  FROM bands1 n
+        |  JOIN bands0 s ON n.band = s.band AND n.sig = s.sig
+        |  JOIN live0 k ON k.doc_id = s.doc_id
+        |  WHERE n.doc_id <> s.doc_id),
+        |interS AS (
+        |  SELECT p.doc_a, p.doc_b, count(*) AS ni
+        |  FROM candS p
+        |  JOIN h1 a ON a.doc_id = p.doc_a
+        |  JOIN h0 b ON b.doc_id = p.doc_b AND b.h = a.h
+        |  GROUP BY 1, 2),
+        |dupstored AS (
+        |  SELECT DISTINCT i.doc_a AS doc_id FROM interS i
+        |  JOIN sizes1 sa ON i.doc_a = sa.doc_id
+        |  JOIN sizes0 sb ON i.doc_b = sb.doc_id
+        |  WHERE ((2000000 * i.ni + (sa.n + sb.n - i.ni)) // (2 * (sa.n + sb.n - i.ni))) / 1000000.0 >= 0.5)
+        |SELECT doc_id, 'retire' AS action, status AS verdict
+        |FROM st95 WHERE status IN ('removed', 'changed')
+        |UNION ALL
+        |SELECT b1.doc_id, 'ingest' AS action,
+        |  CASE WHEN ds.doc_id IS NOT NULL THEN 'dup_of_stored'
+        |       WHEN nc.doc_id IS NOT NULL THEN 'dup_in_batch'
+        |       ELSE 'kept' END AS verdict
+        |FROM b1
+        |LEFT JOIN dupstored ds ON ds.doc_id = b1.doc_id
+        |LEFT JOIN noncanon1 nc ON nc.doc_id = b1.doc_id""".stripMargin))
   )
 
   /** The curation-v2 chain (q90), factored so the q91 training-order
