@@ -721,6 +721,47 @@ class SamplingSpec extends SparkSpec {
     }
   }
 
+  test("deal-key hygiene: debugChecks refuses '#'-aliased and duplicate " +
+      "key tuples in the rank/pack faces, exempts null components (r16)") {
+    // the aliasing class from the r15 verdict: a '#' inside a string
+    // component folds two DISTINCT tuples into one composite rendering —
+    // identical hash and tie-break, retry/engine-arbitrary deal
+    val aliased = Seq(("x#1", "2", 10L), ("x", "1#2", 20L))
+      .toDF("doc_id", "rep", "n_tokens")
+    // gate OFF (production default): no probe job, the face still runs
+    assert(Sampling.deterministicShuffleRank(aliased, Seq("doc_id", "rep"),
+      salt = "s", shuffleBuckets = 16).count() === 2L)
+    spark.conf.set("spark.graft.store.debugChecks", "true")
+    try {
+      val e1 = intercept[IllegalArgumentException] {
+        Sampling.deterministicShuffleRank(aliased, Seq("doc_id", "rep"),
+          salt = "s", shuffleBuckets = 16)
+      }
+      assert(e1.getMessage.contains("deal-key contract"))
+      val e2 = intercept[IllegalArgumentException] {
+        Sampling.packBudget(aliased, Seq("doc_id", "rep"), $"n_tokens",
+          budget = 100, packBuckets = 16, salt = "p")
+      }
+      assert(e2.getMessage.contains("deal-key contract"))
+      // a genuine duplicate tuple is the same violation
+      val dup = Seq(("a", "1", 5L), ("a", "1", 6L))
+        .toDF("doc_id", "rep", "n_tokens")
+      intercept[IllegalArgumentException] {
+        Sampling.deterministicShuffleRank(dup, Seq("doc_id", "rep"),
+          salt = "s", shuffleBuckets = 16)
+      }
+      // unique keys pass with the gate armed; a null component stays
+      // exempt (it already carries the module's NULL-rank verdict)
+      val ok = Seq(("a", "1", 5L), ("b", null, 6L), ("c", null, 7L))
+        .toDF("doc_id", "rep", "n_tokens")
+      val ranks = Sampling.deterministicShuffleRank(ok, Seq("doc_id", "rep"),
+          salt = "s", shuffleBuckets = 16)
+        .select($"doc_id", $"shuffle_rank").as[(String, Option[Long])]
+        .collect().toMap
+      assert(ranks("a").isDefined && ranks("b").isEmpty && ranks("c").isEmpty)
+    } finally spark.conf.unset("spark.graft.store.debugChecks")
+  }
+
   test("temperatureMixture flattens toward uniform, keeps everything at a " +
       "full-corpus target, excludes null groups, nests in target (r14)") {
     val d = ((1 to 400).map(i => (i.toLong, "big")) ++
