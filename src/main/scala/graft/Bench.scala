@@ -189,21 +189,27 @@ object Bench {
         s"duplicate qNN prefix(es) in the query registry: ${dup.mkString(", ")} " +
           "— the bench summary keys by prefix; rename the colliding queries")
     }
-    // Runway guard (memory: bench-driver-tail-window): ~11 chars/query
-    // means the full map outgrows the driver's ~1.5 KB safe window near
-    // 100 queries. Past 95 queries the map carries only the SLOWEST 95
-    // (the entries adjudication actually reads first) plus a loud
-    // "q_omitted" count; the complete per-query record stays in the
-    // evidence sidecar. Cap BEFORE the window truncates mid-JSON —
-    // a parsed line missing fast queries beats parsed:null.
-    val keepInLine = 95
+    // Runway guard (memory: bench-driver-tail-window): the full map must
+    // fit the driver's ~1.5 KB tail window. Per-query values are INTEGER
+    // MILLISECONDS ("qunit":"ms", r16 — verdict r15 item 5: the registry
+    // hit the old seconds-format cap at exactly 95), worst case 12 chars
+    // per entry ("q105":12345,) — 105 entries ≈ 1.26 KB plus ~0.14 KB of
+    // envelope stays under the window with margin. Past 105 queries the
+    // map carries only the SLOWEST 105 (the entries adjudication reads
+    // first) plus a loud "q_omitted" count; the complete per-query
+    // record stays in the evidence sidecar. Cap BEFORE the window
+    // truncates mid-JSON — a parsed line missing fast queries beats
+    // parsed:null.
+    val keepInLine = 105
     val lineResults =
       if (results.size <= keepInLine) results
       else results.sortBy(-_._2).take(keepInLine).sortBy(_._1)
     val omittedJson =
       if (results.size <= keepInLine) ""
       else s""","q_omitted":${results.size - keepInLine}"""
-    val qs = lineResults.map { case (k, v, _) => s"\"" + shortKey(k) + "\":" + r3(v) }
+    val qs = lineResults
+      .map { case (k, v, _) =>
+        s"\"" + shortKey(k) + "\":" + Math.round(v * 1000) }
       .mkString("{", ",", "}")
     val failed =
       results.collect { case (k, _, n) if n > 0 => s"\"" + shortKey(k) + "\":" + n }
@@ -225,7 +231,7 @@ object Bench {
     // parsed: null after this, the consumer is parsing something other
     // than a stdout line and the gap is driver-side by elimination.
     spark.stop()
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","method":"noop-median$runs-warm","nq":${results.size}$omittedJson,"queries":$qs$failedJson,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","qunit":"ms","method":"noop-median$runs-warm","nq":${results.size}$omittedJson,"queries":$qs$failedJson,"sf":"$sfDir"}""")
     System.out.flush()
   }
 }
