@@ -2989,7 +2989,65 @@ object PipelineQueries {
         |       ELSE 'kept' END AS verdict
         |FROM b1
         |LEFT JOIN dupstored ds ON ds.doc_id = b1.doc_id
-        |LEFT JOIN noncanon1 nc ON nc.doc_id = b1.doc_id""".stripMargin))
+        |LEFT JOIN noncanon1 nc ON nc.doc_id = b1.doc_id""".stripMargin)),
+
+    // Curation v3 — SURGICAL decontamination inside the chain: stages
+    // 1-3 shared with q90 (quality gate -> one pinned shingle pass ->
+    // near-dup election), then q93's chunk-grain ∩/|chunk| decision
+    // replaces the doc-burning containment stage and the surviving
+    // chunks re-pack into 2048-token training rows (q91's pack shape:
+    // composite-key deal, bucket-partitioned window, no global sort).
+    // The output is the packed chunk manifest — what a trainer actually
+    // reads — so the tokens-saved-vs-doc-burning comparison is a
+    // projection of this face against q90's (BENCH_NOTES r16 carries
+    // the numbers; the planted-corpus divergence proof is in
+    // PipelineEndToEndSpec's q96 case).
+    Q("q96_curation_surgical",
+      (s, dir) => curationV3(s, dir),
+      Some(s"""$curationKeptSql,
+        |kt96 AS MATERIALIZED (
+        |  SELECT q.doc_id, q.text FROM q JOIN kept USING (doc_id)
+        |  WHERE trim(q.text) <> ''),
+        |ch96 AS MATERIALIZED (
+        |  SELECT doc_id, k AS chunk_id,
+        |    list_slice(t, k*64 + 1, LEAST(k*64 + 64, len(t))) AS ctoks,
+        |    CAST(len(list_slice(t, k*64 + 1, LEAST(k*64 + 64, len(t)))) AS BIGINT)
+        |      AS n_chunk_tokens
+        |  FROM (SELECT doc_id, regexp_split_to_array(text, '\\s+') AS t,
+        |          unnest(generate_series(0,
+        |            GREATEST(1, CAST(ceil(len(regexp_split_to_array(text, '\\s+')) * 1.0 / 64) AS BIGINT)) - 1)) AS k
+        |        FROM kt96)),
+        |csh96 AS MATERIALIZED (
+        |  SELECT DISTINCT
+        |    CAST(doc_id AS VARCHAR) || '#' || CAST(chunk_id AS VARCHAR) AS ck,
+        |    ${h60("ctoks[i] || ' ' || ctoks[i+1] || ' ' || ctoks[i+2]")} AS h
+        |  FROM ch96, UNNEST(range(1, len(ctoks) - 1)) AS u(i)
+        |  WHERE len(ctoks) >= 3),
+        |sz96 AS MATERIALIZED (SELECT ck, count(*) AS nt FROM csh96 GROUP BY 1),
+        |bad96 AS MATERIALIZED (
+        |  SELECT DISTINCT i.ck
+        |  FROM (SELECT c.ck, e.doc_id AS eval_id, count(*) AS ni
+        |        FROM csh96 c JOIN ehsh e ON c.h = e.h GROUP BY 1, 2) i
+        |  JOIN sz96 USING (ck)
+        |  WHERE ((2000000 * i.ni + nt) // (2 * nt)) / 1000000.0 >= 0.5),
+        |sv96 AS MATERIALIZED (
+        |  SELECT doc_id, chunk_id, n_chunk_tokens FROM ch96
+        |  WHERE CAST(doc_id AS VARCHAR) || '#' || CAST(chunk_id AS VARCHAR)
+        |        NOT IN (SELECT ck FROM bad96)),
+        |r96 AS (
+        |  SELECT doc_id, chunk_id, n_chunk_tokens,
+        |    ${h60("CAST(doc_id AS VARCHAR) || '#' || CAST(chunk_id AS VARCHAR) || '_q96pack'")} % 16
+        |      AS pack_bucket
+        |  FROM sv96),
+        |p96 AS (
+        |  SELECT *, SUM(n_chunk_tokens) OVER (PARTITION BY pack_bucket
+        |    ORDER BY doc_id, chunk_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM r96)
+        |SELECT doc_id, chunk_id, n_chunk_tokens, pack_bucket,
+        |  pack_bucket * (CAST(1 AS BIGINT) << 40)
+        |    + CAST(floor((cum - n_chunk_tokens) / 2048.0) AS BIGINT) AS pack_id
+        |FROM p96""".stripMargin))
   )
 
   /** The curation-v2 chain (q90), factored so the q91 training-order
@@ -2999,7 +3057,15 @@ object PipelineQueries {
     * → temperature mixture. Returns (mixture survivors `(doc_id, lang)`,
     * quality features `(doc_id, n_tokens)`) — q90 publishes the first;
     * q91 joins the second back for epoch weights. */
-  private def curationV2(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+  /** Stages 1–3 of the curation chain — quality gate, ONE pinned shingle
+    * pass, banded near-dup candidates → Jaccard confirm → cluster
+    * election (longest member) — shared by curation v2 (doc-grain
+    * decontamination, q90/q91/q92) and v3 (chunk-grain surgical
+    * decontamination, q96), so the two chains diverge ONLY at the
+    * decontamination stage and the tokens-saved comparison is
+    * apples-to-apples. Returns (pool, evalDocs, feats, sh, keptIds). */
+  private def curationKept(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame, DataFrame, DataFrame, DataFrame) = {
     val docs = Tables.documents(s, dir)
       .select(col("doc_id"), col("text"), col("lang"))
     val evalDocs = docs.filter(col("doc_id") < 20)
@@ -3026,6 +3092,11 @@ object PipelineQueries {
     // Stage 3 — quality-aware election: the LONGEST cluster member.
     val keptIds = Dedup.keepBestPerCluster(feats, labels, col("n_tokens"))
       .select(col("doc_id"))
+    (pool, evalDocs, feats, sh, keptIds)
+  }
+
+  private def curationV2(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val (pool, evalDocs, feats, sh, keptIds) = curationKept(s, dir)
     // Stage 4 — containment decontamination on the SAME shingles.
     val cleanIds = keptIds.join(
       Dedup.contaminatedByContainment(
@@ -3040,12 +3111,49 @@ object PipelineQueries {
     (mixed, feats)
   }
 
-  /** Shared CTE chain of the curation-v2 oracle, ending at `mix90` (the
-    * temperature-mixture survivors); q90 selects it verbatim, q91
-    * extends it with the repeat/rank/pack CTEs. Every stage that is
-    * consumed under a downstream join is MATERIALIZED (memory:
-    * duckdb-oracle-pitfalls #1/#5). */
-  private def curationV2Sql: String = s"""WITH RECURSIVE tq AS (
+  /** Curation v3 — the SURGICAL chain: stages 1–3 shared with v2, then
+    * chunk-grain decontamination (q93's transposed ∩/|chunk| ratio over
+    * q57-shape chunks) in place of v2's doc-burning containment stage,
+    * and the surviving chunks re-packed into 2048-token training rows.
+    * A doc with one embedded benchmark string loses THAT chunk and
+    * keeps the rest — v2 burns all of it; conversely a chunk that IS
+    * mostly benchmark text drops even when the doc-grain eval-side
+    * ratio never fires. Chunk identity is the '#'-composite key
+    * (q82/q91 convention) so the shingle faces run unchanged; chunks
+    * too short to shingle (< 3 tokens) can never be contaminated and
+    * survive by contract. Shuffle profile: chunking and chunk-shingles
+    * are scan-stage per-row compute over the KEPT docs only; the
+    * decon join broadcasts the eval shingles; the pack is one bucket
+    * exchange — no stage touches rejected docs' bodies. */
+  private def curationV3(s: SparkSession, dir: String): DataFrame = {
+    val (pool, evalDocs, _, _, keptIds) = curationKept(s, dir)
+    val keptText = pool.select(col("doc_id"), col("text"))
+      .join(keptIds, Seq("doc_id"), "left_semi")
+    val chunks = graft.Pin.ser(
+      TextAnalysis.chunkDocuments(keptText, maxTokens = 64, overlap = 0))
+    val ckey = concat(col("doc_id").cast("string"), lit("#"),
+      col("chunk_id").cast("string"))
+    val csh = TextAnalysis.hashedShingles(
+      chunks.select(ckey.as("doc_id"), col("chunk_text").as("text")), 3)
+    val bad = Dedup.contaminatedSpans(csh,
+        TextAnalysis.hashedShingles(evalDocs, 3), minContainment = 0.5)
+      .select(col("doc_id").as("__ck"))
+    val surviving = chunks.join(bad, ckey === col("__ck"), "left_anti")
+      .select(col("doc_id"), col("chunk_id"), col("n_chunk_tokens"))
+    Sampling.packBudget(surviving, Seq("doc_id", "chunk_id"),
+        col("n_chunk_tokens"), budget = 2048, packBuckets = 16,
+        salt = "q96pack")
+      .select(col("doc_id"), col("chunk_id"), col("n_chunk_tokens"),
+        col("pack_bucket"), col("pack_id"))
+  }
+
+  /** Shared CTE prefix of the curation oracles — stages 1–3 (quality
+    * gate → near-dup election) ending at `kept`, plus the eval-side
+    * hashed shingles `ehsh` both decontamination grains consume; v2
+    * (doc grain) and v3 (chunk grain, q96) extend it with their own
+    * tails. Every stage consumed under a downstream join is
+    * MATERIALIZED (memory: duckdb-oracle-pitfalls #1/#5). */
+  private def curationKeptSql: String = s"""WITH RECURSIVE tq AS (
         |  SELECT doc_id, text, regexp_split_to_array(text, '\\s+') AS toks,
         |    CAST(len(regexp_split_to_array(text, '\\s+')) AS BIGINT) AS n_tokens
         |  FROM documents WHERE doc_id >= 20),
@@ -3080,7 +3188,13 @@ object PipelineQueries {
         |  FROM documents WHERE doc_id < 20),
         |ehsh AS (
         |  SELECT DISTINCT doc_id, ${h60("w2[i] || ' ' || w2[i+1] || ' ' || w2[i+2]")} AS h
-        |  FROM ew, UNNEST(range(1, len(w2) - 1)) AS t(i) WHERE len(w2) >= 3),
+        |  FROM ew, UNNEST(range(1, len(w2) - 1)) AS t(i) WHERE len(w2) >= 3)""".stripMargin
+
+  /** The curation-v2 oracle: [[curationKeptSql]] + the doc-grain
+    * decontamination and mixture tail, ending at `mix90` (the
+    * temperature-mixture survivors); q90 selects it verbatim, q91
+    * extends it with the repeat/rank/pack CTEs. */
+  private def curationV2Sql: String = s"""$curationKeptSql,
         |esz AS (SELECT doc_id AS eval_id, count(*) AS ne FROM ehsh GROUP BY 1),
         |contam AS MATERIALIZED (
         |  SELECT DISTINCT i.doc_id

@@ -244,6 +244,44 @@ class PipelineEndToEndSpec extends SparkSpec {
       "doc grain drops doc 30 entirely — the data q93 saves")
   }
 
+  test("q96 curation v3 on a planted corpus: the surgical chain keeps a " +
+      "partially-plagiarized doc's clean chunks where v2 burns the doc, " +
+      "packs respect the budget, and reruns agree (r16)") {
+    // doc 30: chunk 0 = eval doc 0's text verbatim, chunks 1-2 clean
+    // filler; doc 31: unrelated filler (DISTINCT from doc 30's, so the
+    // shared near-dup election stage does not cluster them)
+    val evalToks = (1 to 64).map(i => s"bench${i}tok").mkString(" ")
+    val clean = (1 to 128).map(i => s"clean${i}tok").mkString(" ")
+    val other = (1 to 128).map(i => s"other${i}tok").mkString(" ")
+    val dir = java.nio.file.Files.createTempDirectory("surgical_v3").toString
+    Seq(
+      (0L, evalToks, "en", "web", 0L),
+      (30L, s"$evalToks $clean", "en", "web", 0L),
+      (31L, other, "en", "web", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .withColumn("n_chars", length($"text").cast("long"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    def run() = graft.SparkEntry.queries("q96_curation_surgical")(spark, dir)
+      .as[(Long, Long, Long, Long, Long)].collect().sortBy(t => (t._1, t._2))
+    val manifest = run()
+    // the plagiarized chunk (30, 0) is gone; every clean chunk survives
+    assert(manifest.map(t => (t._1, t._2)).toSeq ===
+      Seq((30L, 1L), (30L, 2L), (31L, 0L), (31L, 1L)))
+    // tokens-saved vs the doc-grain chain: v2 burns doc 30 whole (its
+    // eval containment is 1.0), so v3 rescues exactly its clean chunks
+    val v2Survivors = graft.SparkEntry.queries("q90_curation_quality")(spark, dir)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(v2Survivors === Set(31L))
+    val savedTokens = manifest.filter(_._1 == 30L).map(_._3).sum
+    assert(savedTokens === 128L)
+    // pack discipline: a pack never exceeds budget + one overflow chunk
+    manifest.groupBy(_._5).foreach { case (_, rows) =>
+      assert(rows.map(_._3).sum <= 2048L + 64L)
+    }
+    // deterministic end to end
+    assert(run() === manifest)
+  }
+
   test("q92 curriculum order: anneal set nests in epoch 1, global ranks " +
       "are an exact 1..n permutation, the fresh salt decorrelates the " +
       "two epochs' orders, and reruns agree row-for-row (r15)") {
