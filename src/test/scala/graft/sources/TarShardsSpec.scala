@@ -162,6 +162,38 @@ class TarShardsSpec extends SparkSpec {
     assert(ranks.sorted.toSeq === (1L to n))
   }
 
+  test("q92's curriculum ORDER feeds the sink: one shard per epoch, " +
+      "member order replays the anneal schedule, epoch-2 ranks continue " +
+      "after epoch 1 (r16 — the q91 e2e treatment for the curriculum)") {
+    val dir = Files.createTempDirectory("tar_curriculum").toString
+    val manifest = graft.SparkEntry
+      .queries("q92_curriculum_order")(spark, "/root/testdata/sf0.001")
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(col("doc_id"), col("text"))
+    // shard = epoch (the schedule's natural unit); the member name
+    // carries the zero-padded GLOBAL order rank, so streaming epoch
+    // tars in sequence, each in member order, replays the full
+    // curriculum with no index lookup
+    val withText = manifest.join(docs, Seq("doc_id"))
+      .select(
+        format_string("epoch-%d", col("epoch")).as("shard"),
+        format_string("%012d-%06d.txt",
+          col("order_rank"), col("doc_id")).as("key"),
+        encode(col("text"), "UTF-8").as("payload"))
+    val n = manifest.count()
+    val n2 = manifest.filter(col("epoch") === 2).count()
+    assert(n > 0 && n2 > 0, "fixture must drive both epochs")
+    val m = TarShards.write(withText, dir, "shard", "key", "payload")
+      .as[(String, Long, Long)].collect()
+    assert(m.map(_._2).sum === n, "every manifest row is one member")
+    val r1 = readTar(s"$dir/shard-epoch-1.tar").map(_._1.take(12).toLong)
+    val r2 = readTar(s"$dir/shard-epoch-2.tar").map(_._1.take(12).toLong)
+    assert(r1 === r1.sorted && r2 === r2.sorted)
+    // the anneal pass strictly FOLLOWS the full pass in global order
+    assert(r2.head > r1.last)
+    assert((r1 ++ r2).sorted.toSeq === (1L to n))
+  }
+
   test("q82's manifest feeds the sink: one tar per (split, pack_bucket), " +
       "chunk text recovered byte-exact from the shards") {
     val dir = Files.createTempDirectory("tar_e2e").toString
