@@ -38,6 +38,21 @@ import org.apache.spark.sql.functions._
   *
   * Usage: `runMain graft.StoreAgingProbe <sfDir> <storeRoot> <nBatches>
   * <compactEvery> [families]` (families comma-separated, default all).
+  *
+  * The `refresh` family (r16, q95's done-criterion) ages the CRAWL
+  * REFRESH loop rather than a plain ingest: snapshot i is a sliding
+  * id window over `documents` (75 ids scroll out per cycle = removed,
+  * 75 scroll in = new) with two rotating 1/15 id classes flipping a
+  * version marker (= changed, ~13% of the window per cycle); each
+  * cycle diffs snapshot i against snapshot i-1 via
+  * [[graft.pipeline.TextAnalysis.docStatus]], retires removed+changed
+  * through [[graft.pipeline.IncrementalDedup.retireDocs]] AND
+  * [[graft.pipeline.IncrementalBm25.retireDocs]], and ingests ONLY
+  * new+changed into both. The pass is per-cycle `sec` tracking the DELTA
+  * (flat), not the accumulated store — the regression this catches is
+  * a retire or routing step that silently rescans the whole index.
+  * Window constants are sized for sf0.1 (5000 doc ids): 2000-id
+  * window, 75-id step, valid through 40 cycles.
   */
 object StoreAgingProbe {
   def main(args: Array[String]): Unit = {
@@ -48,7 +63,7 @@ object StoreAgingProbe {
     val compactEvery = ceStr.toInt
     require(n >= 2 && compactEvery >= 1, s"need nBatches >= 2, compactEvery >= 1")
     val families = if (args.length == 5) args(4).split(",").map(_.trim).toSet
-      else Set("dedup", "bm25", "ivf", "embed")
+      else Set("dedup", "bm25", "ivf", "embed", "refresh")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -159,6 +174,57 @@ object StoreAgingProbe {
             numCells = 8, trainIters = 2, keepBatches = Set(s"b$i"))
         },
         embBatch, aP)
+    }
+    if (families("refresh")) {
+      // q95+q97's diff-driven refresh loop, aged over BOTH store
+      // families: cycle 0 ingests the full first snapshot; every later
+      // cycle touches the stores only with the delta (retire
+      // removed+changed from the dedup index AND the BM25 index,
+      // ingest new+changed into both).
+      val (bP, sP) = (s"$storeRoot/refresh/bands", s"$storeRoot/refresh/shingles")
+      val (pP, tP, stP) = (s"$storeRoot/refresh/postings",
+        s"$storeRoot/refresh/terms", s"$storeRoot/refresh/stats")
+      val window = 2000L
+      val step = 75L
+      def snap(i: Int): DataFrame = {
+        val lo = i * step
+        docs.filter(col("text").isNotNull)
+          .filter(col("doc_id") >= lo && col("doc_id") < lo + window)
+          .select(col("doc_id"),
+            when(pmod(xxhash64(col("doc_id")), lit(15L)) === (i % 15).toLong,
+              concat(col("text"), lit(s" v$i"))).otherwise(col("text"))
+              .as("text"))
+      }
+      run("refresh", Seq(bP, sP, pP, tP, stP),
+        (b, i) => {
+          if (i == 0) {
+            graft.pipeline.IncrementalBm25.ingestBatch(spark, b, s"b$i", pP, tP, stP)
+            graft.pipeline.IncrementalDedup.ingestBatch(spark, b, s"b$i", bP, sP)
+          } else {
+            val st = graft.Pin.ser(graft.pipeline.TextAnalysis.docStatus(
+              b, snap(i - 1), "doc_id", "text", None))
+            val retired = st.filter(col("status").isin("removed", "changed"))
+              .select(col("doc_id"))
+            graft.pipeline.IncrementalDedup.retireDocs(spark, retired, bP, sP)
+            graft.pipeline.IncrementalBm25.retireDocs(spark, retired,
+              s"r$i", pP, tP, stP)
+            val ingest = b.join(
+              st.filter(col("status").isin("new", "changed")),
+              Seq("doc_id"), "left_semi")
+            graft.pipeline.IncrementalBm25.ingestBatch(spark, ingest,
+              s"b$i", pP, tP, stP)
+            graft.pipeline.IncrementalDedup.ingestBatch(spark, ingest, s"b$i", bP, sP)
+          }
+        },
+        i => {
+          Seq(bP, sP).foreach(p => KeyedParquetStore.rollupBatchPartitions(
+            spark, p, keepBatches = Set(s"b$i")))
+          KeyedParquetStore.rollupBatchPartitions(spark, pP,
+            keepBatches = Set(s"b$i"), partitionCols = Seq("batch", "tbucket"))
+          graft.pipeline.IncrementalBm25.rollupPartials(spark, tP, stP,
+            keepBatches = Set(s"b$i"))
+        },
+        snap, bP)
     }
     if (families("embed")) {
       val (sgP, vP) = (s"$storeRoot/embed/sigs", s"$storeRoot/embed/vecs")

@@ -200,6 +200,115 @@ object IncrementalBm25 {
     }
   }
 
+  /** Retire `ids` from the stored index — the crawl-refresh counterpart
+    * of [[ingestBatch]] (q95's loop extended to the retrieval store): a
+    * removed or changed doc's postings must leave the index AND the
+    * df / n_docs / sum_dl partials must shed its contribution, or every
+    * later search scores against a phantom corpus (idf and avgdl keep
+    * counting docs that no longer exist).
+    *
+    * Mechanics: the victims' contribution is computed FROM the stored
+    * postings (an id never indexed contributes nothing — exactness for
+    * free), recorded as NEGATIVE df / n_docs / sum_dl partials under
+    * `batch=<retireBatchId>` — append-shaped, so search's Σ-folds and
+    * [[rollupPartials]] subtract them exactly without rewriting any
+    * ingest batch's partials — and then the victim rows are deleted
+    * from the postings store
+    * ([[graft.sources.KeyedParquetStore.deleteMatching]], partition-
+    * scoped). Retirement is algebraically exact: a retired-then-
+    * re-ingested index and a from-scratch build over the surviving
+    * corpus return IDENTICAL search results (spec-asserted;
+    * q97_bm25_refresh's oracle replays the whole refresh logically).
+    * A re-ingest of a retired doc under a NEW batch id is legal: its
+    * postings rows are gone, so ingest's one-batch-per-doc clash check
+    * passes — exactly the changed-doc refresh path.
+    *
+    * Crash discipline (the store's idempotence-not-atomicity rule):
+    * negative partials are written BEFORE the postings delete — stats
+    * first, terms second, delete last — and a replay with the SAME
+    * (ids, retireBatchId) heals every window. The terms store's
+    * `batch=<retireBatchId>` partition is the commit marker (last-
+    * written partial): a replay that finds it skips straight to the
+    * idempotent delete; one that doesn't recomputes IDENTICAL deltas
+    * from the still-undeleted postings and re-upserts them last-wins.
+    * Like ingest's replay contract, a retireBatchId names ONE victim
+    * set (caller-vouched — a guard cannot tell a healing replay, whose
+    * victims are legitimately still in the postings store, from a
+    * reuse): reusing it for a DIFFERENT set would skip that set's
+    * partial subtraction while still deleting its postings. And the
+    * replay window closes once a victim id is RE-INGESTED (the
+    * refresh's retire → re-ingest order): a retire replayed after that
+    * would delete the doc's NEW postings with no subtraction — replay
+    * the failed STEP, never the whole refresh from the top, the same
+    * step-level discipline every store face here assumes.
+    *
+    * Exactness leans on ingest's own null-text precondition: a doc's
+    * footprint is recovered FROM its postings rows (every non-null
+    * text writes ≥ 1 — empty text splits to [""]), so a null-text doc
+    * ingested past the contract would retire as a permanent ghost in
+    * n_docs/sum_dl — the one shape retirement cannot see, and exactly
+    * why ingest demands null texts be scrubbed upstream.
+    *
+    * Returns the number of victim docs actually present in (and removed
+    * from) the postings store. */
+  def retireDocs(spark: SparkSession, ids: DataFrame, retireBatchId: String,
+                 postingsPath: String, termsPath: String,
+                 statsPath: String): Long = {
+    val victims = graft.Pin.ser(ids.select(col("doc_id")).distinct())
+    KeyedParquetStore.read(spark, postingsPath, schema = Some(postingsSchema)) match {
+      case None => 0L // absent index: nothing to retire
+      case Some(stored) => KeyedParquetStore.withWritePlanning(spark) {
+        val committed = KeyedParquetStore
+          .read(spark, termsPath, schema = Some(termsSchema))
+          .exists(_.filter(col("batch") === lit(retireBatchId))
+            .limit(1).count() > 0)
+        // The victims' stored footprint, pinned: consumed by the two
+        // negative partials and the doc count.
+        val vp = graft.Pin.ser(stored
+          .join(victims, Seq("doc_id"), "left_semi")
+          .select(col("term"), col("doc_id"), col("tf"), col("dl"),
+            col("tbucket")))
+        val nVictims = vp.select(col("doc_id")).distinct().count()
+        if (!committed && nVictims > 0) {
+          // nb fingerprint rides the negative partials too (max over the
+          // store: all partials share one nb, legacy nulls skipped)
+          val nb = KeyedParquetStore
+            .read(spark, statsPath, schema = Some(statsSchema))
+            .flatMap(st => Option(st.agg(max(col("nb"))).collect().head.get(0)))
+            .map(_.asInstanceOf[Int])
+          // dl is denormalized onto every posting row; first() per doc
+          // recovers the one value exactly
+          val negStats = vp.groupBy(col("doc_id"))
+            .agg(first(col("dl")).as("dl"))
+            .agg((-count(lit(1))).as("n_docs"),
+              (-coalesce(sum(col("dl")), lit(0L))).as("sum_dl"))
+            .withColumn("nb",
+              nb.map(v => lit(v)).getOrElse(lit(null)).cast("int"))
+            .withColumn("batch", lit(retireBatchId))
+          KeyedParquetStore.upsert(spark, statsPath, negStats,
+            keys = Seq("batch"), version = Seq(lit(1)),
+            partitionCols = Seq("batch"),
+            partitionValues = Seq(Seq(retireBatchId)),
+            incomingUnique = true, schema = Some(statsSchema))
+          // one posting row per (victim doc, term) ⇒ count = the df the
+          // victims contributed to that term
+          val negTerms = vp.groupBy(col("term"), col("tbucket"))
+            .agg((-count(lit(1))).as("df"))
+            .withColumn("batch", lit(retireBatchId))
+          KeyedParquetStore.upsert(spark, termsPath, negTerms,
+            keys = Seq("term"), version = Seq(lit(1)),
+            partitionCols = Seq("batch", "tbucket"),
+            incomingUnique = true, schema = Some(termsSchema))
+        }
+        if (nVictims > 0)
+          KeyedParquetStore.deleteMatching(spark, postingsPath, victims,
+            on = Seq("doc_id"), partitionCols = Seq("batch", "tbucket"),
+            schema = Some(postingsSchema))
+        nVictims
+      }
+    }
+  }
+
   /** Consolidate the term/stat PARTIALS: fold every batch partition not
     * named in `keepBatches` into a single `batch=rollup` partition (the
     * sums are exact, so search results are unchanged — spec-asserted),

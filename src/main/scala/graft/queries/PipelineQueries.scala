@@ -249,16 +249,21 @@ object PipelineQueries {
     * and q65 (persisted inverted index): identical results by
     * construction — all index quantities are global — so one SQL
     * constant keeps them from drifting. */
-  private lazy val bm25SearchOracle: String =
-    """WITH lens AS (
-      |  SELECT doc_id, CAST(len(regexp_split_to_array(text, '\s+')) AS BIGINT) AS dl
-      |  FROM documents),
+  /** The BM25 top-25 scoring body over corpus relation `rel(doc_id,
+    * text)` — shared verbatim by q54/q60/q65's full-corpus oracle and
+    * q97's refreshed-snapshot oracle (refresh ≡ rebuild, so the oracle
+    * for a refreshed index is simply this body over the CURRENT
+    * snapshot). Callers prepend `WITH ` (and any corpus CTEs). */
+  private def bm25SearchBodySql(rel: String): String =
+    s"""lens AS (
+      |  SELECT doc_id, CAST(len(regexp_split_to_array(text, '\\s+')) AS BIGINT) AS dl
+      |  FROM $rel),
       |stats AS (
       |  SELECT count(*) AS n_docs, CAST(SUM(dl) AS DOUBLE) / count(*) AS avgdl
       |  FROM lens),
       |tok AS (
-      |  SELECT doc_id, unnest(regexp_split_to_array(text, '\s+')) AS term
-      |  FROM documents),
+      |  SELECT doc_id, unnest(regexp_split_to_array(text, '\\s+')) AS term
+      |  FROM $rel),
       |tf AS (
       |  SELECT doc_id, term, count(*) AS tf FROM tok
       |  WHERE term IN ('spark', 'window', 'merge') GROUP BY 1, 2),
@@ -273,6 +278,9 @@ object PipelineQueries {
       |FROM s GROUP BY 1
       |ORDER BY bm25 DESC, doc_id
       |LIMIT 25""".stripMargin
+
+  private lazy val bm25SearchOracle: String =
+    "WITH " + bm25SearchBodySql("documents")
 
   /** SQL fragments for the incremental-dedup oracle (q49): the
     * shingle→minhash→band chain over a source CTE `b$tag(doc_id, text)`,
@@ -3047,7 +3055,67 @@ object PipelineQueries {
         |SELECT doc_id, chunk_id, n_chunk_tokens, pack_bucket,
         |  pack_bucket * (CAST(1 AS BIGINT) << 40)
         |    + CAST(floor((cum - n_chunk_tokens) / 2048.0) AS BIGINT) AS pack_id
-        |FROM p96""".stripMargin))
+        |FROM p96""".stripMargin)),
+
+    // BM25 index REFRESH — the q95 crawl-refresh loop extended to the
+    // RETRIEVAL store (the "optionally IncrementalBm25" half of the r15
+    // verdict's refresh item): same derived snapshot pair as q95 (new
+    // arrivals at +200000, to-be-removed rows at +400000, DRIFTMARK
+    // content drift on a ~9% slice, a ~14% slice absent from prev =
+    // new), diffed by the SAME per-doc docStatus face; removed+changed
+    // docs retire through IncrementalBm25.retireDocs (postings deleted,
+    // NEGATIVE df/n_docs/sum_dl partials appended under batch=r1 — the
+    // store's Σ-folds subtract them exactly), new+changed docs ingest
+    // as b1, and the refreshed index is searched. Because retirement is
+    // algebraically exact, refresh ≡ rebuild: the oracle is simply the
+    // shared BM25 body over the CURRENT snapshot — any ghost doc left
+    // in n_docs/avgdl, any unsubtracted df, any surviving stale posting
+    // shifts a score and hash-fails. Null texts are scrubbed on BOTH
+    // sides (ingest's own documented precondition: a null-text doc
+    // writes no postings, so retirement could never recover its stats
+    // footprint). Fresh per-JVM stores per call, q95's convention.
+    Q("q97_bm25_refresh",
+      (s, dir) => {
+        import graft.pipeline.IncrementalBm25
+        val tmp = TempStores.create("graft_q97")
+        val (pP, tP, stP) = (s"$tmp/postings", s"$tmp/terms", s"$tmp/stats")
+        val docs = Tables.documents(s, dir)
+          .filter(col("text").isNotNull)
+          .select(col("doc_id"), col("text"))
+        val cur0 = docs.filter(col("doc_id") < 400)
+        val newCopies = docs.filter(col("doc_id") < 30)
+          .select((col("doc_id") + 200000L).as("doc_id"), col("text"))
+        val removedCopies = cur0.filter(pmod(col("doc_id"), lit(5)) === 0)
+          .select((col("doc_id") + 400000L).as("doc_id"), col("text"))
+        requireNoIdCollision(docs,
+          newCopies.unionByName(removedCopies), "doc_id",
+          "q97 derived snapshot copies")
+        val cur = cur0.unionByName(newCopies)
+        val prev = cur0.filter(pmod(col("doc_id"), lit(7)) =!= 3)
+          .select(col("doc_id"),
+            when(pmod(col("doc_id"), lit(11)) === 5,
+              concat(col("text"), lit(" DRIFTMARK")))
+              .otherwise(col("text")).as("text"))
+          .unionByName(removedCopies)
+        IncrementalBm25.ingestBatch(s, prev, "b0", pP, tP, stP)
+        val st = graft.Pin.ser(
+          TextAnalysis.docStatus(cur, prev, "doc_id", "text", None))
+        IncrementalBm25.retireDocs(s,
+          st.filter(col("status").isin("removed", "changed"))
+            .select(col("doc_id")), "r1", pP, tP, stP)
+        IncrementalBm25.ingestBatch(s,
+          cur.join(st.filter(col("status").isin("new", "changed")),
+            Seq("doc_id"), "left_semi"), "b1", pP, tP, stP)
+        IncrementalBm25.searchStored(s, pP, tP, stP,
+          query = Seq("spark", "window", "merge"), k = 25)
+      },
+      Some(s"""WITH cur97 AS MATERIALIZED (
+        |  SELECT doc_id, text FROM documents
+        |  WHERE doc_id < 400 AND text IS NOT NULL
+        |  UNION ALL
+        |  SELECT doc_id + 200000 AS doc_id, text FROM documents
+        |  WHERE doc_id < 30 AND text IS NOT NULL),
+        |${bm25SearchBodySql("cur97")}""".stripMargin))
   )
 
   /** The curation-v2 chain (q90), factored so the q91 training-order

@@ -313,6 +313,67 @@ class DedupSpec extends SparkSpec {
       Seq(99L).toDF("doc_id"), bands, shingles) === ((0, 0)))
   }
 
+  test("IncrementalBm25.retireDocs: a refreshed index scores exactly like " +
+      "a from-scratch build, negative partials fold away at rollup, and " +
+      "replays / unknown ids no-op (r16)") {
+    val dir = java.nio.file.Files.createTempDirectory("bm25_retire").toString
+    val (pP, tP, sP) = (s"$dir/p", s"$dir/t", s"$dir/s")
+    val (pP2, tP2, sP2) = (s"$dir/p2", s"$dir/t2", s"$dir/s2")
+    val q = Seq("spark", "window", "merge")
+    def search(p: String, t: String, st: String) =
+      IncrementalBm25.searchStored(spark, p, t, st, q, k = 10)
+        .as[(Long, Double)].collect().toSeq
+    val tNew2 = "window functions rank and merge spark partitions nightly"
+    val prev = Seq(
+      (1L, "spark joins shuffle data across wide tables"),
+      (2L, "window ranks rows in spark without merge today"),
+      (3L, "merge sorts sorted runs from disk spill files"),
+      (4L, "unrelated prose about gardens rain and soil")).toDF("doc_id", "text")
+    IncrementalBm25.ingestBatch(spark, prev, "b0", pP, tP, sP)
+    // refresh: 3 removed, 2 changed — retire both
+    assert(IncrementalBm25.retireDocs(spark, Seq(2L, 3L).toDF("doc_id"), "r1",
+      pP, tP, sP) === 2L)
+    // a healing replay of the SAME retirement (post-delete window) finds
+    // nothing left and leaves the recorded negatives untouched
+    assert(IncrementalBm25.retireDocs(spark, Seq(2L, 3L).toDF("doc_id"), "r1",
+      pP, tP, sP) === 0L)
+    // re-delivery of the retired-changed doc is SOUND under the ARMED
+    // guards: its postings are gone, so one-batch-per-doc passes
+    spark.conf.set("spark.graft.store.debugChecks", "true")
+    try IncrementalBm25.ingestBatch(spark,
+      Seq((2L, tNew2), (5L, "spark merge window spark")).toDF("doc_id", "text"),
+      "b1", pP, tP, sP)
+    finally spark.conf.unset("spark.graft.store.debugChecks")
+    // refresh ≡ rebuild: scores equal a from-scratch build over the
+    // current corpus, row for row (order included — top-k is sorted)
+    val merged = Seq(
+      (1L, "spark joins shuffle data across wide tables"),
+      (2L, tNew2),
+      (4L, "unrelated prose about gardens rain and soil"),
+      (5L, "spark merge window spark")).toDF("doc_id", "text")
+    IncrementalBm25.ingestBatch(spark, merged, "all", pP2, tP2, sP2)
+    assert(search(pP, tP, sP).nonEmpty)
+    assert(search(pP, tP, sP) === search(pP2, tP2, sP2))
+    // the stats and per-term df partials NET to the rebuild's exactly
+    // (b0 + negative r1 + b1 ≡ all)
+    def stTotals(p: String) = graft.sources.KeyedParquetStore.read(spark, p)
+      .get.agg(sum($"n_docs"), sum($"sum_dl")).as[(Long, Long)].head()
+    assert(stTotals(sP) === stTotals(sP2))
+    def dfTotals(p: String) = graft.sources.KeyedParquetStore.read(spark, p)
+      .get.groupBy($"term").agg(sum($"df").as("df")).filter($"df" =!= 0L)
+      .as[(String, Long)].collect().toSet
+    assert(dfTotals(tP) === dfTotals(tP2))
+    // the roll-up folds the negative partials away; scores unchanged
+    IncrementalBm25.rollupPartials(spark, tP, sP)
+    assert(dfTotals(tP) === dfTotals(tP2))
+    assert(search(pP, tP, sP) === search(pP2, tP2, sP2))
+    // retiring ids the store never held is a no-op and records nothing
+    assert(IncrementalBm25.retireDocs(spark, Seq(99L).toDF("doc_id"), "r9",
+      pP, tP, sP) === 0L)
+    assert(graft.sources.KeyedParquetStore.read(spark, sP).get
+      .filter($"batch" === "r9").count() === 0L)
+  }
+
   test("decontaminate drops train docs overlapping the eval set, keeps the rest (r4)") {
     val eval = docs.filter($"doc_id" === 1) // "benchmark" doc
     val train = docs.filter($"doc_id" >= 3) // 3 near-dups eval; 4, 5 unrelated
