@@ -123,6 +123,35 @@ object IncrementalEmbedDedup {
     }
   }
 
+  /** Retire `ids` (column `vec_id`) from the stored index — the
+    * crawl-refresh counterpart of [[ingestBatch]] (q95/q97's loop at
+    * the embedding store, q98): a removed or re-embedded vector's
+    * stale signatures must leave the store, or a future arrival that
+    * matches the RETIRED content would land `dup_of_stored` against a
+    * vector that no longer exists. Unlike BM25 there are no global
+    * aggregates to shed — both stores are per-row facts — so
+    * retirement is two partition-scoped
+    * [[graft.sources.KeyedParquetStore.deleteMatching]] deletes:
+    * signatures FIRST (the candidate-generating store — once its rows
+    * are gone a surviving stale vector row is inert, since the confirm
+    * only reads vectors for candidate ids), vectors second. Re-running
+    * with the same `ids` is idempotent; re-ingesting a retired vec_id
+    * under a NEW batch id passes the armed re-delivery guard (its rows
+    * are gone — the re-embedded-doc path). Returns (signature rows'
+    * partitions touched, vector rows' partitions touched) like
+    * [[IncrementalDedup.retireDocs]]. */
+  def retireVecs(spark: SparkSession, ids: DataFrame,
+                 sigsPath: String, vecsPath: String): (Int, Int) = {
+    val victims = graft.Pin.ser(ids.select(col("vec_id")).distinct())
+    val ns = KeyedParquetStore.deleteMatching(spark, sigsPath, victims,
+      on = Seq("vec_id"), partitionCols = Seq("batch"),
+      schema = Some(sigStoreSchema))
+    val nv = KeyedParquetStore.deleteMatching(spark, vecsPath, victims,
+      on = Seq("vec_id"), partitionCols = Seq("batch"),
+      schema = Some(vecStoreSchema))
+    (ns, nv)
+  }
+
   /** Label `batch` against the stored index WITHOUT mutating it — the
     * dry-run / query face. Shares the drift guard with the ingest face
     * (a dry run mislabels under drift exactly the same way). */

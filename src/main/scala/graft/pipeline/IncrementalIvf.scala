@@ -223,6 +223,28 @@ object IncrementalIvf {
     }
   }
 
+  /** Retire `ids` (column `vec_id`) from the assigned store — the
+    * crawl-refresh counterpart of [[ingestBatch]] (q95/q97/q98's loop
+    * at the ANN index, q99): a removed or re-embedded vector must leave
+    * the search surface or every later search can return it. The
+    * assigned store is per-row facts (one assignment per vector), so
+    * retirement is ONE partition-scoped
+    * [[graft.sources.KeyedParquetStore.deleteMatching]] on
+    * `neighbor_id`; the centroid store is untouched — centroids are a
+    * TRAINED MODEL, not per-vector state, and [[retrain]] is the
+    * maintenance face that re-fits them to the surviving corpus (a
+    * post-retirement retrain trains on exactly the survivors, so
+    * refresh + retrain ≡ a one-shot build over the current corpus —
+    * q99's oracle). Re-running with the same `ids` is idempotent;
+    * re-ingesting a retired vec_id under a new batch id passes the
+    * armed re-delivery guard. Returns partitions touched. */
+  def retireVecs(spark: SparkSession, ids: DataFrame,
+                 assignedPath: String): Int =
+    KeyedParquetStore.deleteMatching(spark, assignedPath,
+      graft.Pin.ser(ids.select(col("vec_id").as("neighbor_id")).distinct()),
+      on = Seq("neighbor_id"), partitionCols = Seq("iv", "cell", "batch"),
+      schema = Some(assignedSchema))
+
   /** Search the incrementally-built index: the stored centroids pick the
     * probed cells, the assigned store prunes to them, and the shared
     * scoring path ranks — identical to q61's search over a one-shot

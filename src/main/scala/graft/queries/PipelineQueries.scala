@@ -3115,7 +3115,170 @@ object PipelineQueries {
         |  UNION ALL
         |  SELECT doc_id + 200000 AS doc_id, text FROM documents
         |  WHERE doc_id < 30 AND text IS NOT NULL),
-        |${bm25SearchBodySql("cur97")}""".stripMargin))
+        |${bm25SearchBodySql("cur97")}""".stripMargin)),
+
+    // Embedding-index REFRESH — the crawl-refresh loop at the embed
+    // near-dup store (q95/q97's pattern for vectors, completing
+    // retirement across a third incremental family): yesterday's index
+    // holds stale signatures for re-embedded docs (%11 slice, stale =
+    // element-REVERSED embedding — an exact, arithmetic-free "different
+    // content" both engines derive identically; sign-LSH is scale-
+    // invariant, so a scalar drift would leave signatures unchanged and
+    // test nothing) and for removed vectors (+400000 reversed copies,
+    // content unique to prev). retireVecs deletes both stores' rows;
+    // new+changed re-ingest. The retirement-sensitive probes: +300000
+    // arrivals carry EXACTLY the removed vectors' content — a stale
+    // signature row would resurrect them as dup_of_stored; post-
+    // retirement they adjudicate against the surviving index only.
+    // Oracle replays the loop logically (the q79/q95 pattern): b0
+    // closure → kept0 → minus retired = live0 → b1 vs live0 signatures
+    // + cosine confirm → the q95-shape action/verdict report.
+    Q("q98_embed_refresh",
+      (s, dir) => {
+        import graft.pipeline.IncrementalEmbedDedup
+        val tmp = TempStores.create("graft_q98")
+        val (sgP, vP) = (s"$tmp/sigs", s"$tmp/vecs")
+        val emb = Tables.embeddings(s, dir)
+          .select(col("vec_id"), col("embedding"))
+        val cur0 = emb.filter(col("vec_id") < 250)
+        val newCopies = emb.filter(col("vec_id") < 25)
+          .select((col("vec_id") + 100000L).as("vec_id"), col("embedding"))
+        val removedOnly = cur0.filter(pmod(col("vec_id"), lit(5)) === 0)
+          .select((col("vec_id") + 400000L).as("vec_id"),
+            reverse(col("embedding")).as("embedding"))
+        val retiredProbes = cur0.filter(pmod(col("vec_id"), lit(5)) === 0)
+          .select((col("vec_id") + 300000L).as("vec_id"),
+            reverse(col("embedding")).as("embedding"))
+        requireNoIdCollision(emb,
+          newCopies.unionByName(removedOnly).unionByName(retiredProbes),
+          "vec_id", "q98 derived snapshot copies")
+        val changedIds = cur0.filter(pmod(col("vec_id"), lit(11)) === 5 &&
+          pmod(col("vec_id"), lit(7)) =!= 3).select(col("vec_id"))
+        val prev = cur0.filter(pmod(col("vec_id"), lit(7)) =!= 3)
+          .select(col("vec_id"),
+            when(pmod(col("vec_id"), lit(11)) === 5, reverse(col("embedding")))
+              .otherwise(col("embedding")).as("embedding"))
+          .unionByName(removedOnly)
+        IncrementalEmbedDedup.ingestBatch(s, prev, "b0", sgP, vP,
+          threshold = 0.99)
+        val retired = graft.Pin.ser(
+          removedOnly.select(col("vec_id")).withColumn("verdict", lit("removed"))
+            .unionByName(changedIds.withColumn("verdict", lit("changed"))))
+        IncrementalEmbedDedup.retireVecs(s, retired.select(col("vec_id")),
+          sgP, vP)
+        val b1 = cur0.filter(pmod(col("vec_id"), lit(7)) === 3)
+          .unionByName(cur0.join(changedIds, Seq("vec_id"), "left_semi"))
+          .unionByName(newCopies)
+          .unionByName(retiredProbes)
+        val labeled = IncrementalEmbedDedup.ingestBatch(s, b1, "b1", sgP, vP,
+          threshold = 0.99)
+        retired
+          .select(col("vec_id"), lit("retire").as("action"), col("verdict"))
+          .unionByName(labeled.select(col("vec_id"),
+            lit("ingest").as("action"), col("status").as("verdict")))
+      },
+      Some(s"""WITH RECURSIVE
+        |v0 AS MATERIALIZED (
+        |  SELECT vec_id,
+        |    CASE WHEN vec_id % 11 = 5 THEN list_reverse(CAST(embedding AS DOUBLE[]))
+        |         ELSE CAST(embedding AS DOUBLE[]) END AS e
+        |  FROM embeddings WHERE vec_id < 250 AND vec_id % 7 <> 3
+        |  UNION ALL
+        |  SELECT vec_id + 400000 AS vec_id, list_reverse(CAST(embedding AS DOUBLE[])) AS e
+        |  FROM embeddings WHERE vec_id < 250 AND vec_id % 5 = 0),
+        |v1 AS MATERIALIZED (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+        |  FROM embeddings
+        |  WHERE vec_id < 250 AND (vec_id % 7 = 3 OR (vec_id % 11 = 5 AND vec_id % 7 <> 3))
+        |  UNION ALL
+        |  SELECT vec_id + 100000 AS vec_id, CAST(embedding AS DOUBLE[]) AS e
+        |  FROM embeddings WHERE vec_id < 25
+        |  UNION ALL
+        |  SELECT vec_id + 300000 AS vec_id, list_reverse(CAST(embedding AS DOUBLE[])) AS e
+        |  FROM embeddings WHERE vec_id < 250 AND vec_id % 5 = 0),
+        |$rhpPlanesSql,
+        |${embedSigSql("0")},
+        |${embedSelfDedupSql("0")},
+        |kept0 AS MATERIALIZED (
+        |  SELECT vec_id FROM v0
+        |  WHERE vec_id NOT IN (SELECT vec_id FROM enoncanon0)),
+        |live0 AS MATERIALIZED (
+        |  SELECT vec_id FROM kept0
+        |  WHERE NOT (vec_id >= 400000 OR (vec_id % 11 = 5 AND vec_id % 7 <> 3))),
+        |${embedSigSql("1")},
+        |${embedSelfDedupSql("1")},
+        |candS AS (
+        |  SELECT DISTINCT n.vec_id, s.vec_id AS stored_id
+        |  FROM sig1 n
+        |  JOIN sig0 s ON n.t = s.t AND n.sig = s.sig
+        |  JOIN live0 k ON k.vec_id = s.vec_id
+        |  WHERE n.vec_id <> s.vec_id),
+        |dupstored AS (
+        |  SELECT DISTINCT c.vec_id FROM candS c
+        |  JOIN v1 a ON a.vec_id = c.vec_id
+        |  JOIN v0 b ON b.vec_id = c.stored_id
+        |  WHERE ${cosSql("a.e", "b.e")} >= 0.99)
+        |SELECT vec_id, 'retire' AS action,
+        |  CASE WHEN vec_id >= 400000 THEN 'removed' ELSE 'changed' END AS verdict
+        |FROM v0 WHERE vec_id >= 400000 OR (vec_id % 11 = 5 AND vec_id % 7 <> 3)
+        |UNION ALL
+        |SELECT v1.vec_id, 'ingest' AS action,
+        |  CASE WHEN ds.vec_id IS NOT NULL THEN 'dup_of_stored'
+        |       WHEN nc.vec_id IS NOT NULL THEN 'dup_in_batch'
+        |       ELSE 'kept' END AS verdict
+        |FROM v1
+        |LEFT JOIN dupstored ds ON ds.vec_id = v1.vec_id
+        |LEFT JOIN enoncanon1 nc ON nc.vec_id = v1.vec_id""".stripMargin)),
+
+    // IVF-index REFRESH — the crawl-refresh loop at the ANN index,
+    // completing retirement across ALL FOUR incremental store families.
+    // Yesterday's index: centroids SEEDED AND TRAINED on the prev
+    // snapshot (reversed %11 slice + reversed +400000 removed vectors —
+    // deliberately NOT the current corpus, q72's seed discipline: a
+    // retrain that failed to move them would hash-fail), prev assigned
+    // as b0. The refresh: retireVecs drops removed+changed assignments
+    // (centroids untouched — a trained model, not per-vector state),
+    // new+changed ingest as b1 against the FROZEN prev centroids, then
+    // `retrain` re-fits and re-assigns the surviving store. Because the
+    // surviving store is EXACTLY the current corpus and training is
+    // hash-bucket-seeded and decimal-exact, refresh + retrain ≡ the
+    // one-shot q32 build — the triple-shared ivfSearchOracle holds
+    // VERBATIM (zero new oracle SQL), and any ghost assignment, missed
+    // retirement, or drifted retrain hash-fails against it.
+    Q("q99_ivf_refresh",
+      (s, dir) => {
+        import graft.pipeline.IncrementalIvf
+        val tmp = TempStores.create("graft_q99")
+        val (cP, aP) = (s"$tmp/centroids", s"$tmp/assigned")
+        val emb = Tables.embeddings(s, dir)
+          .select(col("vec_id"), col("embedding"))
+        val removedOnly = emb.filter(pmod(col("vec_id"), lit(5)) === 0)
+          .select((col("vec_id") + 400000L).as("vec_id"),
+            reverse(col("embedding")).as("embedding"))
+        requireNoIdCollision(emb, removedOnly, "vec_id",
+          "q99 derived snapshot copies")
+        val changedIds = emb.filter(pmod(col("vec_id"), lit(11)) === 5 &&
+          pmod(col("vec_id"), lit(7)) =!= 3).select(col("vec_id"))
+        val prev = emb.filter(pmod(col("vec_id"), lit(7)) =!= 3)
+          .select(col("vec_id"),
+            when(pmod(col("vec_id"), lit(11)) === 5, reverse(col("embedding")))
+              .otherwise(col("embedding")).as("embedding"))
+          .unionByName(removedOnly)
+        IncrementalIvf.buildCentroids(s, prev, cP, numCells = 8, trainIters = 2)
+        IncrementalIvf.ingestBatch(s, prev, "b0", cP, aP)
+        IncrementalIvf.retireVecs(s,
+          removedOnly.select(col("vec_id")).unionByName(changedIds), aP)
+        val b1 = emb.filter(pmod(col("vec_id"), lit(7)) === 3)
+          .unionByName(emb.join(changedIds, Seq("vec_id"), "left_semi"))
+        IncrementalIvf.ingestBatch(s, b1, "b1", cP, aP)
+        IncrementalIvf.retrain(s, cP, aP, numCells = 8, trainIters = 2,
+          keepBatches = Set("b1"))
+        IncrementalIvf.searchStored(s, cP, aP,
+          emb.filter(col("vec_id") < 5), k = 5, nProbe = 2)
+          .select(col("probe_id"), col("neighbor_id"), col("cos_sim"),
+            col("rank").cast("long").as("rank"))
+      },
+      Some(ivfSearchOracle))
   )
 
   /** The curation-v2 chain (q90), factored so the q91 training-order

@@ -1485,6 +1485,58 @@ class SimilaritySpec extends SparkSpec {
       s"expected iv + cell partition pruning on the assigned store:\n$plan")
   }
 
+  test("IncrementalIvf.retireVecs: retire + delta ingest + retrain equals " +
+      "the one-shot build over the current corpus (r16)") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select($"vec_id", $"embedding")
+    val probes = emb.filter($"vec_id" < 5)
+    val root = java.nio.file.Files.createTempDirectory("ivf_retire").toString
+    val (cP, aP) = (s"$root/centroids", s"$root/assigned")
+    // yesterday's corpus: %7==3 absent (will arrive as new), %11==5
+    // re-embedded since (stale = reversed), +400000 reversed copies of
+    // the %5==0 slice (only ever existed in prev — will be removed)
+    val changed = emb.filter($"vec_id" % 11 === 5 && $"vec_id" % 7 =!= 3)
+      .select($"vec_id")
+    val removed = emb.filter($"vec_id" % 5 === 0)
+      .select(($"vec_id" + 400000L).as("vec_id"),
+        reverse($"embedding").as("embedding"))
+    val prev = emb.filter($"vec_id" % 7 =!= 3)
+      .select($"vec_id",
+        when($"vec_id" % 11 === 5, reverse($"embedding"))
+          .otherwise($"embedding").as("embedding"))
+      .unionByName(removed)
+    // seeds and training deliberately on PREV, not the current corpus —
+    // if retrain failed to move them the equality below would fail
+    IncrementalIvf.buildCentroids(spark, prev, cP, numCells = 8, trainIters = 2)
+    IncrementalIvf.ingestBatch(spark, prev, "b0", cP, aP)
+    assert(IncrementalIvf.retireVecs(spark,
+      removed.select($"vec_id").unionByName(changed), aP) >= 1)
+    IncrementalIvf.ingestBatch(spark,
+      emb.filter($"vec_id" % 7 === 3)
+        .unionByName(emb.join(changed, Seq("vec_id"), "left_semi")),
+      "b1", cP, aP)
+    IncrementalIvf.retrain(spark, cP, aP, numCells = 8, trainIters = 2,
+      keepBatches = Set("b1"))
+    val got = IncrementalIvf.searchStored(spark, cP, aP, probes, k = 5, nProbe = 2)
+      .select($"probe_id", $"neighbor_id", $"cos_sim", $"rank").collect().toSet
+    // the surviving store is exactly the current corpus, so the
+    // refreshed-and-retrained index must coincide with a one-shot build
+    val fresh = Similarity.buildIvfIndex(emb, numCells = 8, trainIters = 2)
+    val want = Similarity.searchIvfAssigned(
+      Similarity.assignIvfCells(emb, fresh), fresh, probes, k = 5, nProbe = 2)
+      .select($"probe_id", $"neighbor_id", $"cos_sim", $"rank").collect().toSet
+    assert(got === want)
+    // no ghost assignments: one row per surviving vector, none retired
+    val stored = graft.sources.KeyedParquetStore.read(spark, aP,
+      schema = Some(IncrementalIvf.assignedSchema)).get
+    assert(stored.filter($"neighbor_id" >= 400000L).count() === 0L)
+    assert(stored.groupBy($"neighbor_id").count().filter($"count" > 1)
+      .count() === 0L)
+    // retiring ids the store never held is a no-op
+    assert(IncrementalIvf.retireVecs(spark,
+      Seq(999999L).toDF("vec_id"), aP) === 0)
+  }
+
   test("IncrementalIvf.searchStored refuses a version-skewed store pair (r8)") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val root = java.nio.file.Files.createTempDirectory("ivf_skew").toString
@@ -1690,6 +1742,66 @@ class IncrementalEmbedDedupSpec extends SparkSpec {
       sigsP, vecsP, threshold = 0.999, bits = 6, dim = 4)
       .select($"status").as[String].head()
     assert(label === "dup_of_stored")
+  }
+
+  test("retireVecs: retirement removes stale signatures so retired content " +
+      "re-adjudicates fresh, and the refreshed index equals a from-scratch " +
+      "build (r16)") {
+    val dir = java.nio.file.Files.createTempDirectory("embed_retire").toString
+    val (sigsP, vecsP) = (dir + "/sigs", dir + "/vecs")
+    val (sigsP2, vecsP2) = (dir + "/sigs2", dir + "/vecs2")
+    // prev: 1 will be REMOVED, 2 RE-EMBEDDED, 3 survives unchanged
+    val prev = Seq(
+      (1L, vec(1, 0, 0, 0)),
+      (2L, vec(0, 1, 0, 0)),
+      (3L, vec(0, 0, 1, 0))).toDF("vec_id", "embedding")
+    IncrementalEmbedDedup.ingestBatch(spark, prev, "b0", sigsP, vecsP,
+      threshold = 0.999, bits = 6, dim = 4)
+    val (ns, nv) = IncrementalEmbedDedup.retireVecs(spark,
+      Seq(1L, 2L).toDF("vec_id"), sigsP, vecsP)
+    assert(ns >= 1 && nv >= 1)
+    // b1 under the ARMED guards: 2's re-embedding passes the re-delivery
+    // check (its rows are gone); 10 carries EXACTLY the removed 1's
+    // content and must adjudicate KEPT (a stale signature row would
+    // resurrect it as dup_of_stored); 11 dups the surviving 3
+    spark.conf.set("spark.graft.store.debugChecks", "true")
+    val b1 = Seq(
+      (2L, vec(0, 0, 0, 1)),
+      (10L, vec(1, 0, 0, 0)),
+      (11L, vec(0, 0, 1, 0))).toDF("vec_id", "embedding")
+    val r1 = try IncrementalEmbedDedup.ingestBatch(spark, b1, "b1",
+      sigsP, vecsP, threshold = 0.999, bits = 6, dim = 4)
+      .select($"vec_id", $"status").as[(Long, String)].collect().toMap
+    finally spark.conf.unset("spark.graft.store.debugChecks")
+    assert(r1 === Map(2L -> "kept", 10L -> "kept", 11L -> "dup_of_stored"))
+    // refresh ≡ rebuild: both stores equal a from-scratch build over the
+    // merged corpus row-for-row (batch provenance aside); 11 is rejected
+    // there too (in-batch dup of 3, min-label canonical)
+    val merged = Seq(
+      (2L, vec(0, 0, 0, 1)),
+      (3L, vec(0, 0, 1, 0)),
+      (10L, vec(1, 0, 0, 0)),
+      (11L, vec(0, 0, 1, 0))).toDF("vec_id", "embedding")
+    IncrementalEmbedDedup.ingestBatch(spark, merged, "all", sigsP2, vecsP2,
+      threshold = 0.999, bits = 6, dim = 4)
+    def sigRows(p: String) = graft.sources.KeyedParquetStore.read(spark, p)
+      .get.select($"vec_id", $"t", $"sig").as[(Long, Int, Long)]
+      .collect().toSet
+    def vecIds(p: String) = graft.sources.KeyedParquetStore.read(spark, p)
+      .get.select($"vec_id").as[Long].collect().toSet
+    assert(sigRows(sigsP) === sigRows(sigsP2))
+    assert(vecIds(vecsP) === vecIds(vecsP2))
+    // both indexes adjudicate a future probe identically (dups 2's NEW
+    // content — the old content would not have matched)
+    val probe = Seq((20L, vec(0, 0, 0, 1))).toDF("vec_id", "embedding")
+    def label(sp: String, vp: String) = IncrementalEmbedDedup
+      .dedupBatch(spark, probe, sp, vp, threshold = 0.999, bits = 6, dim = 4)
+      .select($"status").as[String].head()
+    assert(label(sigsP, vecsP) === "dup_of_stored")
+    assert(label(sigsP, vecsP) === label(sigsP2, vecsP2))
+    // retiring ids the store never held is a no-op
+    assert(IncrementalEmbedDedup.retireVecs(spark,
+      Seq(99L).toDF("vec_id"), sigsP, vecsP) === ((0, 0)))
   }
 
   test("incremental embed dedup debugChecks: parameter drift, cross-batch " +
