@@ -186,6 +186,15 @@ object StoreAgingProbe {
         s"$storeRoot/refresh/terms", s"$storeRoot/refresh/stats")
       val window = 2000L
       val step = 75L
+      // The sliding window must stay inside the corpus for EVERY cycle:
+      // past the max doc_id the later snapshots silently shrink and the
+      // probe measures an emptying delta instead of the refresh loop
+      // (sized for sf0.1's 5000 ids: valid through 40 cycles).
+      val maxId = docs.agg(max(col("doc_id"))).collect().head.getLong(0)
+      require((n - 1).toLong * step + window <= maxId + 1,
+        s"refresh family invalid at this scale: cycle ${n - 1}'s window " +
+          s"[${(n - 1) * step}, ${(n - 1) * step + window}) slides past the " +
+          s"corpus max doc_id $maxId — lower nBatches or use a larger sfDir")
       def snap(i: Int): DataFrame = {
         val lo = i * step
         docs.filter(col("text").isNotNull)

@@ -249,17 +249,41 @@ object IncrementalBm25 {
     * n_docs/sum_dl — the one shape retirement cannot see, and exactly
     * why ingest demands null texts be scrubbed upstream.
     *
+    * NAMESPACE: retire ids share the `batch=` partition namespace with
+    * ingest batch ids and the reserved `rollup` label, and the commit-
+    * marker check is "does a terms partition named `retireBatchId`
+    * exist" — a collision makes it a FALSE POSITIVE (the negative
+    * partials are silently skipped while the victims' postings still
+    * delete, permanently corrupting idf/avgdl). `rollup` is refused
+    * unconditionally (it exists after any [[rollupPartials]]); ingest
+    * ids are caller-vouched disjoint, and under
+    * `spark.graft.store.debugChecks=true` the vouch is ENFORCED: a
+    * marker partition holding POSITIVE df rows is an ingest partition
+    * (retirement only ever writes df ≤ −1), and a marker whose stored
+    * negative partial cannot COVER the still-present victims'
+    * recomputed footprint is a reuse for a different victim set (a
+    * healing replay's remaining rows are always a subset of the
+    * original footprint, so containment holds; a fresh set's terms
+    * overflow it). Like the ingest checks, these scan the stores —
+    * spec/staging cost, not the production loop.
+    *
     * Returns the number of victim docs actually present in (and removed
     * from) the postings store. */
   def retireDocs(spark: SparkSession, ids: DataFrame, retireBatchId: String,
                  postingsPath: String, termsPath: String,
                  statsPath: String): Long = {
+    require(retireBatchId != "rollup",
+      "BM25 retire precondition violated: retireBatchId 'rollup' is the " +
+        "reserved roll-up partition label — its presence would read as this " +
+        "retirement's commit marker and silently skip the negative partials " +
+        "(pick any other id, disjoint from ingest batch ids)")
     val victims = graft.Pin.ser(ids.select(col("doc_id")).distinct())
     KeyedParquetStore.read(spark, postingsPath, schema = Some(postingsSchema)) match {
       case None => 0L // absent index: nothing to retire
       case Some(stored) => KeyedParquetStore.withWritePlanning(spark) {
-        val committed = KeyedParquetStore
+        val termsStore = KeyedParquetStore
           .read(spark, termsPath, schema = Some(termsSchema))
+        val committed = termsStore
           .exists(_.filter(col("batch") === lit(retireBatchId))
             .limit(1).count() > 0)
         // The victims' stored footprint, pinned: consumed by the two
@@ -269,6 +293,54 @@ object IncrementalBm25 {
           .select(col("term"), col("doc_id"), col("tf"), col("dl"),
             col("tbucket")))
         val nVictims = vp.select(col("doc_id")).distinct().count()
+        if (committed && KeyedParquetStore.debugChecksOn(spark)) {
+          val marker = termsStore.get.filter(col("batch") === lit(retireBatchId))
+          // Sign is the exact discriminator: ingest writes df ≥ 1,
+          // retirement writes df ≤ −1 — a positive row in the marker
+          // partition means retireBatchId collided with an ingest batch.
+          val ingestRows = marker.filter(col("df") > 0)
+            .select(col("term")).limit(3).collect().map(_.getString(0))
+          require(ingestRows.isEmpty,
+            s"BM25 retire precondition violated: retireBatchId '$retireBatchId' " +
+              s"names an existing INGEST partition in $termsPath (positive df " +
+              s"rows, e.g. term(s) ${ingestRows.mkString(", ")}) — the commit-" +
+              "marker check would read it as an already-written retirement and " +
+              "silently skip the negative partials; retire ids must be " +
+              "disjoint from ingest batch ids")
+          if (nVictims > 0) {
+            // Reuse probe (the dangerous half): victims still indexed with
+            // a marker present is either a healing replay (remaining
+            // footprint ⊆ the original, so the stored negative partial
+            // COVERS it) or a reuse for a different victim set (it
+            // doesn't). Require per-term and stats containment.
+            val uncovered = vp.groupBy(col("term"), col("tbucket"))
+              .agg(count(lit(1)).as("__cnt"))
+              .join(marker.select(col("term"), col("tbucket"), col("df")),
+                Seq("term", "tbucket"), "left_outer")
+              .filter(col("df").isNull || -col("df") < col("__cnt"))
+              .select(col("term")).limit(3).collect().map(_.getString(0))
+            val storedNeg = KeyedParquetStore
+              .read(spark, statsPath, schema = Some(statsSchema))
+              .map(_.filter(col("batch") === lit(retireBatchId))
+                .agg(coalesce(sum(col("n_docs")), lit(0L)).as("n"),
+                  coalesce(sum(col("sum_dl")), lit(0L)).as("s"))
+                .collect().head)
+              .map(r => (-r.getLong(0), -r.getLong(1))).getOrElse((0L, 0L))
+            val reDl = vp.groupBy(col("doc_id")).agg(first(col("dl")).as("dl"))
+              .agg(coalesce(sum(col("dl")), lit(0L)).as("s"))
+              .collect().head.getLong(0)
+            require(uncovered.isEmpty && nVictims <= storedNeg._1 &&
+              reDl <= storedNeg._2,
+              s"BM25 retire precondition violated: retireBatchId " +
+                s"'$retireBatchId' already carries a commit marker whose " +
+                "negative partials cannot cover the still-indexed victims' " +
+                s"footprint (uncovered term(s): ${uncovered.mkString(", ")}; " +
+                s"victims $nVictims docs / $reDl tokens vs stored " +
+                s"${storedNeg._1} / ${storedNeg._2}) — a retire id names ONE " +
+                "victim set, ever; reusing it for a different set deletes " +
+                "postings while skipping their partial subtraction")
+          }
+        }
         if (!committed && nVictims > 0) {
           // nb fingerprint rides the negative partials too (max over the
           // store: all partials share one nb, legacy nulls skipped)
@@ -295,9 +367,17 @@ object IncrementalBm25 {
           val negTerms = vp.groupBy(col("term"), col("tbucket"))
             .agg((-count(lit(1))).as("df"))
             .withColumn("batch", lit(retireBatchId))
+          // Static partition hint, ingestBatch's pattern: all nBuckets
+          // under the retire partition (over-broad when the victims miss
+          // a bucket — a wasted probe — but no discovery job). Legacy
+          // all-null-nb stores fall back to discovery.
+          val negHint: Seq[Seq[Any]] = nb
+            .map(v => (0 until v).map(b => Seq[Any](retireBatchId, b)))
+            .getOrElse(Nil)
           KeyedParquetStore.upsert(spark, termsPath, negTerms,
             keys = Seq("term"), version = Seq(lit(1)),
             partitionCols = Seq("batch", "tbucket"),
+            partitionValues = negHint,
             incomingUnique = true, schema = Some(termsSchema))
         }
         if (nVictims > 0)

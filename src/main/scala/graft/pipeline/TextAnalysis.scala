@@ -268,10 +268,30 @@ object TextAnalysis {
     * convention): `idCol` is DISTINCT within each snapshot. A duplicate
     * id on either side fans the full-outer join out and every duplicate
     * pair double-counts downstream — silently, because the join itself
-    * is shape-valid. Crawl snapshots are keyed by id at write time; a
-    * source that can re-emit ids must `dropDuplicates(idCol)` first. */
+    * is shape-valid, and dangerously now that this relation DRIVES
+    * retirement + re-ingest (a fanned `new`+`changed` pair double-
+    * ingests). Crawl snapshots are keyed by id at write time; a source
+    * that can re-emit ids must `dropDuplicates(idCol)` first. With
+    * `spark.graft.store.debugChecks=true` (the store modules' opt-in
+    * gate) the vouch is ENFORCED — each snapshot is scanned for
+    * duplicate ids before the join, failing fast at the call site;
+    * spec/staging cost, like every other armed contract here. */
   def docStatus(cur: DataFrame, prev: DataFrame, idCol: String,
                 contentCol: String, groupCol: Option[String]): DataFrame = {
+    if (graft.sources.KeyedParquetStore.debugChecksOn(cur.sparkSession)) {
+      def refuseDups(df: DataFrame, side: String): Unit = {
+        val dups = df.groupBy(col(idCol)).agg(count(lit(1)).as("__n"))
+          .filter(col("__n") > 1).select(col(idCol)).limit(3)
+          .collect().map(_.get(0))
+        require(dups.isEmpty,
+          s"docStatus precondition violated: $side snapshot holds duplicate " +
+            s"$idCol(s) ${dups.mkString(", ")} — duplicates fan the full-outer " +
+            "join out and a refresh driven by this relation would retire or " +
+            s"ingest those docs twice; dropDuplicates(\"$idCol\") upstream")
+      }
+      refuseDups(cur, "cur")
+      refuseDups(prev, "prev")
+    }
     def side(df: DataFrame, h: String, g: String, p: String): DataFrame =
       df.select(Seq(col(idCol).as("__id"),
         md5Hash60(col(contentCol)).as(h), lit(1).as(p)) ++

@@ -374,6 +374,65 @@ class DedupSpec extends SparkSpec {
       .filter($"batch" === "r9").count() === 0L)
   }
 
+  test("IncrementalBm25.retireDocs guards: the reserved rollup label is " +
+      "refused unconditionally, an ingest-batch-id collision and a reused " +
+      "retire id fail fast under debugChecks, and a crash-window healing " +
+      "replay still passes the reuse probe (r17)") {
+    val dir = java.nio.file.Files.createTempDirectory("bm25_retire_guard").toString
+    val (pP, tP, sP) = (s"$dir/p", s"$dir/t", s"$dir/s")
+    val corpus = Seq(
+      (1L, "spark joins shuffle data across wide tables"),
+      (2L, "window ranks rows in spark without merge today"),
+      (3L, "merge sorts sorted runs from disk spill files")).toDF("doc_id", "text")
+    IncrementalBm25.ingestBatch(spark, corpus, "b0", pP, tP, sP)
+    // the reserved roll-up label: refused BEFORE any read, no flag needed
+    val roll = intercept[IllegalArgumentException] {
+      IncrementalBm25.retireDocs(spark, Seq(2L).toDF("doc_id"), "rollup",
+        pP, tP, sP)
+    }
+    assert(roll.getMessage.contains("rollup"))
+    spark.conf.set("spark.graft.store.debugChecks", "true")
+    try {
+      // retire id colliding with an existing INGEST batch id: the marker
+      // check would false-positive and skip the negative partials — the
+      // positive-df rows give it away exactly
+      val coll = intercept[IllegalArgumentException] {
+        IncrementalBm25.retireDocs(spark, Seq(2L).toDF("doc_id"), "b0",
+          pP, tP, sP)
+      }
+      assert(coll.getMessage.contains("INGEST partition"))
+      // nothing was deleted by the refused call
+      assert(graft.sources.KeyedParquetStore.read(spark, pP).get
+        .filter($"doc_id" === 2L).count() > 0L)
+      // crash-window simulation: run the real retirement (markers written,
+      // postings deleted), then restore the postings store from a
+      // pre-retire copy — exactly the state after a crash between the
+      // commit marker and the delete
+      spark.conf.unset("spark.graft.store.debugChecks")
+      import scala.sys.process._
+      assert(Seq("cp", "-r", pP, s"$dir/p_bak").! === 0)
+      assert(IncrementalBm25.retireDocs(spark, Seq(2L, 3L).toDF("doc_id"),
+        "r1", pP, tP, sP) === 2L)
+      assert(Seq("rm", "-rf", pP).! === 0)
+      assert(Seq("cp", "-r", s"$dir/p_bak", pP).! === 0)
+      spark.conf.set("spark.graft.store.debugChecks", "true")
+      // the healing replay (same ids, same retire id) is NOT a reuse: the
+      // still-present footprint equals the recorded negatives, the probe
+      // passes, and the delete completes
+      assert(IncrementalBm25.retireDocs(spark, Seq(2L, 3L).toDF("doc_id"),
+        "r1", pP, tP, sP) === 2L)
+      // reusing r1 for a DIFFERENT, still-indexed victim set: doc 1's
+      // terms overflow the recorded negatives → refused before the delete
+      val reuse = intercept[IllegalArgumentException] {
+        IncrementalBm25.retireDocs(spark, Seq(1L).toDF("doc_id"), "r1",
+          pP, tP, sP)
+      }
+      assert(reuse.getMessage.contains("cannot cover"))
+      assert(graft.sources.KeyedParquetStore.read(spark, pP).get
+        .filter($"doc_id" === 1L).count() > 0L)
+    } finally spark.conf.unset("spark.graft.store.debugChecks")
+  }
+
   test("decontaminate drops train docs overlapping the eval set, keeps the rest (r4)") {
     val eval = docs.filter($"doc_id" === 1) // "benchmark" doc
     val train = docs.filter($"doc_id" >= 3) // 3 near-dups eval; 4, 5 unrelated
@@ -1902,6 +1961,28 @@ class TextAnalysisSpec extends SparkSpec {
     assert(cd("en") === ((0L, 0L, 1L, 1L)))
     assert(cd("de") === ((1L, 0L, 0L, 0L)))
     assert(cd("fr") === ((0L, 1L, 0L, 0L)))
+  }
+
+  test("docStatus under debugChecks refuses duplicate ids within either " +
+      "snapshot — a fanned verdict would double-retire/double-ingest (r17)") {
+    val dup = Seq((1L, "alpha"), (1L, "alpha bis"), (2L, "beta"))
+      .toDF("doc_id", "text")
+    val clean = Seq((1L, "alpha"), (2L, "beta")).toDF("doc_id", "text")
+    spark.conf.set("spark.graft.store.debugChecks", "true")
+    try {
+      val curDup = intercept[IllegalArgumentException] {
+        TextAnalysis.docStatus(dup, clean, "doc_id", "text", None)
+      }
+      assert(curDup.getMessage.contains("cur snapshot"))
+      val prevDup = intercept[IllegalArgumentException] {
+        TextAnalysis.docStatus(clean, dup, "doc_id", "text", None)
+      }
+      assert(prevDup.getMessage.contains("prev snapshot"))
+      // clean snapshots pass with the guard armed — identical verdicts
+      val ok = TextAnalysis.docStatus(clean, clean, "doc_id", "text", None)
+        .as[(Long, String)].collect().toMap
+      assert(ok === Map(1L -> "same", 2L -> "same"))
+    } finally spark.conf.unset("spark.graft.store.debugChecks")
   }
 
   test("redactPii replaces typed PII with placeholders and counts it (r7)") {
