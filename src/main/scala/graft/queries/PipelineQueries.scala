@@ -3038,10 +3038,37 @@ object PipelineQueries {
         |        FROM csh96 c JOIN ehsh e ON c.h = e.h GROUP BY 1, 2) i
         |  JOIN sz96 USING (ck)
         |  WHERE ((2000000 * i.ni + nt) // (2 * nt)) / 1000000.0 >= 0.5),
+        |bw96 AS MATERIALIZED (
+        |  SELECT doc_id, w,
+        |    list_slice(t, w*32 + 1, LEAST(w*32 + 64, len(t))) AS btoks
+        |  FROM (SELECT doc_id, regexp_split_to_array(text, '\\s+') AS t,
+        |          unnest(generate_series(0,
+        |            GREATEST(1, CAST(ceil((len(regexp_split_to_array(text, '\\s+')) - 32) * 1.0 / 32) AS BIGINT)) - 1)) AS w
+        |        FROM kt96)
+        |  WHERE w % 2 = 1),
+        |bsh96 AS MATERIALIZED (
+        |  SELECT DISTINCT
+        |    CAST(doc_id AS VARCHAR) || '#' || CAST(w AS VARCHAR) AS bk,
+        |    ${h60("btoks[i] || ' ' || btoks[i+1] || ' ' || btoks[i+2]")} AS h
+        |  FROM bw96, UNNEST(range(1, len(btoks) - 1)) AS u(i)
+        |  WHERE len(btoks) >= 3),
+        |bsz96 AS MATERIALIZED (SELECT bk, count(*) AS nt FROM bsh96 GROUP BY 1),
+        |bfired96 AS MATERIALIZED (
+        |  SELECT DISTINCT i.bk
+        |  FROM (SELECT b.bk, e.doc_id AS eval_id, count(*) AS ni
+        |        FROM bsh96 b JOIN ehsh e ON b.h = e.h GROUP BY 1, 2) i
+        |  JOIN bsz96 USING (bk)
+        |  WHERE ((2000000 * i.ni + nt) // (2 * nt)) / 1000000.0 >= 0.5),
+        |bburn96 AS MATERIALIZED (
+        |  SELECT DISTINCT split_part(bk, '#', 1) || '#' ||
+        |      CAST(((CAST(split_part(bk, '#', 2) AS BIGINT) - 1) // 2) + d AS VARCHAR) AS ck
+        |  FROM bfired96, UNNEST([0, 1]) AS t(d)),
         |sv96 AS MATERIALIZED (
         |  SELECT doc_id, chunk_id, n_chunk_tokens FROM ch96
         |  WHERE CAST(doc_id AS VARCHAR) || '#' || CAST(chunk_id AS VARCHAR)
-        |        NOT IN (SELECT ck FROM bad96)),
+        |        NOT IN (SELECT ck FROM bad96)
+        |    AND CAST(doc_id AS VARCHAR) || '#' || CAST(chunk_id AS VARCHAR)
+        |        NOT IN (SELECT ck FROM bburn96)),
         |r96 AS (
         |  SELECT doc_id, chunk_id, n_chunk_tokens,
         |    ${h60("CAST(doc_id AS VARCHAR) || '#' || CAST(chunk_id AS VARCHAR) || '_q96pack'")} % 16
@@ -3352,7 +3379,27 @@ object PipelineQueries {
     * ratio never fires. Chunk identity is the '#'-composite key
     * (q82/q91 convention) so the shingle faces run unchanged; chunks
     * too short to shingle (< 3 tokens) can never be contaminated and
-    * survive by contract. Shuffle profile: chunking and chunk-shingles
+    * survive by contract.
+    *
+    * BRIDGE WINDOWS (r17, closing the r16 straddle miss): an implant
+    * straddling a 64-token chunk boundary can leave BOTH halves under
+    * the 0.5 chunk ratio — the honest recall gap BENCH_NOTES_r16
+    * quantified. The decision pass therefore also scores the odd
+    * stride-32 windows of `chunkDocuments(…, 64, overlap = 32)` — each
+    * covers `[64j+32, 64j+96)`, centered on boundary j|j+1. When the
+    * halves both fall under the chunk threshold the implant lies
+    * entirely inside that bridge (each half < 32 tokens), so any
+    * implant ≥ ~33 tokens fires it; a fired bridge burns BOTH adjacent
+    * base chunks (conservative by design — the surgical budget is the
+    * chunk grain, not half-chunks). Implants under ~33 tokens are below
+    * half of ANY 64-token window — the inherent fixed-grain floor, left
+    * to the doc-grain sweeps (q51/q84/q85). Packing stays on the
+    * non-overlapping base chunks: bridges only ever DECIDE, never emit
+    * training rows, so no text duplicates. Cost: one more scan-stage
+    * chunk+shingle pass over the kept docs and one more broadcast decon
+    * join — the 2× shingle cost the r16 notes predicted.
+    *
+    * Shuffle profile: chunking and chunk-shingles
     * are scan-stage per-row compute over the KEPT docs only; the
     * decon join broadcasts the eval shingles; the pack is one bucket
     * exchange — no stage touches rejected docs' bodies. */
@@ -3366,10 +3413,32 @@ object PipelineQueries {
       col("chunk_id").cast("string"))
     val csh = TextAnalysis.hashedShingles(
       chunks.select(ckey.as("doc_id"), col("chunk_text").as("text")), 3)
-    val bad = Dedup.contaminatedSpans(csh,
-        TextAnalysis.hashedShingles(evalDocs, 3), minContainment = 0.5)
+    val esh = TextAnalysis.hashedShingles(evalDocs, 3)
+    val bad = Dedup.contaminatedSpans(csh, esh, minContainment = 0.5)
       .select(col("doc_id").as("__ck"))
-    val surviving = chunks.join(bad, ckey === col("__ck"), "left_anti")
+    // Bridge decisions: odd stride-32 windows; a fired bridge w burns
+    // base chunks (w−1)/2 and (w+1)/2. The right neighbour always
+    // exists (the window generator never emits an odd w whose second
+    // half starts past the text), and a phantom key would anyway
+    // anti-join to nothing.
+    val bridges = TextAnalysis
+      .chunkDocuments(keptText, maxTokens = 64, overlap = 32)
+      .filter(col("chunk_id") % 2 === 1)
+    val bkey = concat(col("doc_id").cast("string"), lit("#"),
+      col("chunk_id").cast("string"))
+    val bsh = TextAnalysis.hashedShingles(
+      bridges.select(bkey.as("doc_id"), col("chunk_text").as("text")), 3)
+    val badBridge = Dedup.contaminatedSpans(bsh, esh, minContainment = 0.5)
+      .select(split(col("doc_id"), "#").getItem(0).as("__d"),
+        split(col("doc_id"), "#").getItem(1).cast("long").as("__w"))
+      .select(col("__d"),
+        explode(array(expr("(__w - 1) div 2"), expr("(__w + 1) div 2")))
+          .as("__j"))
+      .select(concat(col("__d"), lit("#"), col("__j").cast("string"))
+        .as("__ck"))
+    val surviving = chunks
+      .join(bad.unionByName(badBridge).distinct(), ckey === col("__ck"),
+        "left_anti")
       .select(col("doc_id"), col("chunk_id"), col("n_chunk_tokens"))
     Sampling.packBudget(surviving, Seq("doc_id", "chunk_id"),
         col("n_chunk_tokens"), budget = 2048, packBuckets = 16,

@@ -282,6 +282,36 @@ class PipelineEndToEndSpec extends SparkSpec {
     assert(run() === manifest)
   }
 
+  test("q96 bridge windows catch a chunk-boundary straddle: an implant " +
+      "split 24/24 across two 64-token chunks leaves both under the 0.5 " +
+      "chunk ratio, but lies whole inside the stride-32 bridge — both " +
+      "halves burn, the clean tail survives (r17)") {
+    // eval doc 0: 64 distinct tokens; doc 32 embeds a 48-token CONTIGUOUS
+    // interior slice (eval tokens 9..56) at position 41 — chunk 0 gets
+    // implant tokens 41..64 (24), chunk 1 gets 65..88 (24): each chunk's
+    // eval-shingle ratio is 22/62 ≈ 0.355, the exact r16 miss. Bridge
+    // w=1 covers tokens 33..96 ⊇ the whole implant: 46/62 ≈ 0.742 fires.
+    val evalToks = (1 to 64).map(i => s"bench${i}tok")
+    val implant = evalToks.slice(8, 56) // tokens 9..56, 48 of them
+    val filler = (1 to 144).map(i => s"extra${i}tok")
+    val straddler = (filler.take(40) ++ implant ++ filler.drop(40)).mkString(" ")
+    val control = (1 to 128).map(i => s"other${i}tok").mkString(" ")
+    val dir = java.nio.file.Files.createTempDirectory("surgical_straddle").toString
+    Seq(
+      (0L, evalToks.mkString(" "), "en", "web", 0L),
+      (32L, straddler, "en", "web", 0L),
+      (33L, control, "en", "web", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .withColumn("n_chars", length($"text").cast("long"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val manifest = graft.SparkEntry.queries("q96_curation_surgical")(spark, dir)
+      .as[(Long, Long, Long, Long, Long)].collect().sortBy(t => (t._1, t._2))
+    // chunks 0 and 1 of the straddler burn via the bridge; its clean
+    // chunk 2 and the control doc's chunks survive untouched
+    assert(manifest.map(t => (t._1, t._2)).toSeq ===
+      Seq((32L, 2L), (33L, 0L), (33L, 1L)))
+  }
+
   test("q92 curriculum order: anneal set nests in epoch 1, global ranks " +
       "are an exact 1..n permutation, the fresh salt decorrelates the " +
       "two epochs' orders, and reruns agree row-for-row (r15)") {
