@@ -63,7 +63,7 @@ object StoreAgingProbe {
     val compactEvery = ceStr.toInt
     require(n >= 2 && compactEvery >= 1, s"need nBatches >= 2, compactEvery >= 1")
     val families = if (args.length == 5) args(4).split(",").map(_.trim).toSet
-      else Set("dedup", "bm25", "ivf", "embed", "refresh")
+      else Set("dedup", "bm25", "ivf", "embed", "refresh", "refreshvec")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -104,7 +104,8 @@ object StoreAgingProbe {
             ingest: (DataFrame, Int) => DataFrame,
             maint: Int => Unit,
             batchOf: Int => DataFrame,
-            keyStore: String): Unit = {
+            keyStore: String,
+            extra: Int => String = _ => ""): Unit = {
       for (i <- 0 until n) {
         val b = batchOf(i)
         val t0 = System.nanoTime()
@@ -123,9 +124,25 @@ object StoreAgingProbe {
         val keys = KeyedParquetStore.read(spark, keyStore).map(_.count()).getOrElse(0L)
         println(f"""{"family":"$family","batch":$i,"sec":$sec%.2f,""" +
           f""""maint_sec":$maintSec%.2f,"rows":$rows,"store_keys":$keys,""" +
-          s""""files":${dataFiles(stores)},"dirs":${batchDirs(stores)}}""")
+          s""""files":${dataFiles(stores)},"dirs":${batchDirs(stores)}""" +
+          extra(i) + "}")
       }
     }
+
+    // Search-side term-partial fan-in for the BM25-bearing families: the
+    // MAX partial rows any single term's Σ-fold absorbs (the quantity the
+    // roll-up cadence must bound — stream-lifetime growth here is the
+    // regression), plus the surviving NEGATIVE rows (retire partials must
+    // fold away at roll-up, not accumulate).
+    def termFanIn(tP: String): String =
+      KeyedParquetStore.read(spark, tP,
+          schema = Some(graft.pipeline.IncrementalBm25.termsSchema))
+        .map { t =>
+          val mx = t.groupBy(col("term")).agg(count(lit(1)).as("n"))
+            .agg(max(col("n"))).collect().head.getLong(0)
+          val neg = t.filter(col("df") < 0).count()
+          s""","max_term_partials":$mx,"neg_term_rows":$neg"""
+        }.getOrElse("")
 
     val docs = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
     val emb = Tables.embeddings(spark, sfDir).select(col("vec_id"), col("embedding"))
@@ -156,7 +173,7 @@ object StoreAgingProbe {
           graft.pipeline.IncrementalBm25.rollupPartials(spark, tP, stP,
             keepBatches = Set(s"b$i"))
         },
-        docBatch, pP)
+        docBatch, pP, extra = _ => termFanIn(tP))
     }
     if (families("ivf")) {
       val (cP, aP) = (s"$storeRoot/ivf/centroids", s"$storeRoot/ivf/assigned")
@@ -233,7 +250,89 @@ object StoreAgingProbe {
           graft.pipeline.IncrementalBm25.rollupPartials(spark, tP, stP,
             keepBatches = Set(s"b$i"))
         },
-        snap, bP)
+        snap, bP, extra = _ => termFanIn(tP))
+    }
+    if (families("refreshvec")) {
+      // The VECTOR half of the crawl-refresh loop (r17, closing the r16
+      // verdict's evidence gap): ages IncrementalEmbedDedup AND
+      // IncrementalIvf through retire → re-ingest cycles with retrain on
+      // the maintenance cadence. The delta is derived ARITHMETICALLY from
+      // the same sliding-window construction the text family diffs via
+      // docStatus (the diff face is text-grain; aging it again here would
+      // measure nothing new): per cycle, `step` ids scroll out (removed),
+      // `step` scroll in (new), and two rotating 1/15 id classes carry a
+      // cycle-dependent perturbation (changed — the class marked last
+      // cycle reverts, the newly-marked class drifts). Window constants
+      // sized for sf0.1's 2000 vectors: 800-id window, 30-id step, valid
+      // through 40 cycles (guarded below like the text family).
+      val (sgP, vcP) = (s"$storeRoot/refreshvec/sigs", s"$storeRoot/refreshvec/vecs")
+      val (cP, aP) = (s"$storeRoot/refreshvec/centroids", s"$storeRoot/refreshvec/assigned")
+      val vwindow = 800L
+      val vstep = 30L
+      val maxVid = emb.agg(max(col("vec_id"))).collect().head.getLong(0)
+      require((n - 1).toLong * vstep + vwindow <= maxVid + 1,
+        s"refreshvec family invalid at this scale: cycle ${n - 1}'s window " +
+          s"[${(n - 1) * vstep}, ${(n - 1) * vstep + vwindow}) slides past " +
+          s"the corpus max vec_id $maxVid — lower nBatches or use a larger sfDir")
+      val cls = pmod(xxhash64(col("vec_id")), lit(15L))
+      def vsnap(i: Int): DataFrame = {
+        val lo = i * vstep
+        emb.filter(col("vec_id") >= lo && col("vec_id") < lo + vwindow)
+          .select(col("vec_id"),
+            when(cls === (i % 15).toLong,
+              transform(col("embedding"),
+                x => x + lit(0.01f * ((i % 7) + 1))))
+              .otherwise(col("embedding")).as("embedding"))
+      }
+      graft.pipeline.IncrementalIvf.buildCentroids(spark, vsnap(0), cP,
+        numCells = 8, trainIters = 2)
+      var retrainSec = 0.0
+      run("refreshvec", Seq(sgP, vcP, aP),
+        (b, i) => {
+          retrainSec = 0.0
+          if (i > 0) {
+            val lo = i * vstep
+            val prevHi = (i - 1) * vstep + vwindow
+            val removed = emb
+              .filter(col("vec_id") >= (i - 1) * vstep && col("vec_id") < lo)
+              .select(col("vec_id"))
+            val changedIds = b.filter(col("vec_id") < prevHi)
+              .filter(cls === (i % 15).toLong || cls === ((i - 1) % 15).toLong)
+              .select(col("vec_id"))
+            val retired = graft.Pin.ser(removed.unionByName(changedIds))
+            graft.pipeline.IncrementalEmbedDedup.retireVecs(spark, retired,
+              sgP, vcP)
+            graft.pipeline.IncrementalIvf.retireVecs(spark, retired, aP)
+            val ingest = graft.Pin.ser(b.filter(col("vec_id") >= prevHi ||
+              cls === (i % 15).toLong || cls === ((i - 1) % 15).toLong))
+            graft.pipeline.IncrementalEmbedDedup.ingestBatch(spark, ingest,
+              s"b$i", sgP, vcP, threshold = 0.99)
+            graft.pipeline.IncrementalIvf.ingestBatch(spark, ingest,
+              s"b$i", cP, aP)
+            ingest.select(col("vec_id"))
+          } else {
+            graft.pipeline.IncrementalEmbedDedup.ingestBatch(spark, b,
+              s"b$i", sgP, vcP, threshold = 0.99)
+            graft.pipeline.IncrementalIvf.ingestBatch(spark, b, s"b$i", cP, aP)
+            b.select(col("vec_id"))
+          }
+        },
+        i => {
+          Seq(sgP, vcP).foreach(p => KeyedParquetStore.rollupBatchPartitions(
+            spark, p, keepBatches = Set(s"b$i")))
+          KeyedParquetStore.rollupBatchPartitions(spark, aP,
+            keepBatches = Set(s"b$i"), partitionCols = Seq("iv", "cell", "batch"))
+          // Retrain is THE one whole-store pass (Faiss's periodic
+          // maintenance shape) — timed separately so the evidence shows
+          // its wall-time as a function of store size, not folded into
+          // the cadence total invisibly.
+          val t0 = System.nanoTime()
+          graft.pipeline.IncrementalIvf.retrain(spark, cP, aP,
+            numCells = 8, trainIters = 2, keepBatches = Set(s"b$i"))
+          retrainSec = (System.nanoTime() - t0) / 1e9
+        },
+        vsnap, vcP,
+        extra = _ => f""","retrain_sec":$retrainSec%.2f""")
     }
     if (families("embed")) {
       val (sgP, vP) = (s"$storeRoot/embed/sigs", s"$storeRoot/embed/vecs")
