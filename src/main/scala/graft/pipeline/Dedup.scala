@@ -33,6 +33,45 @@ object Dedup {
       .groupBy(md5Hash60(col("text")).as("content_hash"))
       .agg(min(col(idCol)).as("kept_id"), count(lit(1)).as("n_copies"))
 
+  /** SOFT exact dedup — frequency-PROPORTIONAL down-sampling instead of
+    * [[exact]]'s collapse-to-one: every copy of a duplicated text
+    * survives independently with probability ≈ `targetCopies / n`
+    * (n = the text's corpus-wide copy count, clusters at or under the
+    * target keep everything), so a text seen n times keeps ~targetCopies
+    * representatives in expectation. The pipeline rationale: hard dedup
+    * flattens the corpus's natural frequency distribution to 1 — a
+    * quality signal some mixtures deliberately retain in attenuated
+    * form; capping instead of collapsing keeps frequency ordering while
+    * removing the unbounded boilerplate mass.
+    *
+    * The keep decision is the deterministic salt-hash deal
+    * ([[Sampling.bucket]]'s rationale — retry-stable, oracle-exact, no
+    * rand()): copy survives iff
+    * `hash(id || '_' || salt) mod 10⁶ < min(10⁶, (10⁶·targetCopies) div n)`.
+    * Null-text docs hash to one shared null cluster (exactly [[exact]]'s
+    * grouping verdict); a null id deals a null bucket and drops, the
+    * convention every sampling face here shares.
+    *
+    * 100 TB shape: ONE exchange — n comes from a count window
+    * partitioned by the 60-bit content hash computed at the scan, so
+    * only (id, hash) rows shuffle and no join materializes a counts
+    * relation; the keep filter is a codegen'd per-row projection. */
+  def softDedup(docs: DataFrame, targetCopies: Long = 1L,
+                salt: String = "soft", idCol: String = "doc_id"): DataFrame = {
+    require(targetCopies >= 1L, s"need targetCopies >= 1 (got $targetCopies)")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("content_hash"))
+    docs
+      .select(col(idCol), md5Hash60(col("text")).as("content_hash"))
+      .withColumn("n_copies", count(lit(1)).over(w))
+      .filter(
+        pmod(md5Hash60(concat(col(idCol).cast("string"), lit("_" + salt))),
+          lit(1000000L)) <
+          least(lit(1000000L),
+            expr(s"(1000000 * ${targetCopies}L) div n_copies")))
+      .select(col(idCol), col("content_hash"), col("n_copies"))
+  }
+
   /** Segment-level exact dedup (the CCNet line-dedup / RefinedWeb
     * paragraph-dedup shape): split each document into consecutive
     * `segTokens`-token segments ([[TextAnalysis.segments]]), keep each

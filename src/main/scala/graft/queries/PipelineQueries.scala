@@ -3305,7 +3305,38 @@ object PipelineQueries {
           .select(col("probe_id"), col("neighbor_id"), col("cos_sim"),
             col("rank").cast("long").as("rank"))
       },
-      Some(ivfSearchOracle))
+      Some(ivfSearchOracle)),
+
+    // SOFT dedup (r17): frequency-proportional down-sampling over a
+    // TRIPLED corpus (documents ∪ two shifted-id copies — q20's planted-
+    // duplicate construction, one more fold), so every text forms a
+    // cluster of ≥ 3 and the 1/n deal has real work at every SF. Each
+    // copy survives independently iff its salt-hash deal lands under
+    // 10⁶/n — survivors ≈ one per cluster WITHOUT electing a canonical
+    // winner, preserving frequency ordering in expectation where q20
+    // flattens it. Oracle rebuilds the count window and the deal on the
+    // same 60-bit hash.
+    Q("q100_soft_dedup",
+      (s, dir) => {
+        val d = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+        Dedup.softDedup(
+          d.unionByName(d.select((col("doc_id") + 100000L).as("doc_id"),
+              col("text")))
+            .unionByName(d.select((col("doc_id") + 200000L).as("doc_id"),
+              col("text"))),
+          targetCopies = 1L, salt = "q100")
+      },
+      Some(s"""WITH all_docs AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL SELECT doc_id + 100000 AS doc_id, text FROM documents
+        |  UNION ALL SELECT doc_id + 200000 AS doc_id, text FROM documents),
+        |counted AS (
+        |  SELECT doc_id, ${h60("text")} AS content_hash,
+        |    count(*) OVER (PARTITION BY ${h60("text")}) AS n_copies
+        |  FROM all_docs)
+        |SELECT doc_id, content_hash, n_copies FROM counted
+        |WHERE ${h60("CAST(doc_id AS VARCHAR) || '_q100'")} % 1000000
+        |      < LEAST(1000000, (1000000 * 1) // n_copies)""".stripMargin))
   )
 
   /** The curation-v2 chain (q90), factored so the q91 training-order

@@ -20,6 +20,36 @@ class DedupSpec extends SparkSpec {
     assert(got === Seq((1L, 2L), (3L, 1L), (4L, 1L), (5L, 1L)))
   }
 
+  test("softDedup keeps each copy at ~targetCopies/n via the deterministic " +
+      "deal: uniques always survive, a 10-cluster thins to the hash-chosen " +
+      "subset, at-or-under-target clusters keep everything (r17)") {
+    val boiler = "the same boilerplate paragraph repeated across many shards here"
+    val corpus = ((1L to 10L).map(i => (i, boiler)) :+
+      (20L, "a genuinely unique document about spark window operators"))
+      .toDF("doc_id", "text")
+    // independent reimplementation of the 60-bit deal (MessageDigest,
+    // not TextAnalysis.md5Hash60) — the spec's own oracle
+    def h60(sx: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(sx.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.take(15), 16)
+    }
+    val expectCluster = (1L to 10L)
+      .filter(i => h60(s"${i}_s1") % 1000000L < 100000L).toSet
+    val got = Dedup.softDedup(corpus, targetCopies = 1L, salt = "s1")
+      .select($"doc_id", $"n_copies").as[(Long, Long)].collect().toMap
+    assert(got.keySet === expectCluster + 20L)
+    assert(got(20L) === 1L)
+    assert(expectCluster.forall(got(_) === 10L))
+    // a target at or above the cluster size keeps every copy
+    val all = Dedup.softDedup(corpus, targetCopies = 10L, salt = "s1")
+      .select($"doc_id").as[Long].collect().toSet
+    assert(all === (1L to 10L).toSet + 20L)
+    // deterministic across plans
+    assert(Dedup.softDedup(corpus, targetCopies = 1L, salt = "s1")
+      .select($"doc_id").as[Long].collect().toSet === got.keySet)
+  }
+
   test("segmentDedup keeps first occurrences, reassembles in order, " +
       "and empties a fully-duplicate doc") {
     // 3-token segments: doc 1 = [a b c][d e f], doc 2 repeats doc 1's
