@@ -71,6 +71,24 @@ object Bench {
       val rt = Runtime.getRuntime
       (rt.totalMemory - rt.freeMemory) / (1024 * 1024)
     }
+    // Machine context per run (r16 verdict item 4: sub-1.5× per-query
+    // drift was unattributable because the evidence never recorded what
+    // ELSE the machine was doing). loadavg-1m above ~nCpus means the
+    // timed tasks contended for cores; a Cached drop between runs means
+    // the warmed page cache was evicted under external memory pressure —
+    // the two ambient causes the r15/r16 drift bands pattern-match.
+    def load1: Double =
+      java.lang.management.ManagementFactory
+        .getOperatingSystemMXBean.getSystemLoadAverage
+    def meminfoMb(key: String): Long = try {
+      val src = scala.io.Source.fromFile("/proc/meminfo")
+      try src.getLines()
+        .collectFirst { case l if l.startsWith(key + ":") =>
+          l.trim.split("\\s+")(1).toLong / 1024 }
+        .getOrElse(-1L)
+      finally src.close()
+    } catch { case _: Throwable => -1L }
+    var loadMax = 0.0
     // One loud schema-drift message up front (see Tables.verifySchemas)
     // beats per-query failures scattered through the bench loop.
     // DIAGNOSE, don't abort: queries not touching the drifted column
@@ -135,9 +153,12 @@ object Bench {
         // without a drain a run's trailing job/stage/task events land in
         // the NEXT run's counters and the evidence misattributes.
         org.apache.spark.GraftSparkInternals.drainListenerBus(spark.sparkContext)
+        val ld = load1
+        if (ld > loadMax) loadMax = ld
         ev.println(s"""{"q":"$name","run":$r,"sec":$sec,"jobs":$jobs,"stages":$stages,"tasks":$tasks,"task_ms":${taskMs.get},""" +
           s""""gc_ms":${gcMillis - gc0},"compile_n":${compileCount - cc0},""" +
-          s""""bytecode_n":${bytecodeCount - bc0},"heap_mb":$heapUsedMb""" +
+          s""""bytecode_n":${bytecodeCount - bc0},"heap_mb":$heapUsedMb,""" +
+          f""""load1":$ld%.2f,"cached_mb":${meminfoMb("Cached")}""" +
           (if (failed == null) "}" else s""","failed":"$failed"}"""))
         ev.flush()
         (sec, failed)
@@ -231,7 +252,10 @@ object Bench {
     // parsed: null after this, the consumer is parsing something other
     // than a stdout line and the gap is driver-side by elimination.
     spark.stop()
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","qunit":"ms","method":"noop-median$runs-warm","nq":${results.size}$omittedJson,"queries":$qs$failedJson,"sf":"$sfDir"}""")
+    // load_max: the worst 1-min loadavg observed across all timed runs —
+    // the at-a-glance "was the machine busy" flag (full context per run
+    // in the evidence sidecar). ~16 chars, inside the tail-window budget.
+    println(f"""{"metric":"total","value":${r3(total)},"unit":"sec","qunit":"ms","method":"noop-median$runs-warm","nq":${results.size}$omittedJson,"load_max":$loadMax%.2f,"queries":$qs$failedJson,"sf":"$sfDir"}""")
     System.out.flush()
   }
 }
