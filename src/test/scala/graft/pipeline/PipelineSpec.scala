@@ -45,6 +45,13 @@ class DedupSpec extends SparkSpec {
     val all = Dedup.softDedup(corpus, targetCopies = 10L, salt = "s1")
       .select($"doc_id").as[Long].collect().toSet
     assert(all === (1L to 10L).toSet + 20L)
+    // intermediate target: threshold scales to (10⁶·2) div 10 = 200000
+    val expectTwo = (1L to 10L)
+      .filter(i => h60(s"${i}_s1") % 1000000L < 200000L).toSet
+    val gotTwo = Dedup.softDedup(corpus, targetCopies = 2L, salt = "s1")
+      .select($"doc_id").as[Long].collect().toSet
+    assert(gotTwo === expectTwo + 20L)
+    assert(expectCluster.subsetOf(expectTwo), "raising the target only ADDS survivors")
     // deterministic across plans
     assert(Dedup.softDedup(corpus, targetCopies = 1L, salt = "s1")
       .select($"doc_id").as[Long].collect().toSet === got.keySet)
