@@ -88,7 +88,16 @@ object Bench {
         .getOrElse(-1L)
       finally src.close()
     } catch { case _: Throwable => -1L }
-    var loadMax = 0.0
+    // Ambient baseline BEFORE any bench work starts (ADVICE r17): load1
+    // sampled at run END includes the bench's own just-finished local[N]
+    // tasks (1-min exponential decay), so on an idle machine it trends
+    // toward the lane count and reads "busy" on healthy runs. The
+    // pre-suite sample is the truly-ambient datum; per-run rows also
+    // carry a pre-run sample (load1_pre) so self-load separates from
+    // ambient inside the suite. -1 (platform sentinel for "unavailable")
+    // propagates into load_max instead of a fake-idle 0.0.
+    val loadBase = load1
+    var loadMax = -1.0
     // One loud schema-drift message up front (see Tables.verifySchemas)
     // beats per-query failures scattered through the bench loop.
     // DIAGNOSE, don't abort: queries not touching the drifted column
@@ -132,6 +141,7 @@ object Bench {
       // the median absorbs without averaging in a cold outlier.
       val timed = (0 until runs).map { r =>
         jobs = 0; stages = 0; tasks = 0; taskMs.set(0)
+        val ldPre = load1
         val (gc0, cc0, bc0) = (gcMillis, compileCount, bytecodeCount)
         val t0 = System.nanoTime()
         // Full materialization through the noop sink: unlike .count(),
@@ -158,7 +168,7 @@ object Bench {
         ev.println(s"""{"q":"$name","run":$r,"sec":$sec,"jobs":$jobs,"stages":$stages,"tasks":$tasks,"task_ms":${taskMs.get},""" +
           s""""gc_ms":${gcMillis - gc0},"compile_n":${compileCount - cc0},""" +
           s""""bytecode_n":${bytecodeCount - bc0},"heap_mb":$heapUsedMb,""" +
-          f""""load1":$ld%.2f,"cached_mb":${meminfoMb("Cached")}""" +
+          f""""load1":$ld%.2f,"load1_pre":$ldPre%.2f,"cached_mb":${meminfoMb("Cached")}""" +
           (if (failed == null) "}" else s""","failed":"$failed"}"""))
         ev.flush()
         (sec, failed)
@@ -255,7 +265,7 @@ object Bench {
     // load_max: the worst 1-min loadavg observed across all timed runs —
     // the at-a-glance "was the machine busy" flag (full context per run
     // in the evidence sidecar). ~16 chars, inside the tail-window budget.
-    println(f"""{"metric":"total","value":${r3(total)},"unit":"sec","qunit":"ms","method":"noop-median$runs-warm","nq":${results.size}$omittedJson,"load_max":$loadMax%.2f,"queries":$qs$failedJson,"sf":"$sfDir"}""")
+    println(f"""{"metric":"total","value":${r3(total)},"unit":"sec","qunit":"ms","method":"noop-median$runs-warm","nq":${results.size}$omittedJson,"load_max":$loadMax%.2f,"load_base":$loadBase%.2f,"queries":$qs$failedJson,"sf":"$sfDir"}""")
     System.out.flush()
   }
 }

@@ -29,6 +29,10 @@ import org.apache.spark.sql.functions._
   *    ids, keys, and the NOT-NULL-by-spec TPC-H columns stay verbatim,
   *    so every oracle still joins and groups identically and the diff
   *    is purely about how each engine treats NULL inside the operator.
+  *  - `dupheavy`: boilerplate-heavy documents — one string shared by 30%
+  *    of all docs plus a 10% second tier (the crawl pathology dedup
+  *    exists for; the balanced draws' duplicate clusters are tiny, which
+  *    is how q100's r17 hot-key window stayed invisible at every SF).
   *  - `unicode`: adversarial UTF-8 injected into every document's text
   *    (multi-byte, surrogate pairs, RTL + combining marks, fullwidth
   *    forms, non-ASCII digits, NBSP-glued tokens; see the mode body) —
@@ -49,7 +53,8 @@ object EdgeCorpus {
 
   def main(args: Array[String]): Unit = {
     require(args.length == 3,
-      "usage: graft.EdgeCorpus <srcSfDir> <dstDir> <empty|tiny|nulls|unicode>")
+      "usage: graft.EdgeCorpus <srcSfDir> <dstDir> " +
+        "<empty|tiny|nulls|unicode|dupheavy>")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -166,9 +171,47 @@ object EdgeCorpus {
           col("lang"),
           col("source"),
           length(newText).cast("long").as("n_chars")))
+      case "dupheavy" =>
+        // Boilerplate-heavy corpus (r18, verdict task 2): the regime the
+        // dedup faces EXIST for — one crawl-pathology boilerplate string
+        // shared by 30% of all docs (doc_id % 10 ∈ {0,1,2}) plus a
+        // second-tier 10% cluster (% 10 = 3) — which the balanced
+        // testdata draws never produce (their duplicate clusters are
+        // tiny, so q100's r17 hot-key window looked cheap at every SF).
+        // Both strings pass the curation quality gate (≥ 40 tokens, low
+        // stopword/short-token ratios) so the near-dup chains see the
+        // giant clusters too, not just the exact-hash faces. Everything
+        // else verbatim; n_chars tracks the replaced text.
+        val boilerA = ("subscribe today for unlimited digital access " +
+          "enjoy exclusive member benefits including breaking news " +
+          "alerts premium newsletters live sports coverage puzzles " +
+          "games cooking recipes expert reviews cancel anytime manage " +
+          "your subscription preferences from your account settings " +
+          "page contact customer support seven days every week for " +
+          "assistance with billing delivery questions feedback").trim
+        val boilerB = ("cookies help this website deliver personalized " +
+          "content measure advertising performance analyze traffic " +
+          "patterns remember visitor preferences across sessions " +
+          "clicking accept means consent for processing browsing data " +
+          "according privacy policy terms conditions visitors adjust " +
+          "tracking choices anytime under settings consent banner " +
+          "without losing access basic site functionality features").trim
+        Seq("region", "nation", "customer", "supplier", "part",
+          "orders", "lineitem", "events", "embeddings")
+          .foreach(t => write(t, raw(t)))
+        val dd = raw("documents")
+        val newText = when(pmod(col("doc_id"), lit(10)) < 3, lit(boilerA))
+          .when(pmod(col("doc_id"), lit(10)) === 3, lit(boilerB))
+          .otherwise(col("text"))
+        write("documents", dd.select(
+          col("doc_id"),
+          newText.as("text"),
+          col("lang"),
+          col("source"),
+          length(newText).cast("long").as("n_chars")))
       case other =>
         throw new IllegalArgumentException(
-          s"unknown mode: $other (want empty|tiny|nulls|unicode)")
+          s"unknown mode: $other (want empty|tiny|nulls|unicode|dupheavy)")
     }
     val counts = AllTables.map { t =>
       s""""$t":${spark.read.parquet(s"$dst/$t.parquet").count()}"""

@@ -63,7 +63,8 @@ object StoreAgingProbe {
     val compactEvery = ceStr.toInt
     require(n >= 2 && compactEvery >= 1, s"need nBatches >= 2, compactEvery >= 1")
     val families = if (args.length == 5) args(4).split(",").map(_.trim).toSet
-      else Set("dedup", "bm25", "ivf", "embed", "refresh", "refreshvec")
+      else Set("dedup", "bm25", "ivf", "embed", "refresh", "refreshvec",
+        "growvec")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -332,6 +333,38 @@ object StoreAgingProbe {
           retrainSec = (System.nanoTime() - t0) / 1e9
         },
         vsnap, vcP,
+        extra = _ => f""","retrain_sec":$retrainSec%.2f""")
+    }
+    if (families("growvec")) {
+      // GROWING-window retrain curve (r18, verdict task 3): refreshvec
+      // holds store size constant (~800 keys), so its flat per-cycle
+      // retrain is the correct null result for a constant window but
+      // leaves the design claim "retrain grows linearly with the
+      // assigned store" asserted, not measured. Here nothing retires:
+      // cycle i ingests the i-th xxhash 1/n slice of the corpus and the
+      // cadence retrain re-fits the ACCUMULATED store, landing
+      // retrain_sec at n/compactEvery distinct store sizes — store_keys
+      // on the same row is the x-axis of the curve.
+      val (cP, aP) = (s"$storeRoot/growvec/centroids",
+        s"$storeRoot/growvec/assigned")
+      graft.pipeline.IncrementalIvf.buildCentroids(spark, embBatch(0), cP,
+        numCells = 8, trainIters = 2)
+      var retrainSec = 0.0
+      run("growvec", Seq(cP, aP),
+        (b, i) => {
+          retrainSec = 0.0
+          graft.pipeline.IncrementalIvf.ingestBatch(spark, b, s"b$i", cP, aP)
+          b.select(col("vec_id"))
+        },
+        i => {
+          KeyedParquetStore.rollupBatchPartitions(spark, aP,
+            keepBatches = Set(s"b$i"), partitionCols = Seq("iv", "cell", "batch"))
+          val t0 = System.nanoTime()
+          graft.pipeline.IncrementalIvf.retrain(spark, cP, aP,
+            numCells = 8, trainIters = 2, keepBatches = Set(s"b$i"))
+          retrainSec = (System.nanoTime() - t0) / 1e9
+        },
+        embBatch, aP,
         extra = _ => f""","retrain_sec":$retrainSec%.2f""")
     }
     if (families("embed")) {

@@ -52,18 +52,36 @@ object Dedup {
     * grouping verdict); a null id deals a null bucket and drops, the
     * convention every sampling face here shares.
     *
-    * 100 TB shape: ONE exchange — n comes from a count window
-    * partitioned by the 60-bit content hash computed at the scan, so
-    * only (id, hash) rows shuffle and no join materializes a counts
-    * relation; the keep filter is a codegen'd per-row projection. */
+    * 100 TB shape: aggregate-then-join, NOT a count window. The r17
+    * version computed n via `count().over(Window.partitionBy(
+    * content_hash))` — one exchange, but a window partition is ONE
+    * task, and the target workload is precisely corpora where one
+    * boilerplate string has 10⁸–10⁹ copies: every copy of the hot text
+    * serializes onto a single core (straggler at best, spill/OOM at
+    * worst — the r17 verdict's one scale-killer). Here the counts
+    * relation comes from `groupBy(content_hash).count()` — map-side
+    * partial aggregation collapses the hot key to one row per input
+    * partition BEFORE the shuffle, exactly [[exact]]'s shape — and
+    * joins back on the hash, where AQE's skew-join splits the fat
+    * probe-side key across tasks (WindowExec has no such escape).
+    * The (id, hash) projection is pinned ([[graft.Pin]]) so the
+    * corpus text is scanned and md5'd ONCE, not once per consumer;
+    * the keep filter stays a codegen'd per-row projection. Counts are
+    * exact either way, so results are byte-identical to the window
+    * formulation. */
   def softDedup(docs: DataFrame, targetCopies: Long = 1L,
                 salt: String = "soft", idCol: String = "doc_id"): DataFrame = {
     require(targetCopies >= 1L, s"need targetCopies >= 1 (got $targetCopies)")
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("content_hash"))
-    docs
-      .select(col(idCol), md5Hash60(col("text")).as("content_hash"))
-      .withColumn("n_copies", count(lit(1)).over(w))
+    val hashed = graft.Pin.ser(
+      docs.select(col(idCol), md5Hash60(col("text")).as("content_hash")))
+    // Null-SAFE join key: null-text docs hash to a null content_hash and
+    // must count as ONE shared cluster (groupBy and the oracle's window
+    // both group nulls); a plain equi-join would silently drop them.
+    val counts = hashed
+      .groupBy(col("content_hash")).agg(count(lit(1)).as("n_copies"))
+      .withColumnRenamed("content_hash", "__ch")
+    hashed
+      .join(counts, col("content_hash") <=> col("__ch"))
       .filter(
         pmod(md5Hash60(concat(col(idCol).cast("string"), lit("_" + salt))),
           lit(1000000L)) <
@@ -122,6 +140,89 @@ object Dedup {
         // trap Similarity.bindOnce documents). A doc with no surviving
         // segments has null keep_idx; transform/concat_ws propagate it
         // to the same "" as before.
+        element_at(transform(array(segsCol), segs =>
+          concat_ws(" ",
+            transform(array_sort(col("keep_idx")),
+              i => element_at(segs, i + 1)))), 1)
+          .as("text_dedup"))
+  }
+
+  /** Substring-grain exact dedup with BRIDGE windows — the published
+    * duplicated-span-removal shape (Lee et al., "Deduplicating Training
+    * Data Makes Language Models Better": repeated ~50-token spans
+    * removed wherever they occur) at [[segmentDedup]]'s fixed grain,
+    * closing segment dedup's boundary-straddle blind spot. A span
+    * duplicated on the token grid but STRADDLING a segment boundary
+    * leaves both adjacent base segments unique, so [[segmentDedup]]
+    * keeps every copy — exactly the straddle class q96's decon bridges
+    * closed for contamination. Same construction here:
+    *
+    *  - base segments `[i·S, (i+1)·S)` elect first-occurrence winners
+    *    (min `(doc_id, seg_idx)` — [[segmentDedup]] verbatim);
+    *  - BRIDGE windows `[j·S + S/2, (j+1)·S + S/2)` (the odd stride-S/2
+    *    windows of [[TextAnalysis.chunkDocuments]]) only DECIDE: every
+    *    non-first occurrence of a bridge's content burns the two base
+    *    segments it straddles, `(w−1)/2` and `(w+1)/2`, in ITS doc.
+    *    Bridges never emit text, so nothing duplicates on reassembly.
+    *
+    * A duplicated span that straddles boundary j covers the bridge
+    * centered there whenever both retained halves are ≥ S/2 tokens, so
+    * any grid-aligned duplicate ≥ ~1.5·S tokens fires either a base
+    * segment or a bridge; a fired bridge burns both neighbours
+    * (conservative — the removal budget is the segment grain, exactly
+    * q96's chunk-burn contract). Shorter straddles stay below half of
+    * any window — the inherent fixed-grain floor, left to the
+    * shingle-based near-dup sweeps.
+    *
+    * 100 TB shape: [[segmentDedup]]'s — text crosses no exchange; both
+    * elections group 16-byte (hash, id, idx) facts with map-side
+    * partials; burn indices aggregate back to doc grain as ids; the one
+    * text-bearing operation is the final doc-grain reassembly join. */
+  def spanDedup(docs: DataFrame, segTokens: Int = 10,
+      idCol: String = "doc_id"): DataFrame = {
+    require(segTokens > 0 && segTokens % 2 == 0,
+      s"spanDedup: segTokens must be positive and even (got $segTokens) — " +
+        "bridge windows sit at half-segment offsets")
+    val segsCol = TextAnalysis.segments(col("text"), segTokens)
+    val ids = docs
+      .select(col(idCol), posexplode(segsCol).as(Seq("seg_idx", "seg")))
+      .select(col(idCol), col("seg_idx"), md5Hash60(col("seg")).as("h"))
+    val winners = ids
+      .groupBy(col("h"))
+      .agg(min(struct(col(idCol), col("seg_idx"))).as("w"))
+      .select(col("w")(idCol).as(idCol), col("w")("seg_idx").as("seg_idx"))
+    // Bridge election: chunkDocuments' odd windows at stride S/2 cover
+    // [j·S + S/2, (j+1)·S + S/2) — window w straddles base boundary
+    // (w−1)/2 | (w+1)/2. Same min-struct first-occurrence total order
+    // as the base election; every LOSING occurrence burns its two
+    // neighbours (the winner keeps its segments — dedup removes
+    // repeats, never the canonical copy).
+    val bridges = TextAnalysis
+      .chunkDocuments(docs.select(col(idCol).as("doc_id"), col("text")),
+        maxTokens = segTokens, overlap = segTokens / 2)
+      .filter(col("chunk_id") % 2 === 1)
+      .select(col("doc_id").as(idCol), col("chunk_id"),
+        md5Hash60(col("chunk_text")).as("h"))
+    val burned = bridges
+      .join(bridges.groupBy(col("h"))
+          .agg(min(struct(col(idCol), col("chunk_id"))).as("w")),
+        Seq("h"))
+      .filter(!(col(idCol) === col("w")(idCol) &&
+        col("chunk_id") === col("w")("chunk_id")))
+      .select(col(idCol),
+        explode(array(expr("(chunk_id - 1) div 2"),
+          expr("(chunk_id + 1) div 2"))).as("seg_idx"))
+    val keep = winners
+      .join(burned, Seq(idCol, "seg_idx"), "left_anti")
+      .groupBy(col(idCol))
+      .agg(collect_list(col("seg_idx")).as("keep_idx"))
+    docs
+      .join(keep, Seq(idCol), "left")
+      .select(col(idCol),
+        size(segsCol).cast("long").as("n_segs"),
+        coalesce(size(col("keep_idx")), lit(0)).cast("long").as("n_kept"),
+        // In-row reassembly, segmentDedup's one-element-transform
+        // binding verbatim (segmentation evaluated once per row).
         element_at(transform(array(segsCol), segs =>
           concat_ws(" ",
             transform(array_sort(col("keep_idx")),

@@ -259,16 +259,51 @@ object IncrementalBm25 {
     * ids are caller-vouched disjoint, and under
     * `spark.graft.store.debugChecks=true` the vouch is ENFORCED: a
     * marker partition holding POSITIVE df rows is an ingest partition
-    * (retirement only ever writes df ≤ −1), and a marker whose stored
-    * negative partial cannot COVER the still-present victims'
-    * recomputed footprint is a reuse for a different victim set (a
-    * healing replay's remaining rows are always a subset of the
-    * original footprint, so containment holds; a fresh set's terms
-    * overflow it). Like the ingest checks, these scan the stores —
-    * spec/staging cost, not the production loop.
+    * (retirement only ever writes df ≤ −1), and a reused retire id is
+    * caught EXACTLY by the victim-set fingerprint — every completed
+    * retirement records `_victims.<count>x<setsum>` (an
+    * order-insensitive hash of the REQUESTED id set) beside its marker
+    * partition, and a replay whose requested set fingerprints
+    * differently refuses no matter how the sets overlap (ADVICE r17:
+    * the previous containment-only probe had a false negative for
+    * subset-SHAPED reuse — a different victim set whose per-term
+    * footprint the original negatives happened to dominate). Stores
+    * whose marker predates the fingerprint (legacy) or lost it in the
+    * upsert→fingerprint crash window fall back to footprint
+    * CONTAINMENT (a healing replay's remaining rows are always a
+    * subset of the original footprint; that fallback — and only it —
+    * keeps the documented subset-shaped blind spot). Like the ingest
+    * checks, these scan the stores — spec/staging cost, not the
+    * production loop; the fingerprint WRITE is one KB-sized agg over
+    * the pinned victim ids plus one empty-file create.
     *
     * Returns the number of victim docs actually present in (and removed
     * from) the postings store. */
+  /** Order-insensitive exact fingerprint of a victim id SET:
+    * `<count>x<hex(Σ md5Hash60(id) mod 2^61)>`. Set semantics (the input
+    * is already distinct), commutative sum so partitioning never moves
+    * it, decimal accumulator so the sum is exact at any cardinality
+    * (ANSI-safe — a long Σ of 2^60-scale hashes overflows past 8 rows).
+    * A collision needs two different id sets agreeing on count AND the
+    * 61-bit hash sum — ignorable for a misuse guard. */
+  private def victimSetFp(victims: DataFrame): String = {
+    val r = victims.agg(
+      count(lit(1)),
+      sum(TextAnalysis.md5Hash60(col("doc_id").cast("string"))
+        .cast(org.apache.spark.sql.types.DecimalType(38, 0)))).collect().head
+    val s = Option(r.getDecimal(1))
+      .map(_.toBigInteger.mod(java.math.BigInteger.ONE.shiftLeft(61))
+        .toString(16))
+      .getOrElse("0")
+    s"${r.getLong(0)}x$s"
+  }
+
+  /** The fingerprint sidecar's directory: the retire marker partition.
+    * Underscore-prefixed files are invisible to Spark's file listing, so
+    * the sidecar never enters a read of the terms store. */
+  private def victimFpDir(termsPath: String, retireBatchId: String) =
+    new org.apache.hadoop.fs.Path(s"$termsPath/batch=$retireBatchId")
+
   def retireDocs(spark: SparkSession, ids: DataFrame, retireBatchId: String,
                  postingsPath: String, termsPath: String,
                  statsPath: String): Long = {
@@ -308,7 +343,30 @@ object IncrementalBm25 {
               "silently skip the negative partials; retire ids must be " +
               "disjoint from ingest batch ids")
           if (nVictims > 0) {
-            // Reuse probe (the dangerous half): victims still indexed with
+            // Reuse probe, EXACT half (ADVICE r17): a completed
+            // retirement records its requested victim set's fingerprint
+            // beside the marker; a replay must fingerprint identically.
+            // Absent sidecar (legacy store / upsert→fingerprint crash
+            // window) falls through to the containment probe below —
+            // the one path that keeps the subset-shaped blind spot.
+            val fpDir = victimFpDir(termsPath, retireBatchId)
+            val hfs = fpDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+            val storedFps =
+              try hfs.globStatus(new org.apache.hadoop.fs.Path(fpDir, "_victims.*"))
+                .map(_.getPath.getName.stripPrefix("_victims."))
+              catch { case _: java.io.FileNotFoundException => Array.empty[String] }
+            if (storedFps.nonEmpty) {
+              val fp = victimSetFp(victims)
+              require(storedFps.contains(fp),
+                s"BM25 retire precondition violated: retireBatchId " +
+                  s"'$retireBatchId' already carries a commit marker " +
+                  s"fingerprinted for victim set ${storedFps.mkString(", ")}, " +
+                  s"but this call's victim set fingerprints as $fp — a " +
+                  "retire id names ONE victim set, ever; reusing it for a " +
+                  "different set deletes postings while skipping their " +
+                  "partial subtraction")
+            }
+            // Reuse probe, containment half: victims still indexed with
             // a marker present is either a healing replay (remaining
             // footprint ⊆ the original, so the stored negative partial
             // COVERS it) or a reuse for a different victim set (it
@@ -379,6 +437,15 @@ object IncrementalBm25 {
             partitionCols = Seq("batch", "tbucket"),
             partitionValues = negHint,
             incomingUnique = true, schema = Some(termsSchema))
+          // Victim-set fingerprint sidecar, written AFTER the negative
+          // partials (= the commit marker) so its presence implies they
+          // landed; a crash between the two leaves a marker without a
+          // sidecar, which the reuse probe treats as legacy (containment
+          // fallback). Empty file — the fingerprint IS the name.
+          val fpDir = victimFpDir(termsPath, retireBatchId)
+          val hfs = fpDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          hfs.create(new org.apache.hadoop.fs.Path(fpDir,
+            s"_victims.${victimSetFp(victims)}"), true).close()
         }
         if (nVictims > 0)
           KeyedParquetStore.deleteMatching(spark, postingsPath, victims,

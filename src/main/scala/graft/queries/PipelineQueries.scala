@@ -3336,7 +3336,71 @@ object PipelineQueries {
         |  FROM all_docs)
         |SELECT doc_id, content_hash, n_copies FROM counted
         |WHERE ${h60("CAST(doc_id AS VARCHAR) || '_q100'")} % 1000000
-        |      < LEAST(1000000, (1000000 * 1) // n_copies)""".stripMargin))
+        |      < LEAST(1000000, (1000000 * 1) // n_copies)""".stripMargin)),
+
+    // Substring-grain exact dedup with BRIDGE windows (r18): q66's
+    // segment dedup misses a duplicated span STRADDLING a segment
+    // boundary (both halves unique) — the same straddle class q96's
+    // decon bridges closed. spanDedup adds odd stride-5 bridge windows
+    // that only DECIDE: every non-first occurrence of a bridge's
+    // content burns the two base segments it straddles; reassembly
+    // emits base segments only. Oracle = q66's segment CTEs + q96's
+    // bridge-CTE pattern at the 10-token grain.
+    Q("q101_span_dedup",
+      (s, dir) =>
+        Dedup.spanDedup(
+          Tables.documents(s, dir).select(col("doc_id"), col("text")),
+          segTokens = 10),
+      Some(s"""WITH d AS (
+        |  SELECT doc_id, text, regexp_split_to_array(text, '\\s+') AS toks
+        |  FROM documents),
+        |n AS (
+        |  SELECT doc_id, toks,
+        |         CAST(ceil(len(toks) / 10.0) AS BIGINT) AS n_segs
+        |  FROM d),
+        |seg AS (
+        |  SELECT doc_id, i AS seg_idx,
+        |         array_to_string(
+        |           list_slice(toks, CAST(i*10 + 1 AS BIGINT),
+        |                      CAST((i+1)*10 AS BIGINT)), ' ') AS seg
+        |  FROM n, UNNEST(range(n_segs)) AS t(i)),
+        |w AS (
+        |  SELECT doc_id, seg_idx, seg,
+        |         row_number() OVER (PARTITION BY ${h60("seg")}
+        |                            ORDER BY doc_id, seg_idx) AS rn
+        |  FROM seg),
+        |bw AS (
+        |  SELECT doc_id, wi,
+        |         array_to_string(
+        |           list_slice(toks, CAST(wi*5 + 1 AS BIGINT),
+        |                      CAST(wi*5 + 10 AS BIGINT)), ' ') AS btext
+        |  FROM (SELECT doc_id, toks,
+        |          unnest(generate_series(0,
+        |            GREATEST(1, CAST(ceil((len(toks) - 5) * 1.0 / 5) AS BIGINT))
+        |              - 1)) AS wi
+        |        FROM d WHERE trim(text) <> '')
+        |  WHERE wi % 2 = 1),
+        |bl AS (
+        |  SELECT doc_id, wi FROM (
+        |    SELECT doc_id, wi,
+        |      row_number() OVER (PARTITION BY ${h60("btext")}
+        |                         ORDER BY doc_id, wi) AS rn
+        |    FROM bw) WHERE rn > 1),
+        |burn AS (
+        |  SELECT DISTINCT doc_id, (wi - 1) // 2 + dd AS seg_idx
+        |  FROM bl, UNNEST([0, 1]) AS t(dd)),
+        |k AS (
+        |  SELECT w.doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+        |         string_agg(seg, ' ' ORDER BY seg_idx) AS text_dedup
+        |  FROM w
+        |  WHERE rn = 1 AND NOT EXISTS (
+        |    SELECT 1 FROM burn b
+        |    WHERE b.doc_id = w.doc_id AND b.seg_idx = w.seg_idx)
+        |  GROUP BY w.doc_id)
+        |SELECT n.doc_id, n.n_segs,
+        |       CAST(COALESCE(k.n_kept, 0) AS BIGINT) AS n_kept,
+        |       COALESCE(k.text_dedup, '') AS text_dedup
+        |FROM n LEFT JOIN k USING (doc_id)""".stripMargin))
   )
 
   /** The curation-v2 chain (q90), factored so the q91 training-order
@@ -3436,8 +3500,13 @@ object PipelineQueries {
     * exchange — no stage touches rejected docs' bodies. */
   private def curationV3(s: SparkSession, dir: String): DataFrame = {
     val (pool, evalDocs, _, _, keptIds) = curationKept(s, dir)
-    val keptText = pool.select(col("doc_id"), col("text"))
-      .join(keptIds, Seq("doc_id"), "left_semi")
+    // Pinned (r18, the r17 verdict's deferred note): keptText feeds BOTH
+    // the base-chunk pass and the bridge pass below — unpinned, the
+    // second consumer re-executed the whole stages-1–3 chain (quality
+    // gate, shingles, banding, Jaccard, election) just to re-derive the
+    // survivors' text.
+    val keptText = graft.Pin.ser(pool.select(col("doc_id"), col("text"))
+      .join(keptIds, Seq("doc_id"), "left_semi"))
     val chunks = graft.Pin.ser(
       TextAnalysis.chunkDocuments(keptText, maxTokens = 64, overlap = 0))
     val ckey = concat(col("doc_id").cast("string"), lit("#"),

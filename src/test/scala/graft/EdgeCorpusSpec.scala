@@ -105,6 +105,32 @@ class EdgeCorpusSpec extends SparkSpec {
     assert(rc.length === 3 && !rc.exists(r => r.isNullAt(1)))
   }
 
+  test("every registry query is well-defined on a DUP-HEAVY corpus, and " +
+      "soft dedup actually thins the boilerplate mass (r18)") {
+    import org.apache.spark.sql.functions._
+    val dir = corpus("dupheavy")
+    val failures = runRegistry(dir)
+    assert(failures.isEmpty, failures.map { case (n, e) =>
+      s"$n: ${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}"
+    }.mkString("\n"))
+    // The construction holds: ONE text covers ≥ 30% of all docs — the
+    // crawl-pathology regime the dedup faces exist for, which the
+    // balanced draws never produce (their clusters are tiny; that is
+    // how q100's r17 hot-key window stayed invisible at every SF).
+    val docsDf = spark.read.parquet(s"$dir/documents.parquet")
+    val total = docsDf.count()
+    val top = docsDf.groupBy(col("text")).count()
+      .agg(max(col("count"))).collect().head.getLong(0)
+    assert(top * 10L >= total * 3L - 10L,
+      s"dupheavy draw broken: top cluster $top of $total docs")
+    // q100 (soft dedup over the TRIPLED corpus) must collapse the
+    // boilerplate clusters to ~targetCopies survivors each: with ≥ 40%
+    // of input duplicated the output is far below the 3·total input.
+    val q100Rows = SparkEntry.queries("q100_soft_dedup")(spark, dir).count()
+    assert(q100Rows * 4L <= 3L * total * 3L,
+      s"soft dedup failed to thin: $q100Rows of ${3 * total} rows kept")
+  }
+
   test("q63 emits the ANSI grand-total row on an empty corpus") {
     import org.apache.spark.sql.Row
     val rows = SparkEntry.queries("q63_mixture_rollup")(spark, corpus("empty"))

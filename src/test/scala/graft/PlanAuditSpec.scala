@@ -53,4 +53,22 @@ class PlanAuditSpec extends SparkSpec {
       assert(offenders.isEmpty, "\n" + offenders.mkString("\n"))
     } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
   }
+
+  test("q100_soft_dedup plans NO Window at all — counts must come from " +
+      "the aggregate-then-join shape (r18)") {
+    // The r17 formulation's count().over(partitionBy(content_hash))
+    // passed the global-window audit (non-empty partition spec) while
+    // serializing every copy of a hot boilerplate text onto ONE task —
+    // the exact corpus soft dedup exists for. The fix is shape-level,
+    // so the gate is shape-level: no WindowExec of any kind in q100.
+    val prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val plan = SparkEntry.queries("q100_soft_dedup")(spark, dir)
+        .queryExecution.executedPlan
+      assert(plan.collect { case w: WindowExec => w }.isEmpty,
+        "q100 planned a WindowExec — a data-cardinality-keyed window " +
+          "is a hot-key straggler on boilerplate-heavy corpora")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
 }

@@ -78,6 +78,75 @@ class DedupSpec extends SparkSpec {
       (4L, 2L, 1L, "p q r")))
   }
 
+  test("softDedup groups null-text docs into ONE shared null cluster " +
+      "(r18: the aggregate-then-join shape must keep the window/groupBy " +
+      "null verdict — a plain equi-join would silently drop them)") {
+    val corpus = Seq[(Long, String)]((1L, null), (2L, null), (3L, null),
+      (4L, "a genuinely unique document present exactly once"))
+      .toDF("doc_id", "text")
+    def h60(sx: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(sx.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.take(15), 16)
+    }
+    val expectNulls = (1L to 3L)
+      .filter(i => h60(s"${i}_sN") % 1000000L < 333333L).toSet
+    val got = Dedup.softDedup(corpus, targetCopies = 1L, salt = "sN")
+      .select($"doc_id", $"content_hash", $"n_copies")
+      .as[(Long, Option[Long], Long)].collect()
+    assert(got.map(_._1).toSet === expectNulls + 4L)
+    got.filter(_._1 <= 3L).foreach { case (_, ch, n) =>
+      assert(ch.isEmpty && n === 3L,
+        "null-text docs must carry a null content_hash and the shared " +
+          "cluster's count")
+    }
+  }
+
+  test("spanDedup burns a boundary-straddling duplicated span that " +
+      "segmentDedup misses, keeps the first occurrence, and leaves " +
+      "unrelated docs intact (r18)") {
+    // S=4 grid: the span s1..s4 occupies token positions 2..5 in BOTH
+    // docs — straddling the segment boundary at 4, so all four base
+    // segments are distinct and segment dedup keeps every copy. The
+    // odd stride-2 bridge window w=1 covers exactly [2,6) = the span:
+    // doc 1's occurrence wins the bridge election, doc 2's loses and
+    // burns its base segments 0 and 1.
+    val d = Seq(
+      (1L, "a1 a2 s1 s2 s3 s4 a7 a8"),
+      (2L, "b1 b2 s1 s2 s3 s4 b7 b8"),
+      (3L, "d1 d2 d3 d4 d5")
+    ).toDF("doc_id", "text")
+    val missed = Dedup.segmentDedup(d, segTokens = 4)
+    assert(missed.filter($"n_kept" =!= $"n_segs").count() === 0,
+      "precondition: the straddle must be INVISIBLE to segment dedup")
+    val got = Dedup.spanDedup(d, segTokens = 4)
+      .orderBy($"doc_id")
+      .as[(Long, Long, Long, String)].collect().toSeq
+    assert(got === Seq(
+      (1L, 2L, 2L, "a1 a2 s1 s2 s3 s4 a7 a8"),
+      (2L, 2L, 0L, ""),
+      (3L, 2L, 2L, "d1 d2 d3 d4 d5")))
+  }
+
+  test("spanDedup subsumes segmentDedup's aligned-duplicate verdicts " +
+      "and rejects an odd grain") {
+    // whole-segment duplicates (segmentDedup's own planted case) get
+    // the same verdicts: doc 3 is entirely doc 1's segments → empty.
+    val d = Seq(
+      (1L, "a b c d e f g h"),
+      (3L, "a b c d e f g h")
+    ).toDF("doc_id", "text")
+    val got = Dedup.spanDedup(d, segTokens = 4)
+      .orderBy($"doc_id")
+      .as[(Long, Long, Long, String)].collect().toSeq
+    assert(got === Seq(
+      (1L, 2L, 2L, "a b c d e f g h"),
+      (3L, 2L, 0L, "")))
+    intercept[IllegalArgumentException] {
+      Dedup.spanDedup(d, segTokens = 3)
+    }
+  }
+
   test("segmentDedup leaves a duplicate-free corpus bit-identical") {
     // docs 2 and 3 share segments with doc 1; 1/4/5 share none.
     val orig = docs.filter($"doc_id".isin(1L, 4L, 5L))
@@ -458,15 +527,35 @@ class DedupSpec extends SparkSpec {
       // passes, and the delete completes
       assert(IncrementalBm25.retireDocs(spark, Seq(2L, 3L).toDF("doc_id"),
         "r1", pP, tP, sP) === 2L)
-      // reusing r1 for a DIFFERENT, still-indexed victim set: doc 1's
-      // terms overflow the recorded negatives → refused before the delete
+      // reusing r1 for a DIFFERENT, still-indexed victim set is caught
+      // EXACTLY by the victim-set fingerprint (r18, ADVICE r17) — the
+      // overflow set {1} and, crucially, the subset-SHAPED set {2} ⊂
+      // {2,3}, whose still-present footprint the containment probe alone
+      // cannot distinguish from a healing replay (the r17 false negative)
+      assert(Seq("rm", "-rf", pP).! === 0)
+      assert(Seq("cp", "-r", s"$dir/p_bak", pP).! === 0)
+      val subsetReuse = intercept[IllegalArgumentException] {
+        IncrementalBm25.retireDocs(spark, Seq(2L).toDF("doc_id"), "r1",
+          pP, tP, sP)
+      }
+      assert(subsetReuse.getMessage.contains("fingerprints as"))
       val reuse = intercept[IllegalArgumentException] {
         IncrementalBm25.retireDocs(spark, Seq(1L).toDF("doc_id"), "r1",
           pP, tP, sP)
       }
-      assert(reuse.getMessage.contains("cannot cover"))
+      assert(reuse.getMessage.contains("fingerprints as"))
       assert(graft.sources.KeyedParquetStore.read(spark, pP).get
-        .filter($"doc_id" === 1L).count() > 0L)
+        .filter($"doc_id".isin(1L, 2L)).count() > 0L)
+      // legacy store / upsert→fingerprint crash window: with the sidecar
+      // gone the probe degrades to footprint CONTAINMENT — overflow sets
+      // still refuse (the subset-shaped blind spot is the documented
+      // residue of that fallback, and only of it)
+      assert(Seq("bash", "-c", s"rm $tP/batch=r1/_victims.*").! === 0)
+      val legacy = intercept[IllegalArgumentException] {
+        IncrementalBm25.retireDocs(spark, Seq(1L).toDF("doc_id"), "r1",
+          pP, tP, sP)
+      }
+      assert(legacy.getMessage.contains("cannot cover"))
     } finally spark.conf.unset("spark.graft.store.debugChecks")
   }
 
