@@ -329,8 +329,107 @@ object Dedup {
         (expr("(2000000 * n_inter + (n_a + n_b - n_inter)) div " +
           "(2 * (n_a + n_b - n_inter))") / lit(1000000.0)).as("jaccard"))
 
-  /** MinHash-LSH near-dup detection end to end: shingle → minhash → banded
-    * candidates → exact-Jaccard confirm at `threshold`.
+  /** Identical-text classes `(doc_id, rep)` over a (doc_id, text)
+    * relation — rep = the class's MIN id, [[exact]]'s election verbatim
+    * (one hash-keyed groupBy with map-side partials, then a null-safe
+    * join-back on the 60-bit content hash; null texts share one class,
+    * the [[softDedup]] convention). The collapse substrate for every
+    * banded near-dup face: identical texts have identical shingle sets,
+    * hence identical minhash/simhash signatures, so a K-copy boilerplate
+    * cluster collides with itself in EVERY band and the band self-join
+    * emits C(K,2) candidate pairs — ~10¹⁸ at a 30% boilerplate cluster
+    * over 10⁹ docs (the r18 verdict's measured scale-killer: q37 169.9 s
+    * / q87 141.0 s at dupheavy sf0.1). Banding ONE representative per
+    * class erases that regime exactly: identical shingle sets ⇒
+    * identical candidates, Jaccard values, and closure, and min-id
+    * election is preserved because the rep IS its class's min id.
+    *
+    * Null-id rows are dropped: under the pre-collapse plans they could
+    * never surface in any pair (`doc_a < doc_b` and the self-pair
+    * exemptions all evaluate null → filtered), so excluding them up
+    * front reproduces that verdict without letting `least/greatest`
+    * manufacture degenerate pairs during expansion. Pinned — every
+    * caller consumes it ≥ 2× (rep election + label/pair expansion). */
+  private[pipeline] def identicalClasses(docs: DataFrame,
+                                         idCol: String = "doc_id"): DataFrame = {
+    val ids = docs.filter(col(idCol).isNotNull)
+      .select(col(idCol).as("doc_id"), md5Hash60(col("text")).as("__ch"))
+    val reps = ids.groupBy(col("__ch")).agg(min(col("doc_id")).as("rep"))
+      .withColumnRenamed("__ch", "__chr")
+    graft.Pin.ser(ids.join(reps, col("__ch") <=> col("__chr"))
+      .select(col("doc_id"), col("rep")))
+  }
+
+  /** The collapsed minhash-LSH core shared by [[minhashLsh]] and
+    * [[nearDupLabels]]: identical-class collapse, then shingle → minhash
+    * → banded candidates → exact-Jaccard confirm over ONE representative
+    * per class. Returns (members, rep shingle relation, confirmed rep
+    * pairs at `threshold`) — candidate and confirm work is
+    * O(distinct-class pairs), never O(copies²) (the r18 planted spec's
+    * assertion).
+    *
+    * The rep shingle relation is consumed TWICE downstream (the minhash
+    * aggregation and the Jaccard confirm's single join — r7 collapsed
+    * the confirm's three consumptions into one), so it is materialized
+    * ONCE per call via an eager serialized checkpoint ([[graft.Pin.ser]])
+    * — recomputing it paid the md5-per-shingle scan 4× (the round-3
+    * driver bench recorded q37 at 15.7 s, dominated by exactly that).
+    * See [[graft.Pin]] for why checkpoint-over-cache and serialized-
+    * over-deserialized, and for the executor-loss trade-off. */
+  private[pipeline] def collapsedRepPairs(docs: DataFrame, numHashes: Int,
+                                          rowsPerBand: Int, shingleN: Int,
+                                          threshold: Double)
+      : (DataFrame, DataFrame, DataFrame) = {
+    val members = identicalClasses(docs)
+    val repDocs = docs.join(
+      members.filter(col("doc_id") === col("rep")).select(col("doc_id")),
+      Seq("doc_id"), "left_semi")
+    val sh = graft.Pin.ser(TextAnalysis.hashedShingles(repDocs, shingleN))
+    val sigs = bandSigs(sh, numHashes, rowsPerBand)
+    val cands = sigs.select(col("band"), col("sig"), col("doc_id").as("doc_a"))
+      .join(sigs.select(col("band"), col("sig"), col("doc_id").as("doc_b")),
+        Seq("band", "sig"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+    (members, sh, exactJaccard(cands, sh).filter(col("jaccard") >= threshold))
+  }
+
+  /** Member-grain cluster labels from collapsed rep-level pairs — the
+    * expansion half of the r19 collapse, shared by [[nearDupLabels]] and
+    * [[IncrementalDedup]]'s in-batch closure. Components over the FULL
+    * pair graph are the rep-level components blown up by their classes
+    * (each class is a jaccard-1.0 clique), plus every multi-member
+    * shingled class whose rep paired with no other class (an isolated
+    * clique — its members pair only with each other). Labels are the
+    * component-min id, which is always a rep (reps are class minima), so
+    * member label = its rep's label, defaulting to the rep itself for
+    * isolated cliques. Classes without shingles (< shingleN tokens, or
+    * null text) never signed a band and never pair — absent, exactly the
+    * pre-collapse verdict. Returns (doc_id, label); docs in no pair are
+    * absent (the [[dedupClusters]] contract). */
+  private[pipeline] def expandMemberLabels(members: DataFrame, sh: DataFrame,
+                                           repPairs: DataFrame,
+                                           threshold: Double): DataFrame = {
+    val repLabels = dedupClusters(repPairs.select(col("doc_a"), col("doc_b")))
+      .select(col("doc_id").as("rep"), col("label"))
+    val labeledReps =
+      if (threshold <= 1.0) {
+        // isolated identical cliques: ≥2 members AND ≥1 shingle
+        val cliques = members.groupBy(col("rep")).agg(count(lit(1)).as("__k"))
+          .filter(col("__k") >= 2).select(col("rep"))
+          .join(sh.select(col("doc_id").as("rep")), Seq("rep"), "left_semi")
+        repLabels.select(col("rep")).unionByName(cliques).distinct()
+      } else repLabels.select(col("rep"))
+    labeledReps
+      .join(repLabels, Seq("rep"), "left")
+      .select(col("rep"), coalesce(col("label"), col("rep")).as("label"))
+      .join(members, Seq("rep"))
+      .select(col("doc_id"), col("label"))
+  }
+
+  /** MinHash-LSH near-dup detection end to end: identical-class collapse
+    * → shingle → minhash → banded candidates → exact-Jaccard confirm at
+    * `threshold` → expansion back to member pairs.
     *
     * Shuffle profile at 100 TB: the band exchange carries ONLY
     * `(band, sig, doc_id)` — id-width rows, never shingle arrays or text —
@@ -339,26 +438,62 @@ object Dedup {
     * relation `(doc_id, h)` (8-byte longs) on the candidate ids; LSH keeps
     * that candidate set tiny, so the quadratic work never materializes.
     *
-    * The hashed-shingle relation is consumed TWICE downstream (the
-    * minhash aggregation and the Jaccard confirm's single join — r7
-    * collapsed the confirm's three consumptions into one), so it is
-    * materialized ONCE per call via an
-    * eager serialized checkpoint ([[graft.Pin.ser]]) — recomputing it
-    * paid the md5-per-shingle scan 4× (the round-3 driver bench recorded
-    * q37 at 15.7 s, dominated by exactly that; a builder-side "recompute
-    * beats persist" measurement did not hold at driver config). See
-    * [[graft.Pin]] for why checkpoint-over-cache and serialized-over-
-    * deserialized, and for the executor-loss trade-off. */
+    * r19 (the r18 verdict's measured scale-killer): banding runs on ONE
+    * representative per identical-text class ([[identicalClasses]]) —
+    * a K-copy boilerplate cluster previously collided with itself in all
+    * bands (C(K,2) candidates through a 16× band explosion and the
+    * shingle-explode confirm: q37 169.9 s / q87 141.0 s at dupheavy
+    * sf0.1). Post-collapse, candidate + confirm work is O(distinct-class
+    * pairs); member pairs re-expand at the end as id-width joins —
+    * within-class pairs at their exact Jaccard of 1.0 (ni = n_a = n_b ⇒
+    * the integer micro-unit rounding yields exactly 1000000), cross-class
+    * pairs inheriting their reps' Jaccard verbatim (identical shingle
+    * sets ⇒ identical ni/na/nb). The OUTPUT of this pair face is still
+    * inherently quadratic in cluster size — C(K,2) rows exist by
+    * contract — so cluster-grain consumers should use [[nearDupLabels]],
+    * whose expansion stays linear. */
   def minhashLsh(docs: DataFrame, numHashes: Int = 16, rowsPerBand: Int = 4,
                  shingleN: Int = 3, threshold: Double = 0.5): DataFrame = {
-    val sh = graft.Pin.ser(TextAnalysis.hashedShingles(docs, shingleN))
-    val sigs = bandSigs(sh, numHashes, rowsPerBand)
-    val cands = sigs.select(col("band"), col("sig"), col("doc_id").as("doc_a"))
-      .join(sigs.select(col("band"), col("sig"), col("doc_id").as("doc_b")),
-        Seq("band", "sig"))
-      .filter(col("doc_a") < col("doc_b"))
-      .select("doc_a", "doc_b").distinct()
-    exactJaccard(cands, sh).filter(col("jaccard") >= threshold)
+    val (members, sh, repPairs) =
+      collapsedRepPairs(docs, numHashes, rowsPerBand, shingleN, threshold)
+    val cross = repPairs
+      .join(members.select(col("rep").as("doc_a"), col("doc_id").as("__a")),
+        Seq("doc_a"))
+      .join(members.select(col("rep").as("doc_b"), col("doc_id").as("__b")),
+        Seq("doc_b"))
+      .select(least(col("__a"), col("__b")).as("doc_a"),
+        greatest(col("__a"), col("__b")).as("doc_b"), col("jaccard"))
+    if (threshold <= 1.0) {
+      // within-class pairs: every multi-member shingled class is a
+      // jaccard-1.0 clique (sub-shingle and null-text classes never
+      // banded, so they never pair — the sh semi-join reproduces that)
+      val m = members.join(sh.select(col("doc_id").as("rep")),
+        Seq("rep"), "left_semi")
+      val within = m.select(col("rep"), col("doc_id").as("doc_a"))
+        .join(m.select(col("rep"), col("doc_id").as("doc_b")), Seq("rep"))
+        .filter(col("doc_a") < col("doc_b"))
+        .select(col("doc_a"), col("doc_b"), lit(1.0).as("jaccard"))
+      cross.unionByName(within)
+    } else cross
+  }
+
+  /** Near-dup cluster labels end to end — [[minhashLsh]] composed with
+    * [[dedupClusters]] WITHOUT ever materializing member-grain pairs:
+    * the cluster-grain consumer face (q37/q87). The pair face's output
+    * is inherently C(K,2) in identical-cluster size; here the rep-level
+    * closure expands straight to (doc_id, label) — one row per clustered
+    * member, linear at any duplication factor. Returns exactly
+    * `dedupClusters(minhashLsh(docs, …).select("doc_a", "doc_b"))`:
+    * identical shingle sets ⇒ identical candidates/Jaccard/closure, and
+    * min-id election is preserved because each rep is its class's min
+    * id (see [[expandMemberLabels]] for the isolated-clique case). */
+  def nearDupLabels(docs: DataFrame, numHashes: Int = 16, rowsPerBand: Int = 4,
+                    shingleN: Int = 3, threshold: Double = 0.5): DataFrame = {
+    val (members, sh, repPairs) =
+      collapsedRepPairs(docs, numHashes, rowsPerBand, shingleN, threshold)
+    expandMemberLabels(members, sh, repPairs, threshold)
+      .select(col("doc_id").cast("long").as("doc_id"),
+        col("label").cast("long").as("label"))
   }
 
   /** Near-dup CLUSTER canonicalization: connected components over the
@@ -786,15 +921,34 @@ object Dedup {
         s"${(bands - 1) * bitsPerBand} ≥ $signatureBits — beyond the " +
         s"$signatureBits-bit signature every document shares that all-zero " +
         "band and the bucket join degenerates to the quadratic cross product")
+    // Identical-SIGNATURE collapse (r19, the minhashLsh collapse at the
+    // signature grain — stronger, since distinct texts sharing one
+    // simhash also collapse): a K-copy class shares every band, so the
+    // pre-collapse bucket join emitted C(K,2) pairs through a `bands`×
+    // explosion. Band one rep (min id) per distinct signature, expand
+    // back: cross pairs inherit their reps' Hamming verbatim (same two
+    // signatures), within pairs are Hamming 0 by identity. Null
+    // signatures never matched any band bucket pre-collapse (null
+    // equi-join keys), so their classes are excluded from expansion;
+    // null ids could never pass `doc_a < doc_b`.
+    val ids = sigs.filter(col("doc_id").isNotNull)
+      .select(col("doc_id"), col("simhash"))
+    val reps = ids.groupBy(col("simhash")).agg(min(col("doc_id")).as("rep"))
+      .withColumnRenamed("simhash", "__sr")
+    val members = graft.Pin.ser(ids.join(reps, col("simhash") <=> col("__sr"))
+      .select(col("doc_id"), col("simhash"), col("rep")))
+    val repSigs = members.filter(col("doc_id") === col("rep"))
+      .select(col("doc_id"), col("simhash"))
     val mask = (1L << bitsPerBand) - 1
     val bandCols = (0 until bands).map { b =>
       struct(lit(b).as("b"),
         expr(s"shiftright(simhash, ${b * bitsPerBand}) & ${mask}L").as("v"))
     }
-    val banded = sigs
+    val banded = repSigs
       .select(col("doc_id"), col("simhash"), explode(array(bandCols: _*)).as("bd"))
       .select(col("doc_id"), col("simhash"), col("bd.b").as("b"), col("bd.v").as("v"))
-    banded.select(col("b"), col("v"), col("doc_id").as("doc_a"), col("simhash").as("sig_a"))
+    val repPairs = banded
+      .select(col("b"), col("v"), col("doc_id").as("doc_a"), col("simhash").as("sig_a"))
       .join(banded.select(col("b"), col("v"), col("doc_id").as("doc_b"),
         col("simhash").as("sig_b")), Seq("b", "v"))
       .filter(col("doc_a") < col("doc_b"))
@@ -802,5 +956,20 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"),
         bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).cast("long").as("hamming"))
       .filter(col("hamming") <= maxHamming)
+    val cross = repPairs
+      .join(members.select(col("rep").as("doc_a"), col("doc_id").as("__a")),
+        Seq("doc_a"))
+      .join(members.select(col("rep").as("doc_b"), col("doc_id").as("__b")),
+        Seq("doc_b"))
+      .select(least(col("__a"), col("__b")).as("doc_a"),
+        greatest(col("__a"), col("__b")).as("doc_b"), col("hamming"))
+    if (maxHamming >= 0) {
+      val m = members.filter(col("simhash").isNotNull)
+      val within = m.select(col("rep"), col("doc_id").as("doc_a"))
+        .join(m.select(col("rep"), col("doc_id").as("doc_b")), Seq("rep"))
+        .filter(col("doc_a") < col("doc_b"))
+        .select(col("doc_a"), col("doc_b"), lit(0L).as("hamming"))
+      cross.unionByName(within)
+    } else cross
   }
 }

@@ -225,13 +225,26 @@ object IncrementalDedup {
                          numHashes: Int, rowsPerBand: Int,
                          shingleN: Int, threshold: Double)
       : (DataFrame, DataFrame, DataFrame) = {
+    // Identical-class collapse (r19 — Dedup.minhashLsh's fix at the
+    // ingest face): K identical batch copies previously band-joined each
+    // other C(K,2) times AND the stored index K times each. Shingle/band
+    // ONE rep (min id) per class; every kept doc is a rep by
+    // construction (a non-rep member always loses to its own rep — the
+    // clique path below — or to something smaller), so the rep-only
+    // `sh`/`bands` relations remain exactly what ingestBatch's upserts
+    // need. Null-id rows never pair on any path (null comparisons) and
+    // label `kept` via the no-match left joins, pre- and post-collapse.
+    val members = Dedup.identicalClasses(batch)
+    val repBatch = batch.join(
+      members.filter(col("doc_id") === col("rep")).select(col("doc_id")),
+      Seq("doc_id"), "left_semi")
     // Materialized once per call: consumed by the band build, the
     // vs-store confirm and the in-batch confirm (see minhashLsh's
     // rationale for localCheckpoint over cache()).
-    val sh = TextAnalysis.hashedShingles(batch, shingleN).localCheckpoint(true, org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    val sh = TextAnalysis.hashedShingles(repBatch, shingleN).localCheckpoint(true, org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     val bands = Dedup.bandSigs(sh, numHashes, rowsPerBand).localCheckpoint(true, org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
 
-    // In-batch candidates + confirm: minhashLsh's own shape.
+    // In-batch candidates + confirm at the REP grain: minhashLsh's shape.
     val selfCands = bands.select(col("band"), col("sig"), col("doc_id").as("doc_a"))
       .join(bands.select(col("band"), col("sig"), col("doc_id").as("doc_b")),
         Seq("band", "sig"))
@@ -240,11 +253,11 @@ object IncrementalDedup {
     val selfPairs = Dedup.exactJaccard(selfCands, sh)
       .filter(col("jaccard") >= threshold).select("doc_a", "doc_b")
 
-    // Vs-store candidates + confirm: batch bands against the persisted
-    // band index (doc_a = batch, doc_b = stored); the stored shingles
-    // join SEMI-pruned to the candidate ids — stored text is never read
-    // (the stores don't even carry it).
-    val storedPairs = KeyedParquetStore.read(spark, bandsPath,
+    // Vs-store candidates + confirm: rep bands against the persisted
+    // band index (doc_a = batch rep, doc_b = stored); the stored
+    // shingles join SEMI-pruned to the candidate ids — stored text is
+    // never read (the stores don't even carry it).
+    val storedDup = KeyedParquetStore.read(spark, bandsPath,
       schema = Some(bandStoreSchema)).map { sb =>
       // Parameter-drift guard lives HERE so BOTH faces get it — the
       // dry-run dedupBatch mislabels under drift exactly like an ingest
@@ -261,19 +274,24 @@ object IncrementalDedup {
             s"but this call uses $cfg — drifted signatures match nothing " +
             "and every stored near-dup would silently re-enter as kept")
       }
-      // doc_a <> doc_b: on an ingest RETRY the batch's own kept docs are
-      // already indexed, and a doc must not read as a duplicate of itself.
-      // Checkpointed: the confirm consumes `cands` twice (semi-prune +
-      // the exactJaccard pair explode) — without the pin each consumer
-      // re-reads the store and re-runs the band join (the q37 recompute
-      // lesson). The combined shingle relation is consumed ONCE since
-      // r7's single-join exactJaccard, so it is no longer checkpointed.
-      val cands = bands
+      // Checkpointed: consumed by the self-stored split, the semi-prune,
+      // and the exactJaccard pair explode — without the pin each
+      // consumer re-reads the store and re-runs the band join (the q37
+      // recompute lesson).
+      val hits = bands
         .join(sb.select(col("band"), col("sig"), col("doc_id").as("doc_b")),
           Seq("band", "sig"))
-        .filter(col("doc_id") =!= col("doc_b"))
         .select(col("doc_id").as("doc_a"), col("doc_b")).distinct()
         .localCheckpoint(true, org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+      // doc_a <> doc_b: on an ingest RETRY the batch's own kept docs are
+      // already indexed, and a doc must not read as a duplicate of
+      // ITSELF — but its identical classmates DO match the stored copy
+      // (jaccard exactly 1.0; pre-collapse each classmate confirmed that
+      // pair individually). The self-hit is the detector: a rep whose
+      // own id sits in the store shares every band with it by identity.
+      val selfStored = hits.filter(col("doc_a") === col("doc_b"))
+        .select(col("doc_a").as("rep"))
+      val cands = hits.filter(col("doc_a") =!= col("doc_b"))
       val storedSh = KeyedParquetStore.read(spark, shinglesPath,
           schema = Some(shingleStoreSchema))
         // unreachable via this module's own writes since the r8
@@ -287,16 +305,29 @@ object IncrementalDedup {
         .join(cands.select(col("doc_b").as("doc_id")).distinct(),
           Seq("doc_id"), "left_semi")
       val shAll = sh.unionByName(storedSh)
-      Dedup.exactJaccard(cands, shAll)
-        .filter(col("jaccard") >= threshold).select("doc_a", "doc_b")
+      val confirmedReps = Dedup.exactJaccard(cands, shAll)
+        .filter(col("jaccard") >= threshold)
+        .select(col("doc_a").as("rep")).distinct()
+      // Expand to members: a confirmed rep's WHOLE class is
+      // dup_of_stored (identical shingle sets ⇒ identical Jaccard); a
+      // self-stored rep's classmates (id ≠ rep) are dup_of_stored too —
+      // each matches the stored copy at jaccard 1.0 — while the rep
+      // itself stays exempt as its own self-pair.
+      val viaCross = members.join(confirmedReps, Seq("rep"))
+        .select(col("doc_id"))
+      val viaSelf =
+        if (threshold <= 1.0)
+          members.filter(col("doc_id") =!= col("rep"))
+            .join(selfStored, Seq("rep")).select(col("doc_id"))
+        else viaCross.limit(0)
+      viaCross.unionByName(viaSelf).distinct()
     }
 
-    val dupOfStored = storedPairs
-      .map(_.select(col("doc_a").as("doc_id")).distinct()
-        .withColumn("__stored_dup", lit(true)))
-    // Within-batch clusters over the confirmed pair graph; members whose
-    // id is not the cluster canonical are dropped.
-    val nonCanonical = Dedup.dedupClusters(selfPairs)
+    val dupOfStored = storedDup.map(_.withColumn("__stored_dup", lit(true)))
+    // Within-batch clusters over the rep pair graph, expanded to member
+    // labels (isolated identical cliques included); members whose id is
+    // not the cluster canonical are dropped.
+    val nonCanonical = Dedup.expandMemberLabels(members, sh, selfPairs, threshold)
       .filter(col("doc_id") =!= col("label"))
       .select(col("doc_id")).distinct()
       .withColumn("__batch_dup", lit(true))

@@ -170,22 +170,40 @@ object IncrementalEmbedDedup {
                          sigsPath: String, vecsPath: String,
                          threshold: Double, bits: Int, tables: Int,
                          dim: Int, maxCandidatePairs: Long): (DataFrame, DataFrame) = {
-    // Pinned once per call: v feeds the signature build, the in-batch
-    // confirm (both sides) and the vs-store confirm — the
-    // cosinePairsLsh r12 pin lesson applies verbatim here.
-    val v = graft.Pin.ser(batch.select(col("vec_id"),
-      col("embedding").cast("array<double>").as("e")))
+    // Identical-vector collapse (r19 — cosinePairsLsh's fix at the
+    // ingest face): K identical batch vectors previously bucket-joined
+    // each other C(K,2) times and the stored index K times each. Group
+    // on the double-cast vector (exact array equality), sign/bucket ONE
+    // rep (min id) per class; every kept vector is a rep by construction
+    // (a non-rep member always loses to its own rep or to something
+    // smaller), so the rep-only `sigs` relation remains exactly what
+    // ingestBatch's upsert needs. Null-id rows never pair on any path
+    // (null comparisons) and label `kept` via the no-match left joins,
+    // pre- and post-collapse; null embeddings keep their pre-collapse
+    // verdict too (their confirms evaluate null → never dup).
+    val all = batch.select(col("vec_id"),
+      col("embedding").cast("array<double>").as("e"))
+    // One aggregation yields class reps, sizes, and the rep-vector
+    // relation; pinned — consumed by sigs, both confirms' re-attach,
+    // and the within-class eligibility scorer.
+    val grouped = graft.Pin.ser(all.filter(col("vec_id").isNotNull)
+      .groupBy(col("e")).agg(min(col("vec_id")).as("rep"),
+        count(lit(1)).as("__k")))
+    val members = graft.Pin.ser(all.filter(col("vec_id").isNotNull)
+      .join(grouped.select(col("e").as("__e"), col("rep")), col("e") <=> col("__e"))
+      .select(col("vec_id"), col("rep")))
+    val v = graft.Pin.ser(grouped.select(col("rep").as("vec_id"), col("e")))
     val sigs = graft.Pin.ser(
       v.select(col("vec_id"),
           explode(Similarity.lshSignatures(col("e"), bits, tables, dim)).as("ts"))
         .select(col("vec_id"), col("ts.t").as("t"), col("ts.sig").as("sig")))
 
-    // In-batch candidates + confirm: cosinePairsLsh's own shape —
-    // INCLUDING its Σ c·(c-1)/2 explosion guard (ADVICE r12): a skewed
-    // batch carrying a large replica class would otherwise materialize
-    // quadratic candidate pairs silently, the exact failure mode
-    // cosinePairsLsh refuses. One id-width aggregation over the pinned
-    // signatures, before any pair materializes.
+    // In-batch candidates + confirm at the REP grain: cosinePairsLsh's
+    // shape — INCLUDING its Σ c·(c-1)/2 explosion guard (ADVICE r12),
+    // which now counts rep-level bucket work: an identical-heavy batch
+    // passes by construction (collapse IS the fix), while a genuinely
+    // hub-shaped batch still refuses loudly. The labeling output is
+    // linear either way — member pairs never materialize here.
     val selfEst = sigs.groupBy("t", "sig").agg(count(lit(1)).as("c"))
       .agg(coalesce(sum((col("c") * (col("c") - 1) / 2).cast("long")), lit(0L)))
       .head().getLong(0)
@@ -206,8 +224,14 @@ object IncrementalEmbedDedup {
       .filter(round(Similarity.cosine(col("va"), col("vb")), 6) >= threshold)
       .select("doc_a", "doc_b")
 
-    // Vs-store candidates + confirm: batch signatures against the
-    // persisted index; stored vectors semi-pruned to candidate ids.
+    // Vs-store candidates + confirm: rep signatures against the
+    // persisted index; stored vectors semi-pruned to candidate ids. The
+    // self-pair (vec_id = stored_id, an ingest retry) stays IN the
+    // candidate set here: its confirm — cosine(batch e, stored
+    // float-cast e) — is exactly what each identical classmate would
+    // have scored against the stored copy pre-collapse, so it decides
+    // the classmates' dup_of_stored verdict; only the rep itself is
+    // exempt from its own stored copy.
     val dupOfStored = KeyedParquetStore.read(spark, sigsPath,
       schema = Some(sigStoreSchema)).map { ss =>
       if (KeyedParquetStore.debugChecksOn(spark)) {
@@ -220,12 +244,9 @@ object IncrementalEmbedDedup {
             s"but this call uses $cfg — drifted signatures match nothing " +
             "and every stored near-dup would silently re-enter as kept")
       }
-      // vec_id <> stored id: on a retry the batch's own kept vectors are
-      // already indexed and must not read as their own duplicates.
       val cands = sigs
         .join(ss.select(col("t"), col("sig"), col("vec_id").as("stored_id")),
           Seq("t", "sig"))
-        .filter(col("vec_id") =!= col("stored_id"))
         .select(col("vec_id"), col("stored_id")).distinct()
       val storedV = KeyedParquetStore.read(spark, vecsPath,
           schema = Some(vecStoreSchema))
@@ -235,17 +256,43 @@ object IncrementalEmbedDedup {
         .select(col("vec_id").as("stored_id"),
           col("embedding").cast("array<double>").as("se"))
         .join(cands.select(col("stored_id")).distinct(), Seq("stored_id"), "left_semi")
-      cands
+      val confirmed = cands
         .join(v, Seq("vec_id"))
         .join(storedV, Seq("stored_id"))
         .filter(round(Similarity.cosine(col("e"), col("se")), 6) >= threshold)
-        .select(col("vec_id")).distinct()
+        .select(col("vec_id").as("rep"),
+          (col("vec_id") === col("stored_id")).as("__self"))
+      val viaCross = members
+        .join(confirmed.filter(!col("__self")).select(col("rep")).distinct(),
+          Seq("rep"))
+        .select(col("vec_id"))
+      val viaSelf = members.filter(col("vec_id") =!= col("rep"))
+        .join(confirmed.filter(col("__self")).select(col("rep")).distinct(),
+          Seq("rep"))
+        .select(col("vec_id"))
+      viaCross.unionByName(viaSelf).distinct()
         .withColumn("__stored_dup", lit(true))
     }
 
-    val nonCanonical = Dedup.dedupClusters(selfPairs)
-      .filter(col("doc_id") =!= col("label"))
-      .select(col("doc_id").as("vec_id")).distinct()
+    // Within-batch clusters over the rep pair graph, expanded to member
+    // labels; isolated identical cliques qualify when their self-cosine
+    // clears the threshold (the same expression a member pair would
+    // have evaluated — ~1.0 for real vectors, null/NaN semantics
+    // preserved for degenerate ones).
+    val cliqueReps = grouped.filter(col("__k") >= 2)
+      .filter(round(Similarity.cosine(col("e"), col("e")), 6) >= threshold)
+      .select(col("rep"))
+    val repLabels = Dedup.dedupClusters(selfPairs)
+      .select(col("doc_id").as("rep"), col("label"))
+    val memberLabels = repLabels.select(col("rep"))
+      .unionByName(cliqueReps).distinct()
+      .join(repLabels, Seq("rep"), "left")
+      .select(col("rep"), coalesce(col("label"), col("rep")).as("label"))
+      .join(members, Seq("rep"))
+      .select(col("vec_id"), col("label"))
+    val nonCanonical = memberLabels
+      .filter(col("vec_id") =!= col("label"))
+      .select(col("vec_id")).distinct()
       .withColumn("__batch_dup", lit(true))
 
     val marked0 = batch.join(nonCanonical, Seq("vec_id"), "left")

@@ -495,15 +495,41 @@ object Similarity {
   def cosinePairsLsh(vectors: DataFrame, threshold: Double, bits: Int = 16,
                      tables: Int = 4, dim: Int = 64,
                      maxCandidatePairs: Long = 50000000L): DataFrame = {
-    // Both relations are consumed ≥3 times (v: sigs derivation + the two
-    // confirm joins; sigs: the estimate job + both sides of the bucket
-    // self-join). Unpinned, the tables×bits×dim dot-product signature
-    // pass re-ran per consumer — Pin.ser (the takeTokenBudget pattern,
-    // Sampling.scala) computes each exactly once.
-    val v = graft.Pin.ser(vecRows(vectors).select(col("vec_id"), asDouble(col("embedding")).as("e")))
+    // Identical-VECTOR collapse (r19, Dedup.minhashLsh's collapse at the
+    // embedding grain): exact duplicates collide in EVERY table, so a
+    // K-copy replica class previously emitted C(K,2) candidates through
+    // a tables× explosion and carried two dim-wide vectors per pair into
+    // the confirm. Group on the double-cast vector itself (exact array
+    // equality, no hash-collision risk), bucket ONE rep (min id) per
+    // class, expand at the end: cross pairs inherit their reps' rounded
+    // cosine verbatim (identical arrays ⇒ identical doubles), within
+    // pairs score round(cos(e,e), 6) computed ONCE per class — the same
+    // expression the member pair would have evaluated. Null embeddings
+    // are excluded by vecRows (the module-wide contract); null ids could
+    // never pass `id_a < id_b` pre-collapse, so they are dropped too.
+    val v0 = vecRows(vectors).filter(col("vec_id").isNotNull)
+      .select(col("vec_id"), asDouble(col("embedding")).as("e"))
+    // grouped doubles as the rep-vector relation: one aggregation yields
+    // class reps, sizes, AND the bucketing substrate — no second corpus
+    // pass. Pinned: consumed by sigs, the confirm re-attach (×2), the
+    // within scorer, and both estimate jobs.
+    val grouped = graft.Pin.ser(v0.groupBy(col("e"))
+      .agg(min(col("vec_id")).as("rep"), count(lit(1)).as("__k")))
+    val members = graft.Pin.ser(v0
+      .join(grouped.select(col("e").as("__e"), col("rep")), col("e") <=> col("__e"))
+      .select(col("vec_id"), col("rep")))
+    val v = grouped.select(col("rep").as("vec_id"), col("e"))
     val sigs = graft.Pin.ser(v
       .withColumn("ts", explode(lshSignatures(col("e"), bits, tables, dim)))
       .select(col("ts.t").as("t"), col("ts.sig").as("sig"), col("vec_id")))
+    // The guard still bounds MATERIALIZED pairs, in two parts: rep-level
+    // bucket work (before the bucket self-join) and the expanded output
+    // (within-class cliques + candidate cross products, before any
+    // member pair exists). An identical-heavy corpus now passes the
+    // first check by construction — collapse IS the fix — but a corpus
+    // whose expansion is inherently quadratic (the pair CONTRACT, not
+    // the plan) still refuses loudly; cluster-grain consumers belong on
+    // cosineClusters.
     val est = sigs.groupBy("t", "sig").agg(count(lit(1)).as("c"))
       .agg(coalesce(sum((col("c") * (col("c") - 1) / 2).cast("long")), lit(0L)))
       .head().getLong(0)
@@ -513,16 +539,49 @@ object Similarity {
         "corpus (occupancy is n/2^bits per table and pair work is occupancy-" +
         "quadratic); raise bits toward log2(n/targetOccupancy) and add tables " +
         "to recover recall, or raise maxCandidatePairs deliberately")
-    val cands = sigs.select(col("t"), col("sig"), col("vec_id").as("id_a"))
-      .join(sigs.select(col("t"), col("sig"), col("vec_id").as("id_b")), Seq("t", "sig"))
-      .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b").distinct()
-    cands
+    val cands = graft.Pin.ser(
+      sigs.select(col("t"), col("sig"), col("vec_id").as("id_a"))
+        .join(sigs.select(col("t"), col("sig"), col("vec_id").as("id_b")), Seq("t", "sig"))
+        .filter(col("id_a") < col("id_b"))
+        .select("id_a", "id_b").distinct())
+    val k = grouped.select(col("rep"), col("__k"))
+    val expEst = cands
+      .join(k.select(col("rep").as("id_a"), col("__k").as("__ka")), Seq("id_a"))
+      .join(k.select(col("rep").as("id_b"), col("__k").as("__kb")), Seq("id_b"))
+      .agg(coalesce(sum((col("__ka") * col("__kb")).cast("long")), lit(0L)))
+      .head().getLong(0)
+    val withinEst = grouped
+      .agg(coalesce(sum((col("__k") * (col("__k") - 1) / 2).cast("long")), lit(0L)))
+      .head().getLong(0)
+    require(expEst + withinEst <= maxCandidatePairs,
+      s"cosinePairsLsh: the expanded pair OUTPUT (~$expEst cross + ~$withinEst " +
+        s"within identical classes) exceeds maxCandidatePairs=$maxCandidatePairs — " +
+        "the pair contract itself is quadratic in duplicate-cluster size; use " +
+        "Similarity.cosineClusters for a cluster-grain (linear) answer, or raise " +
+        "maxCandidatePairs deliberately")
+    val repPairs = cands
       .join(v.select(col("vec_id").as("id_a"), col("e").as("va")), Seq("id_a"))
       .join(v.select(col("vec_id").as("id_b"), col("e").as("vb")), Seq("id_b"))
       .select(col("id_a"), col("id_b"),
         round(cosine(col("va"), col("vb")), 6).as("cos_sim"))
       .filter(col("cos_sim") >= threshold)
+    val cross = repPairs
+      .join(members.select(col("rep").as("id_a"), col("vec_id").as("__a")), Seq("id_a"))
+      .join(members.select(col("rep").as("id_b"), col("vec_id").as("__b")), Seq("id_b"))
+      .select(least(col("__a"), col("__b")).as("id_a"),
+        greatest(col("__a"), col("__b")).as("id_b"), col("cos_sim"))
+    // multi-member classes whose self-cosine clears the threshold (any
+    // real vector: ~1.0; a zero vector follows the same NaN semantics
+    // the member pair would have) form within-class cliques
+    val withinOk = grouped.filter(col("__k") >= 2)
+      .select(col("rep"), round(cosine(col("e"), col("e")), 6).as("cos_sim"))
+      .filter(col("cos_sim") >= threshold)
+    val within = members.join(withinOk, Seq("rep"))
+      .select(col("rep"), col("cos_sim"), col("vec_id").as("id_a"))
+      .join(members.select(col("rep"), col("vec_id").as("id_b")), Seq("rep"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("cos_sim"))
+    cross.unionByName(within)
   }
 
   /** Embedding near-dup CLUSTERS at scale: the consumer face of the

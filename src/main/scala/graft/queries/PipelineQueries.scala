@@ -568,11 +568,13 @@ object PipelineQueries {
     // the engine reaches the same fixpoint by min-label propagation.
     Q("q37_dedup_clusters",
       (s, dir) =>
-        Dedup.dedupClusters(
-          Dedup.minhashLsh(
-            Tables.documents(s, dir).select(col("doc_id"), col("text")),
-            numHashes = 16, rowsPerBand = 4, shingleN = 3, threshold = 0.5)
-            .select("doc_a", "doc_b")),
+        // the cluster-grain face: rep-level closure expanded straight to
+        // labels — member-grain pairs (C(K,2) per identical cluster)
+        // never materialize (r19 collapse; same result as
+        // dedupClusters(minhashLsh(…)) by Dedup.nearDupLabels' contract)
+        Dedup.nearDupLabels(
+          Tables.documents(s, dir).select(col("doc_id"), col("text")),
+          numHashes = 16, rowsPerBand = 4, shingleN = 3, threshold = 0.5),
       Some(s"""${minhashJacSql.replaceFirst("^WITH ", "WITH RECURSIVE ")},
         |pairs AS MATERIALIZED (SELECT doc_a, doc_b FROM jac WHERE jaccard >= 0.5),
         |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
@@ -2506,9 +2508,9 @@ object PipelineQueries {
     Q("q87_dedup_keep_best",
       (s, dir) => {
         val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
-        val labels = Dedup.dedupClusters(
-          Dedup.minhashLsh(docs, numHashes = 16, rowsPerBand = 4,
-            shingleN = 3, threshold = 0.5).select("doc_a", "doc_b"))
+        // label face (r19): pair-free cluster expansion, see q37
+        val labels = Dedup.nearDupLabels(docs, numHashes = 16,
+          rowsPerBand = 4, shingleN = 3, threshold = 0.5)
         Dedup.keepBestPerCluster(docs, labels,
           size(TextAnalysis.tokens(col("text"))).cast("long"))
           .select(col("doc_id"), length(col("text")).cast("long").as("text_len"))

@@ -173,6 +173,52 @@ class DedupSpec extends SparkSpec {
     assert(lsh === exact)
   }
 
+  test("identical-collapse (r19): candidate work is O(distinct-class pairs), " +
+      "not O(copies²); pair and label faces stay byte-exact") {
+    // a 40-copy boilerplate class, a near-dup of it, an isolated
+    // 2-copy clique, a sub-shingle 2-copy class, and an unrelated doc
+    val boiler = "the quick brown fox jumps over the lazy dog near the river bank today"
+    val corpus = ((1L to 40L).map(i => (i, boiler)) ++ Seq(
+      (50L, "the quick brown fox jumps over the lazy dog near the river bank"),
+      (60L, "completely different words about spark catalyst optimizer and shuffles here"),
+      (70L, "some entirely unique sentence about keyed parquet stores and advisory locking"),
+      (71L, "some entirely unique sentence about keyed parquet stores and advisory locking"),
+      (80L, "too short"), (81L, "too short"))).toDF("doc_id", "text")
+    // the collapsed core bands ONE rep per class: its candidate/confirm
+    // relation is bounded by distinct-class pairs — C(40,2) never exists
+    val (members, _, repPairs) = Dedup.collapsedRepPairs(corpus, 16, 4, 3, 0.5)
+    assert(members.count() === 46)
+    assert(members.filter($"doc_id" === $"rep").select($"rep").as[Long]
+      .collect().toSet === Set(1L, 50L, 60L, 70L, 80L))
+    val reps = repPairs.select($"doc_a", $"doc_b").as[(Long, Long)].collect().toSet
+    assert(reps === Set((1L, 50L)),
+      s"rep-level pairs must be O(distinct-class pairs), got $reps")
+    // the expanded PAIR face still honors its (inherently quadratic)
+    // contract: C(40,2) within pairs at exact jaccard 1.0, 40 cross
+    // pairs to 50 at the reps' jaccard, the isolated clique at 1.0,
+    // nothing for the sub-shingle class or the unrelated doc
+    val pairs = Dedup.minhashLsh(corpus, 16, 4, 3, 0.5)
+      .select($"doc_a", $"doc_b", $"jaccard").as[(Long, Long, Double)].collect()
+    val within = pairs.filter { case (a, b, _) => a <= 40 && b <= 40 }
+    assert(within.length === 40 * 39 / 2 && within.forall(_._3 === 1.0))
+    val cross = pairs.filter { case (_, b, _) => b == 50L }
+    assert(cross.length === 40 && cross.map(_._1).toSet === (1L to 40L).toSet)
+    assert(pairs.count { case (a, _, _) => a == 70L } === 1 &&
+      pairs.filter(_._1 == 70L).forall(p => p._2 == 71L && p._3 == 1.0))
+    assert(!pairs.exists { case (a, b, _) =>
+      Set(60L, 80L, 81L).contains(a) || Set(60L, 80L, 81L).contains(b) })
+    // the LABEL face is byte-equal to dedupClusters∘minhashLsh while
+    // never materializing member-grain pairs
+    val viaPairs = Dedup.dedupClusters(
+      Dedup.minhashLsh(corpus, 16, 4, 3, 0.5).select("doc_a", "doc_b"))
+      .as[(Long, Long)].collect().toSet
+    val direct = Dedup.nearDupLabels(corpus, 16, 4, 3, 0.5)
+      .as[(Long, Long)].collect().toSet
+    assert(direct === viaPairs)
+    assert(direct.map(_._1) === (1L to 40L).toSet + 50L + 70L + 71L)
+    assert(direct.filter(p => p._1 == 70L || p._1 == 71L).forall(_._2 == 70L))
+  }
+
   test("quadratic baselines refuse corpora above maxRows (r11)") {
     // The labeled small-scale baselines would happily cross-expand a
     // production corpus if called directly; the guard makes them fail
