@@ -291,6 +291,15 @@ object IncrementalBm25 {
       count(lit(1)),
       sum(TextAnalysis.md5Hash60(col("doc_id").cast("string"))
         .cast(org.apache.spark.sql.types.DecimalType(38, 0)))).collect().head
+    // A null sum with a non-zero count means the Decimal(38,0) Σ
+    // overflowed under non-ANSI mode (~10^20 victim rows — practically
+    // unreachable, but silently mapping it to "0" would fingerprint the
+    // set as <count>x0 and quietly weaken the exact guard to count-only;
+    // ADVICE r18). Fail loudly instead.
+    require(r.getDecimal(1) != null || r.getLong(0) == 0,
+      s"victimSetFp: the 38-digit decimal hash sum overflowed to null at " +
+        s"${r.getLong(0)} victim rows — the fingerprint would degenerate " +
+        "to count-only; shard the retirement")
     val s = Option(r.getDecimal(1))
       .map(_.toBigInteger.mod(java.math.BigInteger.ONE.shiftLeft(61))
         .toString(16))
@@ -480,10 +489,29 @@ object IncrementalBm25 {
         val rolled = terms.filter(!col("batch").isin(keep: _*))
           .groupBy(col("term"), col("tbucket")).agg(sum(col("df")).as("df"))
           .withColumn("batch", lit("rollup"))
+        // Victim-fingerprint sidecars (retireDocs' `_victims.*` files)
+        // live INSIDE kept retire-marker partitions but are invisible to
+        // Spark's listing, so replace()'s stage-and-swap would silently
+        // drop them — degrading the exact reuse guard to the containment
+        // fallback for every post-rollup store (ADVICE r18). Snapshot
+        // the kept batches' sidecar names before the swap and re-create
+        // them (they are empty — the fingerprint IS the name) after.
+        val hfs = new org.apache.hadoop.fs.Path(termsPath)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val keptSidecars = keep.flatMap { b =>
+          try hfs.globStatus(new org.apache.hadoop.fs.Path(
+              victimFpDir(termsPath, b), "_victims.*"))
+            .toSeq.map(st => (b, st.getPath.getName))
+          catch { case _: java.io.FileNotFoundException => Nil }
+        }
         KeyedParquetStore.replace(spark, termsPath,
           rolled.unionByName(kept).select(
             col("term"), col("df"), col("tbucket"), col("batch")),
           partitionCols = Seq("batch", "tbucket"))
+        keptSidecars.foreach { case (b, name) =>
+          hfs.create(new org.apache.hadoop.fs.Path(
+            victimFpDir(termsPath, b), name), true).close()
+        }
       }
     KeyedParquetStore.read(spark, statsPath, schema = Some(statsSchema))
       .foreach { stats =>

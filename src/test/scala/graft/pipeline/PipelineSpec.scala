@@ -592,6 +592,17 @@ class DedupSpec extends SparkSpec {
       assert(reuse.getMessage.contains("fingerprints as"))
       assert(graft.sources.KeyedParquetStore.read(spark, pP).get
         .filter($"doc_id".isin(1L, 2L)).count() > 0L)
+      // the sidecar SURVIVES a roll-up that keeps the retire partition
+      // (ADVICE r18: replace()'s stage-and-swap dropped the underscore
+      // files, silently degrading the exact guard to containment) — the
+      // fingerprint check must still fire post-rollup
+      IncrementalBm25.rollupPartials(spark, tP, sP, keepBatches = Set("r1"))
+      val postRollup = intercept[IllegalArgumentException] {
+        IncrementalBm25.retireDocs(spark, Seq(2L).toDF("doc_id"), "r1",
+          pP, tP, sP)
+      }
+      assert(postRollup.getMessage.contains("fingerprints as"),
+        s"exact fingerprint guard lost through rollup: ${postRollup.getMessage}")
       // legacy store / upsert→fingerprint crash window: with the sidecar
       // gone the probe degrades to footprint CONTAINMENT — overflow sets
       // still refuse (the subset-shaped blind spot is the documented
