@@ -193,14 +193,23 @@ object IncrementalIvf {
     // One row per vector even from a crash-skewed store (see scaladoc):
     // newest-assignment-wins collapse per id — the keyed merge is
     // iv-partition-scoped, so cross-iv duplicates can exist here and
-    // ONLY here is the whole store in one relation to fix them. Costs
-    // one map-side-combined exchange on a maintenance op that already
-    // scans the store several times.
-    val corpus = assigned
+    // ONLY here is the whole store in one relation to fix them.
+    //
+    // PINNED (r19): the collapse feeds THREE store-sized consumers —
+    // the seed pick inside trainCentroids, its Lloyd cache fill, and
+    // the re-assignment pass — so unpinned the store was scanned and
+    // collapse-shuffled once per consumer (measured at r19: 3 full
+    // store scans per retrain, q99's Lloyd/seed jobs at 25–27 tasks
+    // each vs 1–3 post-pin). One materialization, everything downstream
+    // reads the checkpoint. Width stays on the write-planning window's
+    // existing knobs (writePartitions / aqeWrites) — retrain is a
+    // maintenance op whose deployment-scale story those knobs already
+    // own; pinning does not change it, only the number of passes.
+    val corpus = graft.Pin.ser(assigned
       .groupBy(col("neighbor_id"))
       .agg(max(struct(col("iv"), col("batch"), col("cv"))).as("w"))
       .select(col("neighbor_id").as("vec_id"),
-        col("w")("cv").as("embedding"), col("w")("batch").as("batch"))
+        col("w")("cv").as("embedding"), col("w")("batch").as("batch")))
     // KB-sized; pinned so the centroid relation is not re-derived from
     // the store mid-replace
     val index = Similarity.buildIvfIndex(corpus, numCells, trainIters)

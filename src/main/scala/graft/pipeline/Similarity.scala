@@ -165,17 +165,21 @@ object Similarity {
   def trainCentroids(corpusIn: DataFrame, numCells: Int,
                      iters: Int): Seq[(Long, Seq[Double])] = {
     val corpus = vecRows(corpusIn)
-    // Cached for the training loop only: every Lloyd iteration re-reads
-    // the (id, vector) relation, and without the cache each one re-scans
-    // and re-casts the source (iters + 1 jobs over the same bytes).
+    // Cached for the WHOLE training call: every Lloyd iteration re-reads
+    // the (id, vector) relation, and the seed pick below is derived from
+    // the same cached projection (r19 — it previously re-derived from
+    // `corpus` raw, so the source was scanned once more than necessary:
+    // seed pass + cache-fill pass + iters cache reads; now the seed pick
+    // IS the cache-fill action and the source is scanned exactly once
+    // per training call). Values are unchanged: c's (id, cv) are the
+    // same (vec_id, asDouble(embedding)) the seed projection read.
     val c = corpus.select(col("vec_id").as("id"), asDouble(col("embedding")).as("cv"))
     if (iters > 0) c.cache()
-    var cents: Seq[(Long, Seq[Double])] = corpus
-      .select(col("vec_id"), asDouble(col("embedding")).as("e"),
-        Sampling.bucket(col("vec_id"), IvfSeedSalt).as("b"))
-      .orderBy(col("b"), col("vec_id"))
+    var cents: Seq[(Long, Seq[Double])] = c
+      .select(col("id"), col("cv"), Sampling.bucket(col("id"), IvfSeedSalt).as("b"))
+      .orderBy(col("b"), col("id"))
       .limit(numCells)
-      .select(col("vec_id"), col("e"))
+      .select(col("id"), col("cv"))
       .collect().map(r => (r.getLong(0), r.getSeq[Double](1))).sortBy(_._1).toSeq
     for (_ <- 0 until iters) {
       cents = c
@@ -449,9 +453,16 @@ object Similarity {
       .join(kth, Seq("probe_id"))
       .filter(col("exact_sim") >= col("kth_sim") - lit(simSlack))
       .groupBy(col("probe_id")).agg(count(lit(1)).as("hits"))
-    val perProbe = kth.join(hits, Seq("probe_id"), "left")
+    // Pinned (r19): perProbe is probe-count-sized, but it is consumed
+    // TWICE (the contract output and the aggregate floor below), and its
+    // derivation is the expensive half of the query — the full exact
+    // corpus×probes scoring pass plus the caller's entire approx plan.
+    // Unpinned, the second consumer re-ran everything AQE's stage reuse
+    // didn't already dedup; pinned, the floor aggregates over a KB
+    // checkpoint.
+    val perProbe = graft.Pin.ser(kth.join(hits, Seq("probe_id"), "left")
       .select(col("probe_id"), col("kth_sim"),
-        coalesce(col("hits"), lit(0L)).as("hits"))
+        coalesce(col("hits"), lit(0L)).as("hits")))
     // The aggregate floor re-attaches as a broadcast single-row relation
     // (the TextAnalysis stats-attachment shape) — no global window.
     val tot = perProbe.agg(sum(col("hits")).as("tot_hits"),
