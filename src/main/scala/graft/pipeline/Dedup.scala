@@ -350,7 +350,7 @@ object Dedup {
     * front reproduces that verdict without letting `least/greatest`
     * manufacture degenerate pairs during expansion. Pinned — every
     * caller consumes it ≥ 2× (rep election + label/pair expansion). */
-  private[pipeline] def identicalClasses(docs: DataFrame,
+  private[graft] def identicalClasses(docs: DataFrame,
                                          idCol: String = "doc_id"): DataFrame = {
     val ids = docs.filter(col(idCol).isNotNull)
       .select(col(idCol).as("doc_id"), md5Hash60(col("text")).as("__ch"))
@@ -407,7 +407,7 @@ object Dedup {
     * null text) never signed a band and never pair — absent, exactly the
     * pre-collapse verdict. Returns (doc_id, label); docs in no pair are
     * absent (the [[dedupClusters]] contract). */
-  private[pipeline] def expandMemberLabels(members: DataFrame, sh: DataFrame,
+  private[graft] def expandMemberLabels(members: DataFrame, sh: DataFrame,
                                            repPairs: DataFrame,
                                            threshold: Double): DataFrame = {
     val repLabels = dedupClusters(repPairs.select(col("doc_a"), col("doc_b")))

@@ -219,6 +219,64 @@ class DedupSpec extends SparkSpec {
     assert(direct.filter(p => p._1 == 70L || p._1 == 71L).forall(_._2 == 70L))
   }
 
+  test("curation-chain collapse (r19): rep-grain band chain + " +
+      "expandMemberLabels reproduces the uncollapsed inline chain's " +
+      "labels, and the longest-member election always picks a rep") {
+    // The q90/q91/q92/q96 curationKept rewrite's two proof obligations,
+    // at unit grain: (1) labels from the collapsed chain are byte-equal
+    // to the uncollapsed shingle→band→candidate→Jaccard→dedupClusters
+    // chain; (2) keepBestPerCluster's winner is always a rep (a non-rep
+    // ties its own rep on any text-derived score and loses the id
+    // tie-break), so a rep-grain shingle relation still covers every
+    // kept doc downstream.
+    val boiler = "subscribe now for unlimited access to premium local news coverage daily"
+    val corpus = ((100L to 119L).map(i => (i, boiler)) ++ Seq(
+      (10L, "subscribe now for unlimited access to premium local news coverage"),
+      (20L, "a genuinely different document about adaptive query execution planning"),
+      (30L, "another unique document mentioning broadcast joins and bloom filters"))
+      ).toDF("doc_id", "text")
+    // uncollapsed reference: the pre-r19 inline chain verbatim
+    val shAll = TextAnalysis.hashedShingles(corpus, 3)
+    val sigsAll = Dedup.bandSigs(shAll, 16, 4)
+    val candsAll = sigsAll.select($"band", $"sig", $"doc_id".as("doc_a"))
+      .join(sigsAll.select($"band", $"sig", $"doc_id".as("doc_b")),
+        Seq("band", "sig"))
+      .filter($"doc_a" < $"doc_b").select("doc_a", "doc_b").distinct()
+    val refLabels = Dedup.dedupClusters(
+      Dedup.exactJaccard(candsAll, shAll).filter($"jaccard" >= 0.5)
+        .select($"doc_a", $"doc_b"))
+      .as[(Long, Long)].collect().toSet
+    // collapsed chain: the curationKept stage-2 shape
+    val members = Dedup.identicalClasses(corpus)
+    val repText = corpus.join(
+      members.filter($"doc_id" === $"rep").select($"doc_id"),
+      Seq("doc_id"), "left_semi")
+    val shRep = TextAnalysis.hashedShingles(repText, 3)
+    val sigs = Dedup.bandSigs(shRep, 16, 4)
+    val cands = sigs.select($"band", $"sig", $"doc_id".as("doc_a"))
+      .join(sigs.select($"band", $"sig", $"doc_id".as("doc_b")),
+        Seq("band", "sig"))
+      .filter($"doc_a" < $"doc_b").select("doc_a", "doc_b").distinct()
+    val labels = Dedup.expandMemberLabels(members, shRep,
+      Dedup.exactJaccard(cands, shRep).filter($"jaccard" >= 0.5)
+        .select($"doc_a", $"doc_b"), threshold = 0.5)
+    assert(labels.as[(Long, Long)].collect().toSet === refLabels)
+    // the 20-copy cluster + its near-dup form one component labeled by
+    // the near-dup's smaller id; min-id labeling is preserved
+    assert(refLabels.map(_._2) === Set(10L))
+    // longest-member election over text length: every member of the
+    // boilerplate class ties, so the winner must be the class rep (100)
+    // — never a higher-id identical copy whose shingles a rep-grain
+    // relation would not carry
+    val scored = corpus.select($"doc_id", length($"text").as("s"))
+    val kept = Dedup.keepBestPerCluster(scored, labels.toDF("doc_id", "label"),
+      $"s").select($"doc_id").as[Long].collect().toSet
+    val repSet = members.filter($"doc_id" === $"rep")
+      .select($"rep").as[Long].collect().toSet
+    assert(kept.subsetOf(repSet), s"kept $kept must be reps $repSet")
+    assert(kept === Set(100L, 20L, 30L))
+  }
+
   test("quadratic baselines refuse corpora above maxRows (r11)") {
     // The labeled small-scale baselines would happily cross-expand a
     // production corpus if called directly; the guard makes them fail
