@@ -3465,8 +3465,20 @@ object PipelineQueries {
     // n_tokens — identical text — and loses the id tie-break), so the
     // rep-grain `sh` below still holds every kept doc's shingles: the
     // stage-4 `sh ⋉ keptIds` semi-join is unchanged and exact.
-    val keptIds = Dedup.keepBestPerCluster(feats, labels, col("n_tokens"))
-      .select(col("doc_id"))
+    //
+    // Pinned (r19): keptIds is id-width and consumed by EVERY downstream
+    // stage of both chains (v2: the decon semi-join, the clean-set anti
+    // join, the mixture semi-join; v3: keptText), and its derivation is
+    // no longer cheap to replay — pre-collapse the cluster labels were a
+    // driver-local relation (dedupClusters' ≤1M-edge union-find path),
+    // so re-deriving keptIds per consumer cost two joins over pins;
+    // post-collapse the label expansion is a distributed join chain over
+    // the members/sh pins, and the first full31 bench measured each
+    // consumer replaying it (q90 jobs 42 → 73, q92 task_ms 10.9 s →
+    // 26.2 s). One checkpoint restores single-execution.
+    val keptIds = graft.Pin.ser(
+      Dedup.keepBestPerCluster(feats, labels, col("n_tokens"))
+        .select(col("doc_id")))
     (pool, evalDocs, feats, sh, keptIds)
   }
 
