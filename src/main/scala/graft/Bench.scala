@@ -171,7 +171,7 @@ object Bench {
           f""""load1":$ld%.2f,"load1_pre":$ldPre%.2f,"cached_mb":${meminfoMb("Cached")}""" +
           (if (failed == null) "}" else s""","failed":"$failed"}"""))
         ev.flush()
-        (sec, failed)
+        (sec, failed, s"$jobs/$stages/$tasks/${taskMs.get}")
       }
       // Attribute cleanup to its OWNER, not its successor: queries that
       // cache/localCheckpoint (q37's edge list, q49's pinned shingles)
@@ -191,9 +191,16 @@ object Bench {
       // successful runs only; a query whose EVERY run failed reports -1
       // (loudly poisoning the stdout total rather than shrinking it) and
       // is named in the top-level "failed" map either way.
-      val ok = timed.collect { case (s, null) => s }
+      val ok = timed.collect { case (s, null, _) => s }
       val med = if (ok.nonEmpty) ok.sorted.apply(ok.size / 2) else -1.0
-      (name, med, timed.count(_._2 != null))
+      // Structural shape (jobs/stages/tasks/task_ms) of the MEDIAN run —
+      // the discriminator the one-line JSON lacked (r19 verdict item 2:
+      // q91's 8.73 s driver outlier needed cross-file forensics because
+      // the stdout line carries only wall ms; with the shape attached, a
+      // same-shape wall spike self-adjudicates as ambient).
+      val medShape = timed.collectFirst {
+        case (s, null, sh) if s == med => sh }.getOrElse("")
+      (name, med, timed.count(_._2 != null), medShape)
     }
     ev.close()
     // The stdout line must PARSE at the consumer: the driver keeps only a
@@ -214,7 +221,7 @@ object Bench {
     // json.loads would SILENTLY keep only the last timing — fail loudly
     // at the source instead (ADVICE r12).
     locally {
-      val keys = results.map { case (k, _, _) => shortKey(k) }
+      val keys = results.map { case (k, _, _, _) => shortKey(k) }
       val dup = keys.diff(keys.distinct).distinct
       require(dup.isEmpty,
         s"duplicate qNN prefix(es) in the query registry: ${dup.mkString(", ")} " +
@@ -239,14 +246,48 @@ object Bench {
       if (results.size <= keepInLine) ""
       else s""","q_omitted":${results.size - keepInLine}"""
     val qs = lineResults
-      .map { case (k, v, _) =>
+      .map { case (k, v, _, _) =>
         s"\"" + shortKey(k) + "\":" + Math.round(v * 1000) }
       .mkString("{", ",", "}")
     val failed =
-      results.collect { case (k, _, n) if n > 0 => s"\"" + shortKey(k) + "\":" + n }
+      results.collect { case (k, _, n, _) if n > 0 => s"\"" + shortKey(k) + "\":" + n }
     val failedJson =
       if (failed.isEmpty) "" else failed.mkString(""","failed":{""", ",", "}")
     val total = results.map(_._2).sum
+    // Per-query STRUCTURAL shape ("jobs/stages/tasks/task_ms" of the
+    // median run) in the stdout line — r19 verdict item 2, ADDITIVE ONLY
+    // (every existing field unchanged). The consumer keeps a bounded
+    // ~2000-char tail of this process's output (measured: BENCH_r17–r19
+    // all carry exactly 2000 tail chars), so the full 102-query shape
+    // map (~2.4 KB alone) cannot ride along without truncating the line
+    // into parsed:null. Shapes therefore attach for the SLOWEST queries
+    // first — outlier adjudication reads the expensive entries, q91's
+    // 8.73 s case exactly — until the projected line reaches a 1900-char
+    // budget; "shape_omitted" says how many didn't fit. The complete
+    // per-run shape record stays in the evidence sidecar as before.
+    val lineBudget = 1900
+    def line(shapesJson: String): String =
+      f"""{"metric":"total","value":${r3(total)},"unit":"sec","qunit":"ms","method":"noop-median$runs-warm","nq":${results.size}$omittedJson,"load_max":$loadMax%.2f,"load_base":$loadBase%.2f,"queries":$qs$failedJson$shapesJson,"sf":"$sfDir"}"""
+    val shapesJson = locally {
+      // Budget accounting includes the envelope (`,"shapes":{...}` plus a
+      // worst-case `,"shape_omitted":NNN`) so the assembled line can never
+      // overshoot even when every query's shape fits.
+      var remaining = lineBudget - line(""","shapes":{},"shape_omitted":999""").length
+      val kept = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+      var omitted = 0
+      results.sortBy(-_._2).foreach { case (k, _, _, sh) =>
+        if (sh.isEmpty) omitted += 1
+        else {
+          val entry = "\"" + shortKey(k) + "\":\"" + sh + "\""
+          if (remaining - (entry.length + 1) >= 0) {
+            kept += ((k, entry)); remaining -= entry.length + 1
+          } else omitted += 1
+        }
+      }
+      if (kept.isEmpty) ""
+      else kept.sortBy(_._1).map(_._2).mkString(""","shapes":{""", ",", "}") +
+        (if (omitted > 0) s""","shape_omitted":$omitted""" else "")
+    }
     // method flags the timing basis: per-query median of N full noop
     // materializations over page-cache-warmed inputs (count()-based r1
     // pruned top-level work, single-run r2 carried VM variance, unwarmed
@@ -265,7 +306,7 @@ object Bench {
     // load_max: the worst 1-min loadavg observed across all timed runs —
     // the at-a-glance "was the machine busy" flag (full context per run
     // in the evidence sidecar). ~16 chars, inside the tail-window budget.
-    println(f"""{"metric":"total","value":${r3(total)},"unit":"sec","qunit":"ms","method":"noop-median$runs-warm","nq":${results.size}$omittedJson,"load_max":$loadMax%.2f,"load_base":$loadBase%.2f,"queries":$qs$failedJson,"sf":"$sfDir"}""")
+    println(line(shapesJson))
     System.out.flush()
   }
 }

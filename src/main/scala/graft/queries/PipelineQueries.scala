@@ -2131,17 +2131,25 @@ object PipelineQueries {
           Seq("doc_id"), "left_semi")
         // Stage 3 — fuzzy near-dup (q25/q37/q40 shape). The pinned
         // shingle relation is this stage's substrate AND stage 4's.
+        //
+        // r20: component-aware candidate pruning
+        // (Dedup.confirmedPairsForClustering). This chain's exact dedup
+        // (stage 2) covers identical texts, but the injected per-doc PII
+        // suffixes make the dupheavy boilerplate cluster K DISTINCT
+        // texts at Jaccard ≈ 0.97 — identical-class collapse is a no-op
+        // and the pair-grain confirm measured C(K,2): 225.3 s at
+        // dupheavy sf0.1 (r19 evidence). The confirmed pairs feed ONLY
+        // dedupClusters → dropNonCanonical, so only their CONNECTED
+        // COMPONENTS matter: confirm a spanning chain first, then only
+        // cross-component candidates — labels (and every downstream
+        // byte) provably unchanged; confirm work drops to ≈ K.
         val sh = graft.Pin.ser(TextAnalysis.hashedShingles(uniqueText, 3))
         val sigs = Dedup.bandSigs(sh, numHashes = 16, rowsPerBand = 4)
-        val cands = sigs.select(col("band"), col("sig"), col("doc_id").as("doc_a"))
-          .join(sigs.select(col("band"), col("sig"), col("doc_id").as("doc_b")),
-            Seq("band", "sig"))
-          .filter(col("doc_a") < col("doc_b"))
-          .select("doc_a", "doc_b").distinct()
-        val pairs = Dedup.exactJaccard(cands, sh).filter(col("jaccard") >= 0.5)
+        val clusterPairs = Dedup.confirmedPairsForClustering(
+          sigs, sh, threshold = 0.5)
         val nearIds = Dedup.dropNonCanonical(
           uniqueText.select(col("doc_id")),
-          Dedup.dedupClusters(pairs.select(col("doc_a"), col("doc_b"))))
+          Dedup.dedupClusters(clusterPairs))
         // Stage 4 — eval decontamination (q51 params) on the SAME pinned
         // shingles, through the shingle-level library face (r14): the
         // one-pass discipline no longer requires inlining the stage body.

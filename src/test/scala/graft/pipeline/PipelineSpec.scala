@@ -277,6 +277,68 @@ class DedupSpec extends SparkSpec {
     assert(kept === Set(100L, 20L, 30L))
   }
 
+  test("component-aware candidate pruning (r20): confirmedPairsForClustering " +
+      "reproduces the full confirm's labels on a planted NEAR-identical " +
+      "cluster while confirming ≈K pairs, not C(K,2)") {
+    // The q81 regime: K DISTINCT texts at Jaccard ≈ 0.9 (shared
+    // boilerplate + per-doc unique suffix — identical-class collapse is
+    // a no-op), plus a second smaller near-identical cluster, a true
+    // identical pair, and unrelated docs. The facility's contract is
+    // label equality under dedupClusters, NOT pair-list equality.
+    // Shared sections are LONG (≈200 distinct tokens) relative to the
+    // per-doc suffix (2 unique tokens) so pairwise Jaccard ≈ 0.97 — the
+    // q81 regime — and every pair collides in ≥1 of the 4 bands (band
+    // recall ≈ (1-(1-J⁴)⁴) ≈ 1): the full confirm really is C(K,2).
+    val boiler = "please subscribe now for unlimited premium access to " +
+      "our award winning local news coverage updated daily with exclusive stories " +
+      (1 to 180).map(j => s"wa$j").mkString(" ")
+    val boilerB = "terms of service apply to all purchases made through the " +
+      "online store including digital downloads and gift subscriptions " +
+      (1 to 60).map(j => s"vb$j").mkString(" ")
+    val corpus = (
+      (100L to 129L).map(i => (i, s"$boiler contact user$i ext$i")) ++
+      (200L to 209L).map(i => (i, s"$boilerB order ref$i code$i")) ++
+      Seq(
+        (300L, "a genuinely different document about adaptive query execution"),
+        (310L, "identical twins share every single shingle in this text exactly"),
+        (311L, "identical twins share every single shingle in this text exactly"))
+      ).toDF("doc_id", "text")
+    val sh = TextAnalysis.hashedShingles(corpus, 3)
+    val sigs = Dedup.bandSigs(sh, 16, 4)
+    val candsAll = sigs.select($"band", $"sig", $"doc_id".as("doc_a"))
+      .join(sigs.select($"band", $"sig", $"doc_id".as("doc_b")),
+        Seq("band", "sig"))
+      .filter($"doc_a" < $"doc_b").select("doc_a", "doc_b").distinct()
+    for (threshold <- Seq(0.5, 0.99)) {
+      // reference: the unpruned chain verbatim (confirm EVERY candidate)
+      val refLabels = Dedup.dedupClusters(
+        Dedup.exactJaccard(candsAll, sh).filter($"jaccard" >= threshold)
+          .select($"doc_a", $"doc_b"))
+        .as[(Long, Long)].collect().toSet
+      val pruned = Dedup.confirmedPairsForClustering(sigs, sh, threshold)
+      val gotLabels = Dedup.dedupClusters(pruned.select($"doc_a", $"doc_b"))
+        .as[(Long, Long)].collect().toSet
+      assert(gotLabels === refLabels, s"labels diverged at threshold $threshold")
+      if (threshold == 0.5) {
+        // every clustered member labeled by its component min
+        assert(refLabels.filter(_._1 <= 129L).map(_._2) === Set(100L))
+        assert(refLabels.filter(p => p._1 >= 200L && p._1 <= 209L)
+          .map(_._2) === Set(200L))
+        assert(gotLabels.exists(_._1 == 310L) && gotLabels.exists(_._1 == 311L))
+        // the pruning claim: the 30-copy cluster alone yields C(30,2) =
+        // 435 confirmed pairs unpruned; the facility returns ≈K
+        val nPruned = pruned.count()
+        val nFull = Dedup.exactJaccard(candsAll, sh)
+          .filter($"jaccard" >= threshold).count()
+        // ≥ 430 not == 435: minhash banding is probabilistic and may
+        // drop a pair or two even at J ≈ 0.97 (P(miss) ≈ (1-J⁴)⁴)
+        assert(nFull >= 430L, s"planted cluster lost band recall: $nFull")
+        assert(nPruned <= 120L,
+          s"pruning did not prune: $nPruned confirmed pairs vs $nFull full")
+      }
+    }
+  }
+
   test("quadratic baselines refuse corpora above maxRows (r11)") {
     // The labeled small-scale baselines would happily cross-expand a
     // production corpus if called directly; the guard makes them fail
